@@ -1,0 +1,62 @@
+"""Benchmark harness: runs the query suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+ "sf": ...}.
+
+Each query executes via the noop sink — full computation, no driver-side
+collect, matching how a production pipeline consumes results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from datawarehouse_vehicule_insurance_spark import get_spark  # noqa: E402
+from datawarehouse_vehicule_insurance_spark import queries as Q  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    # warmup: JIT/codegen + parquet footer caches + the Python worker pool
+    # (first pandas_udf call pays ~5s of worker spawn), not measured
+    Q.q_pricing_summary(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    from datawarehouse_vehicule_insurance_spark.functions.text import title_exact
+    from pyspark.sql import functions as F
+
+    spark.range(1).select(title_exact(F.lit("warm up"))).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in Q.QUERIES.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "query_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Additive scope beyond the reference (its only dedup is full-row
+``drop_duplicates``, reference: load_gold.py:87,112,128 → exact_dedup here).
+All operators are built from shuffle-conscious primitives:
+
+- exact:    hash-groupBy on a content digest (map-side partial agg).
+- MinHash:  shingle → K minhashes → band → bucket self-join. The join key
+  is (band_id, band_hash) so only same-bucket pairs shuffle — never the
+  full cross product.
+- SimHash:  64-bit weighted-token signature; duplicates = identical
+  signature (or Hamming-near via band rotation).
+- n-gram Jaccard: verification-grade exact similarity on candidate pairs.
+- embedding cosine: near-dup via normalized-vector dot product on
+  LSH/random-hyperplane buckets (see :mod:`.similarity` for ANN search).
+
+Everything is native column expressions (xxhash64 / transform / aggregate)
+— no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal — ``dropDuplicates`` (one hash shuffle on
+    the dedup key; AQE coalesces the post-shuffle partitions)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_dedup_by_content(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative row (min id) per exact content hash.
+    Shuffles only (hash, id) — the digest is computed map-side, so the
+    exchange carries 16-byte keys, not document bodies."""
+    h = F.md5(F.col(text_col)).alias("__content_hash")
+    keep = (
+        df.select(h, F.col(id_col))
+        .groupBy("__content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of whitespace-normalized lowercase text."""
+    tokens = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+        )
+    )
+
+
+def minhash_signature(sh: Column, k: int = 64, seed: int = 42) -> Column:
+    """K minhash values per row: min over shingles of xxhash64(shingle,
+    seed_i), all JVM-native.
+
+    Shape matters: built as ONE array-state ``aggregate`` (state = array
+    of K running minima, one pass over the shingles) rather than K
+    separate array_min(transform(...)) expressions — the latter makes the
+    codegen'd expression tree O(K) and compilation dominates runtime."""
+    max_long = F.lit(0x7FFFFFFFFFFFFFFF).cast("long")
+    seeds = F.sequence(F.lit(seed), F.lit(seed + k - 1))
+    return F.aggregate(
+        sh,
+        F.array_repeat(max_long, k),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(s, i)),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    rows/bands trade-off: with k=64, bands=16 → r=4 rows/band, the classic
+    s-curve threshold ≈ (1/b)^(1/r) ≈ 0.5 Jaccard. Pairs are produced by a
+    self-equi-join on (band_id, band_hash) — at 100 TB this is the only
+    scalable shape: the shuffle key-space is the band buckets, and skewed
+    mega-buckets (boilerplate docs) are handled by AQE skew-join splitting.
+
+    Returns (id_a, id_b, n_shared_bands) with id_a < id_b.
+    """
+    r = k // bands
+    sig = minhash_signature(shingles(F.col(text_col), shingle_n), k, seed)
+    # compact band-hash expression: transform over a band-index sequence
+    # (O(1) expression size), not `bands` separate hash expressions
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("__sig"), b * r + 1, r),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ),
+            b,
+        ),
+    )
+    banded = (
+        df.select(F.col(id_col), sig.alias("__sig"))
+        .select(
+            id_col,
+            F.posexplode(band_hashes).alias("band_id", "band_hash"),
+        )
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification over candidate pairs (the precise
+    pass after LSH recall). Joins the candidate pair list back to the two
+    shingle sets; intersection/union via native array ops."""
+    sh = docs.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup removal: LSH candidates → Jaccard verify →
+    drop the higher id of each confirmed pair (connected via the pair
+    list; single-link union is approximated by iterated min — one pass is
+    the standard large-scale practice)."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, **lsh_kwargs)
+    confirmed = ngram_jaccard(cand, df, id_col, text_col, threshold=threshold)
+    losers = confirmed.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 64, seed: int = 42) -> Column:
+    """64-bit SimHash of whitespace tokens: per bit, sum ±1 over token
+    hashes' bit values; bit set iff the sum is positive. Expressed as
+    native aggregate over the token array."""
+    tokens = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+
+    # one array-state aggregate (state = per-bit vote counts) instead of
+    # `bits` separate aggregates — keeps the codegen'd tree O(1) size.
+    # bit b's ±1 vote comes from the sign of an independently-seeded
+    # rehash (equivalent to classic bit-extraction simhash, and usable
+    # inside a lambda where shiftright(col, b) requires a literal b)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                lambda b: F.when(F.xxhash64(h, b) >= 0, 1).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # fold votes into the signature: bit b set iff votes[b] > 0.
+    # powers-of-two literal array (bit 63 as the signed min-long) since
+    # shiftleft(1L, b) needs a literal shift amount
+    powers = F.array(*[
+        F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+        for b in range(bits)
+    ])
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 64, seed: int = 42,
+) -> DataFrame:
+    """Exact-signature SimHash dedup: keep min-id row per signature.
+    (Hamming-distance-near variants bucket on signature bands, same LSH
+    shape as MinHash.)"""
+    sig = simhash(F.col(text_col), bits, seed).alias("__simhash")
+    keep = (
+        df.select(sig, F.col(id_col))
+        .groupBy("__simhash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")

@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data curation: language ID,
+quality scoring, token counting, document fingerprinting. All native
+column expressions over the ``documents`` table shape (SURVEY.md §7.2
+step 6); usable as building blocks or via the query suite
+(:mod:`..queries`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: marker stopwords per language — tiny n-gram-free heuristic; the point
+#: is the distributed shape (one projection, no UDF), not NLP accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to"]
+
+#: BPE-ish token heuristic: word pieces, numbers, or single non-space
+#: symbols — a cheap stand-in for a real tokenizer's token count.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of normalized text."""
+    return F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Regex-token count approximating a BPE tokenizer's granularity."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+
+    def _hits(markers: list[str]) -> Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    return {lang: _hits(m) for lang, m in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker hits; deterministic tiebreak (lang name
+    ascending); 'und' when nothing matches."""
+    hits = lang_scores(text)
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((hits[lang] == best) & (best > 0), lang).otherwise(pred)
+    return pred
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-scoring features: length, token stats, alpha ratio,
+    stopword ratio, mean token length. One fused projection."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    alpha_chars = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    return df.withColumns({
+        "n_chars": F.length(text),
+        "n_tokens": n_tokens,
+        "alpha_ratio": F.round(alpha_chars / F.length(text), 6),
+        "stopword_ratio": F.round(n_stop / n_tokens, 6),
+        "mean_token_len": F.round(
+            F.aggregate(
+                toks, F.lit(0), lambda acc, t: acc + F.length(t)
+            ) / n_tokens,
+            6,
+        ),
+    })
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical-form content fingerprint: md5 over lowercase
+    whitespace-collapsed text (stable under formatting noise)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def rolling_fingerprints(text: Column, window: int = 8) -> Column:
+    """Rolling window fingerprints (winnowing-style): hash every
+    ``window``-token span; downstream pick-min selects the document
+    sketch. Returns array<long>."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, window), " "))
+    )

@@ -1,0 +1,959 @@
+"""Parity + benchmark query suite over the driver testdata.
+
+Each entry maps one operator family from SURVEY.md §2 (or an additive
+large-scale-pipeline operator, SURVEY.md §7.2 step 6) onto the TPC-H-ish
+testdata tables, with a DuckDB oracle SQL string that computes the same
+result (FIXTURES.md "driver testdata mapping": customer≈clients,
+orders≈policies, lineitem≈payments/claims).
+
+Determinism rules for the order-insensitive value-hash compare:
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates are ``round(x, 2)`` (money) / ``round(x, 6)`` (ratios)
+  on BOTH sides — double sums are order-dependent at the 1e-9 level;
+- int-sums are cast to BIGINT in DuckDB (it widens to HUGEINT);
+- timestamps are cast to DATE where day precision is meant;
+- top-k queries break ties on a unique key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datawarehouse_vehicule_insurance_spark.functions import text as TX
+from datawarehouse_vehicule_insurance_spark.functions import validate as V
+from datawarehouse_vehicule_insurance_spark.operators.gold import (
+    conditional_count,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; read nanos as long and convert to a
+    microsecond timestamp (exact integer div — a double division would
+    lose precision at the 1e18-ns scale)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _dsum(col: F.Column, scale: int = 2) -> F.Column:
+    """Order-independent double sum: quantize each element to
+    DECIMAL(28,6) (exact, associative addition — partial-agg order can't
+    change the result), sum exactly, cast back to double, round.
+
+    Why: a plain double sum differs at the 1e-8 level depending on
+    partial-aggregation order, and ``round(sum, 2)`` flips whole cents at
+    a .005 boundary — observed at sf0.01 on 2/1500 client_summary groups
+    between Spark and the DuckDB oracle."""
+    return F.round(F.sum(col.cast("decimal(28,6)")).cast("double"), scale)
+
+
+def _davg(col: F.Column, scale: int = 6) -> F.Column:
+    """Order-independent average (decimal sum / non-null count)."""
+    return F.round(
+        F.sum(col.cast("decimal(28,6)")).cast("double") / F.count(col), scale
+    )
+
+
+def _sql_dsum(expr: str, scale: int = 2) -> str:
+    return (
+        f"round(CAST(sum(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE), {scale})"
+    )
+
+
+def _sql_davg(expr: str, scale: int = 6) -> str:
+    return (
+        f"round(CAST(sum(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+        f" / count({expr}), {scale})"
+    )
+
+
+def _duck_initcap(expr: str) -> str:
+    """DuckDB has no ``initcap``; build whitespace-word initcap (identical
+    to Spark's ``F.initcap``: first letter upper, rest of word lower)."""
+    return (
+        "array_to_string(list_transform("
+        f"string_split(lower(trim({expr})), ' '), "
+        "x -> upper(x[1]) || x[2:]), ' ')"
+    )
+
+
+MKTSEGMENTS = ["Automobile", "Building", "Furniture", "Household", "Machinery"]
+
+# ---------------------------------------------------------------------------
+# Reference-parity queries (SURVEY.md §2 operators on TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q_client_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — the ``fact_client_summary`` pattern
+    (reference: load_gold.py:94-140) on customer/orders/lineitem:
+    per-source groupBy aggregates, bridge join to conform keys, chained
+    left joins onto the distinct-key universe, derived ratios.
+
+    Includes the NULL-group-discard guard (``client_id IS NOT NULL`` before
+    every groupBy) that reproduces pandas semantics — SURVEY.md §2.3 note.
+    """
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    orders_agg = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("client_id"))
+        .agg(
+            F.count("o_orderkey").alias("total_orders"),
+            _dsum(F.col("o_totalprice")).alias("total_spend"),
+            conditional_count("o_orderstatus", "O").alias("open_orders"),
+        )
+    )
+
+    # policy_id→client_id bridge analogue (reference: load_gold.py:112-113).
+    bridge = orders.select("o_orderkey", "o_custkey").dropDuplicates()
+
+    li_agg = (
+        lineitem.join(
+            bridge, lineitem.l_orderkey == bridge.o_orderkey, "left"
+        )
+        .filter(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("client_id"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"),
+            F.count(F.lit(1)).alias("total_items"),
+            F.max("l_shipdate").cast("date").alias("last_ship_date"),
+        )
+    )
+
+    universe = customer.select(
+        F.col("c_custkey").alias("client_id")
+    ).distinct()
+
+    return (
+        universe.join(orders_agg, "client_id", "left")
+        .join(li_agg, "client_id", "left")
+        .withColumn(
+            "spend_per_order",
+            F.round(
+                F.col("total_spend")
+                / F.when(F.col("total_orders") != 0, F.col("total_orders")),
+                6,
+            ),
+        )
+        .withColumn(
+            "revenue_per_item",
+            F.round(
+                F.col("total_revenue")
+                / F.when(F.col("total_items") != 0, F.col("total_items")),
+                6,
+            ),
+        )
+    )
+
+
+SQL_CLIENT_SUMMARY = f"""
+WITH orders_agg AS (
+  SELECT o_custkey AS client_id,
+         count(o_orderkey) AS total_orders,
+         {_sql_dsum('o_totalprice')} AS total_spend,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+           AS open_orders
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+), bridge AS (
+  SELECT DISTINCT o_orderkey, o_custkey FROM orders
+), li_agg AS (
+  SELECT b.o_custkey AS client_id,
+         {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+         count(*) AS total_items,
+         CAST(max(l_shipdate) AS DATE) AS last_ship_date
+  FROM lineitem l LEFT JOIN bridge b ON l.l_orderkey = b.o_orderkey
+  WHERE b.o_custkey IS NOT NULL GROUP BY 1
+)
+SELECT u.client_id, total_orders, total_spend, open_orders,
+       total_revenue, total_items, last_ship_date,
+       round(total_spend / nullif(total_orders, 0), 6) AS spend_per_order,
+       round(total_revenue / nullif(total_items, 0), 6) AS revenue_per_item
+FROM (SELECT DISTINCT c_custkey AS client_id FROM customer) u
+LEFT JOIN orders_agg USING (client_id)
+LEFT JOIN li_agg USING (client_id)
+"""
+
+
+def q_dim_customer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dim_clients`` left-enrichment pattern (reference: load_gold.py:50-73)
+    — customer ⟕ nation ⟕ region, dims broadcast."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation_name"), "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region_name")
+    )
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+            "left",
+        )
+        .join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+            "left",
+        )
+        .select("c_custkey", "c_name", "c_mktsegment", "nation_name",
+                "region_name")
+    )
+
+
+SQL_DIM_CUSTOMER_ENRICH = """
+SELECT c_custkey, c_name, c_mktsegment,
+       n.n_name AS nation_name, r.r_name AS region_name
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def q_dim_part_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dim_vehicles`` surrogate-key + full-row dedup pattern
+    (reference: load_gold.py:77-90)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.withColumn("part_key", F.col("p_partkey"))
+        .select("part_key", "p_partkey", "p_name", "p_brand", "p_type",
+                "p_size", "p_retailprice")
+        .dropDuplicates()
+    )
+
+
+SQL_DIM_PART_DEDUP = """
+SELECT DISTINCT p_partkey AS part_key, p_partkey, p_name, p_brand, p_type,
+       p_size, p_retailprice
+FROM part
+"""
+
+
+def q_silver_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver cleaning-rule vocabulary (reference: load_silver.py:55-113):
+    trim+title+empty→NULL text normalize, title-normalized domain
+    validation, positive-round2 null-out — fast (initcap) fidelity mode so
+    the DuckDB oracle can mirror it exactly."""
+    customer = _t(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_custkey").alias("client_id"),
+        TX.normalize_text(F.col("c_name")).alias("name"),
+        V.domain_validate(
+            F.col("c_mktsegment"), MKTSEGMENTS,
+            normalizer=lambda c: TX.normalize_text(c),
+        ).alias("segment"),
+        V.positive_round2(F.col("c_acctbal")).alias("acctbal_clean"),
+    )
+
+
+_SEGS = ", ".join(f"'{s}'" for s in MKTSEGMENTS)
+SQL_SILVER_CLEAN_NORMALIZE = f"""
+SELECT c_custkey AS client_id,
+       CASE WHEN trim(c_name) = '' THEN NULL
+            ELSE {_duck_initcap('c_name')} END AS name,
+       CASE WHEN {_duck_initcap('c_mktsegment')} IN ({_SEGS})
+            THEN {_duck_initcap('c_mktsegment')} END AS segment,
+       CASE WHEN c_acctbal > 0 THEN round(c_acctbal, 2) END AS acctbal_clean
+FROM customer
+"""
+
+
+def q_filter_positive_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payments-style drop-row filters F6/F7 (reference:
+    load_silver.py:211-218): keep rows with positive quantity and a valid
+    ship date — predicate pushes down to the parquet scan."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_quantity") > 0)
+            & F.col("l_shipdate").isNotNull()
+            & (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1)
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+SQL_FILTER_POSITIVE_AMOUNTS = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       round(l_extendedprice, 2) AS price
+FROM lineitem
+WHERE l_quantity > 0 AND l_shipdate IS NOT NULL
+  AND l_discount >= 0 AND l_discount <= 1
+"""
+
+
+def q_range_validate_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range validation V4 (reference: load_silver.py:131-134): order year
+    kept iff in [1995, 1998] else NULL, row retained."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        V.int_range_validate(F.year("o_orderdate"), 1995, 1998).alias(
+            "order_year"
+        ),
+    )
+
+
+SQL_RANGE_VALIDATE_YEAR = """
+SELECT o_orderkey,
+       CASE WHEN year(o_orderdate) BETWEEN 1995 AND 1998
+            THEN CAST(year(o_orderdate) AS INT) END AS order_year
+FROM orders
+"""
+
+
+def q_regex_validate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex validate-to-NULL (C3) + strip-keep-class (C4/C6)
+    (reference: load_silver.py:88-107,137-143) on documents.source."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.regex_validate(F.col("source"), r"^src[0-9]+$").alias("valid_source"),
+        F.regexp_replace(F.col("source"), r"[^0-9]", "").alias("source_num"),
+        F.regexp_replace(F.upper(F.col("source")), "[^A-Z0-9]", "").alias(
+            "source_canon"
+        ),
+    )
+
+
+SQL_REGEX_VALIDATE_STRIP = """
+SELECT doc_id,
+       CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN source END
+         AS valid_source,
+       regexp_replace(source, '[^0-9]', '', 'g') AS source_num,
+       regexp_replace(upper(source), '[^A-Z0-9]', '', 'g') AS source_canon
+FROM documents
+"""
+
+
+def q_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 aggregate (reference: load_gold.py:105-109): count / sum /
+    conditional-count per key."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("client_id"))
+        .agg(
+            F.count("o_orderkey").alias("total_orders"),
+            _dsum(F.col("o_totalprice")).alias("total_spend"),
+            conditional_count("o_orderstatus", "O").alias("open_orders"),
+        )
+    )
+
+
+SQL_ORDERS_PER_CUSTOMER = f"""
+SELECT o_custkey AS client_id,
+       count(o_orderkey) AS total_orders,
+       {_sql_dsum('o_totalprice')} AS total_spend,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+         AS open_orders
+FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+"""
+
+
+def q_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 aggregate (reference: load_gold.py:114-118): sum / count / max."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy(F.col("l_orderkey").alias("order_id")).agg(
+        _dsum(F.col("l_extendedprice")).alias("total_amount"),
+        F.count(F.lit(1)).alias("num_items"),
+        F.max("l_shipdate").cast("date").alias("last_ship_date"),
+    )
+
+
+SQL_LINEITEM_PER_ORDER = f"""
+SELECT l_orderkey AS order_id,
+       {_sql_dsum('l_extendedprice')} AS total_amount,
+       count(*) AS num_items,
+       CAST(max(l_shipdate) AS DATE) AS last_ship_date
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the headline scan+agg benchmark
+    (generalizes A1-A3; partial+final hash agg, whole-stage codegen)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _davg(F.col("l_quantity")).alias("avg_qty"),
+            _davg(F.col("l_extendedprice")).alias("avg_price"),
+            _davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_dsum('l_quantity')} AS sum_qty,
+       {_sql_dsum('l_extendedprice')} AS sum_base_price,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_sql_davg('l_quantity')} AS avg_qty,
+       {_sql_davg('l_extendedprice')} AS avg_price,
+       {_sql_davg('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + agg (J-chain analogue at scale): lineitem ⋈ orders ⋈
+    customer ⋈ nation, revenue per nation. Dims broadcast; fact joins
+    shuffle on their keys and AQE coalesces."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey, "inner"
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+            "inner",
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("num_items"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = f"""
+SELECT n.n_name AS nation,
+       {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       count(*) AS num_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — NOT EXISTS (additive beyond the reference's left-only
+    joins, SURVEY.md §2.3)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join — EXISTS."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+SQL_CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_distinct_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D3 dedup-projection (reference: load_gold.py:112,128)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(F.col("o_custkey").alias("client_id")).distinct()
+
+
+SQL_DISTINCT_ORDER_CUSTOMERS = """
+SELECT DISTINCT o_custkey AS client_id FROM orders
+"""
+
+
+def q_last_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function (additive; the reference's nearest miss is
+    ``last_payment_date = max(...)``, SURVEY.md §2.6): latest order per
+    customer via row_number with a deterministic tiebreak."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("client_id"),
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").cast("date").alias("last_orderdate"),
+        )
+    )
+
+
+SQL_LAST_ORDER_PER_CUSTOMER = """
+SELECT o_custkey AS client_id, o_orderkey AS last_orderkey,
+       CAST(o_orderdate AS DATE) AS last_orderdate
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+  ) AS rn FROM orders
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Additive large-scale-pipeline operators (documents / embeddings / events)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one representative (min
+    doc_id) per md5(text). The 100-TB shape: hash is computed map-side,
+    shuffle key is the hash, partial-agg combines before the exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_hash", F.md5(F.col("text")))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT_DOCUMENTS = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercase
+    text (the canonical-form fingerprint used before near-dup passes)."""
+    docs = _t(spark, sf_dir, "documents")
+    canon = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats per document (whitespace tokens)."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(tokens).alias("n_tokens"),
+        F.round(F.length("text") / F.size(tokens), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id, length(text) AS n_chars,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+       round(length(text) / len(string_split_regex(trim(text), '\s+')), 6)
+         AS chars_per_token
+FROM documents
+"""
+
+
+STOPWORDS = ["the", "a", "and", "of", "to"]
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, alpha-ratio, stopword-ratio —
+    all native expressions (no UDF), one pass."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(tokens)
+    n_stop = F.size(F.filter(tokens, lambda x: F.array_contains(stop_arr, x)))
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.round(alpha_chars / F.length("text"), 6).alias("alpha_ratio"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+    )
+
+
+_STOPS = ", ".join(f"'{s}'" for s in STOPWORDS)
+SQL_QUALITY_SCORE = rf"""
+SELECT doc_id, length(text) AS n_chars,
+       round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             / length(text), 6) AS alpha_ratio,
+       round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x IN ({_STOPS})))
+             / len(string_split_regex(trim(text), '\s+')), 6)
+         AS stopword_ratio
+FROM documents
+"""
+
+
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: count stopword-marker hits per language,
+    argmax with deterministic tiebreak (language name asc), 'und' when no
+    marker hits at all."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    def _count_hits(markers: list[str]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        # single-arg lambda: a second parameter would be read by F.filter
+        # as the (element, index) variant
+        return F.size(F.filter(tokens, lambda x: F.array_contains(arr, x)))
+
+    hits = {lang: _count_hits(m) for lang, m in LANG_MARKERS.items()}
+    # argmax via greatest + chained when (deterministic: first lang asc wins ties)
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((hits[lang] == best) & (best > 0), lang).otherwise(pred)
+    out = docs.select("doc_id", pred.alias("pred_lang"))
+    return out
+
+
+def _sql_lang_hits(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        rf"len(list_filter(string_split_regex(lower(trim(text)), '\s+'),"
+        rf" x -> x IN ({markers})))"
+    )
+
+
+SQL_LANG_ID = rf"""
+WITH scored AS (
+  SELECT doc_id,
+         {_sql_lang_hits('en')} AS h_en,
+         {_sql_lang_hits('es')} AS h_es,
+         {_sql_lang_hits('de')} AS h_de,
+         {_sql_lang_hits('fr')} AS h_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+            WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+            WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+            WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM scored
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search (the ANN baseline;
+    SURVEY.md §7.2 step 6): 5 query vectors against the full embedding
+    table, all JVM-side via zip_with/aggregate — no Python in the hot
+    path. Deterministic: ties broken on vec_id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cand = emb.select("vec_id", "embedding")
+    dot = F.aggregate(
+        F.zip_with(
+            "qvec", "embedding",
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sim = dot / (norm(F.col("qvec")) * norm(F.col("embedding")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        F.broadcast(qs)
+        .crossJoin(cand)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "vec_id", F.round("sim", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id < 5
+), pairs AS (
+  -- cast to DOUBLE[] so the similarity accumulates in float64 like the
+  -- Spark side (DuckDB computes FLOAT[] similarity in float32)
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM qs q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, vec_id, round(sim, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+  ) AS rank FROM pairs
+) WHERE rank <= 5
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream, batch-mode (the
+    Structured Streaming pipeline in :mod:`.streaming` runs the identical
+    plan with a watermark)."""
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .drop("approx_users")  # approx sketch: excluded from exact oracle hash
+    )
+
+
+SQL_EVENTS_HOURLY = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       {_sql_dsum('value')} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` column (native get_json_object — no UDF)."""
+    events = _events(spark, sf_dir)
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("int").alias("prop_k"),
+    )
+
+
+SQL_EVENTS_JSON_EXTRACT = """
+SELECT event_id, CAST(props::JSON->>'k' AS INT) AS prop_k FROM events
+"""
+
+
+def q_union_customer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (absent from the reference, SURVEY.md §2.6 — additive):
+    distinct union of customer keys seen in either table."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.select(F.col("c_custkey").alias("custkey"))
+        .union(orders.select(F.col("o_custkey").alias("custkey")))
+        .distinct()
+    )
+
+
+SQL_UNION_CUSTOMER_IDS = """
+SELECT c_custkey AS custkey FROM customer
+UNION
+SELECT o_custkey AS custkey FROM orders
+"""
+
+
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregate (additive; subtotals + grand total)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_PRICING_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_dsum('l_quantity')} AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation) — qty by returnflag × linestatus."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+    )
+
+
+SQL_PIVOT_LINESTATUS = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+         AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+         AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs over documents
+    (rows-only check: banded xxhash64 signatures are not expressible in
+    ANSI SQL — see tests/test_dedup_similarity.py for the planted-dup
+    correctness tests)."""
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, k=32, bands=8)
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 32-bit signatures per document (rows-only: xxhash64-based)."""
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", simhash(F.col("text"), bits=32).alias("simhash")
+    )
+
+
+def q_title_exact_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Python ``str.title()`` fidelity mode via Arrow pandas UDF
+    (rows-only: DuckDB has no equivalent; parity with CPython is asserted
+    in tests/test_rules.py::test_title_exact_matches_python_str_title)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.title_exact(F.col("text")).alias("title_text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "client_summary": q_client_summary,
+    "dim_customer_enrich": q_dim_customer_enrich,
+    "dim_part_dedup": q_dim_part_dedup,
+    "silver_clean_normalize": q_silver_clean_normalize,
+    "filter_positive_amounts": q_filter_positive_amounts,
+    "range_validate_year": q_range_validate_year,
+    "regex_validate_strip": q_regex_validate_strip,
+    "orders_per_customer": q_orders_per_customer,
+    "lineitem_per_order": q_lineitem_per_order,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "customers_without_orders": q_customers_without_orders,
+    "customers_with_orders": q_customers_with_orders,
+    "distinct_order_customers": q_distinct_order_customers,
+    "last_order_per_customer": q_last_order_per_customer,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "events_hourly": q_events_hourly,
+    "events_json_extract": q_events_json_extract,
+    "union_customer_ids": q_union_customer_ids,
+    "pricing_rollup": q_pricing_rollup,
+    "pivot_linestatus": q_pivot_linestatus,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_signatures": q_simhash_signatures,
+    "title_exact_normalize": q_title_exact_normalize,
+}
+
+ORACLES: dict[str, str] = {
+    "client_summary": SQL_CLIENT_SUMMARY,
+    "dim_customer_enrich": SQL_DIM_CUSTOMER_ENRICH,
+    "dim_part_dedup": SQL_DIM_PART_DEDUP,
+    "silver_clean_normalize": SQL_SILVER_CLEAN_NORMALIZE,
+    "filter_positive_amounts": SQL_FILTER_POSITIVE_AMOUNTS,
+    "range_validate_year": SQL_RANGE_VALIDATE_YEAR,
+    "regex_validate_strip": SQL_REGEX_VALIDATE_STRIP,
+    "orders_per_customer": SQL_ORDERS_PER_CUSTOMER,
+    "lineitem_per_order": SQL_LINEITEM_PER_ORDER,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "customers_with_orders": SQL_CUSTOMERS_WITH_ORDERS,
+    "distinct_order_customers": SQL_DISTINCT_ORDER_CUSTOMERS,
+    "last_order_per_customer": SQL_LAST_ORDER_PER_CUSTOMER,
+    "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_score": SQL_QUALITY_SCORE,
+    "lang_id": SQL_LANG_ID,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
+    "union_customer_ids": SQL_UNION_CUSTOMER_IDS,
+    "pricing_rollup": SQL_PRICING_ROLLUP,
+    "pivot_linestatus": SQL_PIVOT_LINESTATUS,
+    # minhash_near_dup / simhash_signatures / title_exact_normalize:
+    # intentionally no oracle (non-ANSI-SQL-expressible) → rows-only check
+}

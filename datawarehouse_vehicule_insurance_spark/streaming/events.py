@@ -1,0 +1,108 @@
+"""Structured Streaming over the events table shape
+(event_id, ts, user_id, event_type, value, props).
+
+The same transformations run in batch (see ``queries.q_events_hourly``)
+and streaming — one logical plan, two execution modes. Watermarks bound
+state for late data; sessionization uses the built-in session window
+(gap-based), keeping state management inside Spark's state store rather
+than custom code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), False),
+    T.StructField("ts", T.TimestampType(), False),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """File-source event stream. In production the source would be Kafka
+    (``spark.readStream.format("kafka")``) — the downstream plan is
+    identical, which is the point of keeping transformations source-
+    agnostic."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def hourly_rollup(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate with late-data handling.
+    State is bounded by the watermark: windows older than max(ts) −
+    watermark are finalized and evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type", "n_events", "total_value", "approx_users",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user: a session closes after ``gap``
+    of inactivity. Uses the native session_window — state store managed,
+    no applyInPandasWithState needed for this shape."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("session"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events", "session_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, src_path: str, table_name: str = "hourly_rollup"
+):
+    """Test/demo runner: stream → in-memory sink, returns the query
+    handle (callers ``processAllAvailable()`` then read the table).
+
+    Complete mode: append mode only emits a window once the watermark
+    passes it, so the trailing windows of a finite file-source replay
+    would be withheld; complete re-emits the full aggregate each trigger,
+    which is what a verification sink wants. Production sinks (kafka/
+    delta) use append + downstream watermark-aware consumers."""
+    stream = read_event_stream(spark, src_path)
+    rollup = hourly_rollup(stream)
+    return (
+        rollup.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .start()
+    )

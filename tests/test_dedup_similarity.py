@@ -1,0 +1,156 @@
+"""Dedup / similarity / text-analysis operator tests on the driver
+testdata plus planted synthetic near-duplicates."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_vehicule_insurance_spark.operators import dedup as D
+from datawarehouse_vehicule_insurance_spark.operators import similarity as S
+from datawarehouse_vehicule_insurance_spark.operators import (
+    text_analysis as TA,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """documents table + planted exact and near duplicates."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = [r.asDict() for r in docs.orderBy("doc_id").limit(3).collect()]
+    extra = []
+    # exact copy of doc 0
+    extra.append({"doc_id": 10_000, "text": base[0]["text"]})
+    # near copy of doc 1: one word appended
+    extra.append({"doc_id": 10_001, "text": base[1]["text"] + " zzz"})
+    # formatting-noise copy of doc 2 (case/whitespace only)
+    extra.append(
+        {"doc_id": 10_002, "text": "  " + base[2]["text"].upper() + "  "}
+    )
+    extra_df = spark.createDataFrame(extra, "doc_id long, text string")
+    return docs.unionByName(extra_df).cache()
+
+
+def test_exact_dedup_by_content(spark, docs_with_dups):
+    out = D.exact_dedup_by_content(docs_with_dups)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 10_000 not in ids  # exact copy dropped (higher id loses)
+    assert 0 in ids
+    assert 10_001 in ids  # near-dup NOT caught by exact hash
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, docs_with_dups):
+    cand = D.minhash_lsh_candidates(docs_with_dups, k=32, bands=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (0, 10_000) in pairs  # identical docs share all bands
+    assert (1, 10_001) in pairs  # near-dup lands in ≥1 band
+
+
+def test_ngram_jaccard_verification(spark, docs_with_dups):
+    cand = D.minhash_lsh_candidates(docs_with_dups, k=32, bands=8)
+    verified = D.ngram_jaccard(cand, docs_with_dups, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert got[(0, 10_000)] == pytest.approx(1.0)
+    assert 0.5 <= got[(1, 10_001)] < 1.0
+
+
+def test_minhash_dedup_end_to_end(spark, docs_with_dups):
+    out = D.minhash_dedup(docs_with_dups, threshold=0.5, k=32, bands=8)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 10_000 not in ids
+    assert 10_001 not in ids
+    assert {0, 1, 2} <= ids  # originals (min ids) kept
+
+
+def test_simhash_dedup_catches_exact(spark, docs_with_dups):
+    out = D.simhash_dedup(docs_with_dups, bits=16)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 10_000 not in ids  # identical text → identical signature
+    assert 0 in ids
+
+
+def test_fingerprint_normalizes_formatting(spark, docs_with_dups):
+    fp = docs_with_dups.select(
+        "doc_id", TA.fingerprint(F.col("text")).alias("fp")
+    )
+    vals = {r["doc_id"]: r["fp"] for r in fp.collect()}
+    assert vals[2] == vals[10_002]  # case/whitespace noise → same print
+    assert vals[0] != vals[1]
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = S.cosine_topk(qs, emb.filter(F.col("vec_id") >= 3), k=3)
+    rows = [r.asDict() for r in out.collect()]
+    assert len(rows) == 9  # 3 queries × 3
+
+    # independent check with plain python
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(x) ** 2 for x in b))
+        return dot / (na * nb)
+
+    for q in range(3):
+        expect = sorted(
+            ((cos(vecs[q], v), -cid) for cid, v in vecs.items() if cid >= 3),
+            reverse=True,
+        )[:3]
+        got = sorted(
+            (r["cosine_sim"], -r["vec_id"]) for r in rows
+            if r["query_id"] == q
+        )
+        for (es, eid), (gs, gid) in zip(sorted(expect, reverse=True), sorted(got, reverse=True)):
+            assert -eid == -gid
+            assert gs == pytest.approx(es, abs=1e-5)
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    exact = S.cosine_topk(qs, cands, k=5)
+    # random embeddings have weak top-k cosine (~0.3 → ~72° angle), so
+    # sign-LSH needs short hashes + many tables for recall: p(bucket) ≈
+    # 0.6^4 ≈ 0.13 per table, 1-(1-0.13)^16 ≈ 0.89 over 16 tables
+    approx = S.lsh_topk(qs, cands, dim=64, k=5, n_planes=4, n_tables=16)
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5  # probabilistic margin; expected ≈ 0.89
+
+
+def test_quality_features_and_langid(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = TA.quality_features(docs)
+    row = out.filter(F.col("doc_id") == 0).collect()[0]
+    text = row["text"]
+    assert row["n_chars"] == len(text)
+    assert row["n_tokens"] == len(text.split())
+    assert 0 < row["alpha_ratio"] <= 1
+
+    lang = docs.select(TA.lang_id(F.col("text")).alias("pred"))
+    preds = {r["pred"] for r in lang.collect()}
+    assert preds <= {"en", "es", "de", "fr", "und"}
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame(
+        [("Hello, world! 42 times",)], "text string"
+    )
+    n = df.select(TA.bpe_ish_token_count(F.col("text")).alias("n")).collect()
+    # Hello , world ! 42 times → 6
+    assert n[0]["n"] == 6

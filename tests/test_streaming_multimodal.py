@@ -1,0 +1,107 @@
+"""Structured Streaming + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_vehicule_insurance_spark.operators import multimodal as MM
+from datawarehouse_vehicule_insurance_spark.streaming import events as SE
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, tmp_path_factory):
+    """Materialize the events table as a file-stream source (ns → µs
+    timestamps via the batch reader first)."""
+    from datawarehouse_vehicule_insurance_spark.queries import _events
+
+    src = str(tmp_path_factory.mktemp("events_src"))
+    _events(spark, "/root/testdata/sf0.001").write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, event_files):
+    q = SE.run_stream_to_memory(spark, event_files, "rollup_test")
+    try:
+        q.processAllAvailable()
+        stream_out = spark.sql(
+            "SELECT hour, event_type, n_events, total_value FROM rollup_test"
+        )
+        batch = spark.read.parquet(event_files)
+        batch_out = (
+            batch.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+        got = {
+            (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in stream_out.collect()
+        }
+        want = {
+            (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in batch_out.collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_sessionize_shape(spark, event_files):
+    stream = SE.read_event_stream(spark, event_files)
+    sessions = SE.sessionize(stream, gap="30 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM sessions_test")
+        rows = out.collect()
+        assert len(rows) > 0
+        for r in rows[:50]:
+            assert r["session_start"] <= r["session_end"]
+            assert r["n_events"] >= 1
+    finally:
+        q.stop()
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        (1, "image", bytes(range(200)), "image/png", None, None, None),
+        (2, "image", b"\xff" * 1000, "image/jpeg", None, None, None),
+        (3, "image", None, "image/png", None, None, None),
+        (4, "video", bytes(range(256)) * 40, "video/mp4", None, None, 5000),
+        (5, "audio", b"\x00" * 128, "audio/wav", None, None, 2000),
+    ]
+    return spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+
+
+def test_image_feature_extraction_fake_decode(spark, assets):
+    out = MM.extract_image_features(assets, fake=True)
+    rows = {r["asset_id"]: r.asDict() for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_bytes"] == 200
+    assert rows[1]["width"] == 201 and rows[1]["height"] == 201
+    assert 0 <= rows[1]["mean_luma"] <= 1
+    assert rows[3]["n_bytes"] is None  # null payload passes through
+
+
+def test_image_decode_stub_raises_without_fake(spark, assets):
+    import pandas as pd
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        MM.extract_image_features(assets, fake=False).collect()
+
+
+def test_video_frame_sampling(spark, assets):
+    out = MM.sample_video_frames(assets, every_n=5, fake=True)
+    rows = [r.asDict() for r in out.collect()]
+    assert all(r["asset_id"] == 4 for r in rows)
+    assert len(rows) == len({r["frame_idx"] for r in rows}) > 0
