@@ -55,8 +55,14 @@ def _dsum(col: F.Column, scale: int = 2) -> F.Column:
     Why: a plain double sum differs at the 1e-8 level depending on
     partial-aggregation order, and ``round(sum, 2)`` flips whole cents at
     a .005 boundary — observed at sf0.01 on 2/1500 client_summary groups
-    between Spark and the DuckDB oracle."""
-    return F.round(F.sum(col.cast("decimal(28,6)")).cast("double"), scale)
+    between Spark and the DuckDB oracle.
+
+    The rounding must also happen IN DECIMAL: 6dp-quantized elements make
+    the exact sum land on .xx5000 boundaries often, and rounding after a
+    decimal→double cast flips per engine (observed on shipping_priority).
+    ``round(decimal)`` is HALF_UP in both Spark and DuckDB; the final
+    decimal→double conversion is correctly-rounded and deterministic."""
+    return F.round(F.sum(col.cast("decimal(28,6)")), scale).cast("double")
 
 
 def _davg(col: F.Column, scale: int = 6) -> F.Column:
@@ -68,7 +74,7 @@ def _davg(col: F.Column, scale: int = 6) -> F.Column:
 
 def _sql_dsum(expr: str, scale: int = 2) -> str:
     return (
-        f"round(CAST(sum(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE), {scale})"
+        f"CAST(round(sum(CAST({expr} AS DECIMAL(28,6))), {scale}) AS DOUBLE)"
     )
 
 
@@ -798,6 +804,103 @@ SELECT event_id, CAST(props::JSON->>'k' AS INT) AS prop_k FROM events
 """
 
 
+def q_date_not_future(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Future-date validation V7 (reference: load_silver.py:181-188):
+    order dates after a pinned reference date (1998-06-30 — mid-range of
+    the data) are nulled, rows retained. Exercises the injectable-clock
+    rule the reference implements with ``now()``."""
+    import datetime as dt
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        V.date_not_future(
+            F.col("o_orderdate").cast("string"), dt.date(1998, 6, 30)
+        ).alias("valid_orderdate"),
+    )
+
+
+SQL_DATE_NOT_FUTURE = """
+SELECT o_orderkey,
+       CASE WHEN CAST(o_orderdate AS DATE) <= DATE '1998-06-30'
+            THEN CAST(o_orderdate AS DATE) END AS valid_orderdate
+FROM orders
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
+    0.45, a < b — the embedding-space analogue of MinHash near-dup,
+    computed with the Arrow-batched numpy-matmul operator (a per-pair
+    column-expression cross join is ~30× slower: interpreted HOFs vs
+    BLAS). At extreme scale the same operator runs within LSH buckets."""
+    from datawarehouse_vehicule_insurance_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.45)
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join-filter-agg: revenue of unshipped orders for
+    one market segment — selective filters on both join sides push into
+    the scans; dims broadcast."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    cutoff = "1997-01-01"
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit(cutoff))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff)),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            F.broadcast(
+                customer.filter(F.col("c_mktsegment") == "BUILDING")
+            ),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l.l_orderkey AS orderkey,
+       CAST(o.o_orderdate AS DATE) AS orderdate,
+       o.o_orderpriority AS orderpriority,
+       {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND c.c_mktsegment = 'BUILDING'
+GROUP BY 1, 2, 3
+"""
+
+
 def q_union_customer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operation (absent from the reference, SURVEY.md §2.6 — additive):
     distinct union of customer keys seen in either table."""
@@ -919,6 +1022,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "events_hourly": q_events_hourly,
     "events_json_extract": q_events_json_extract,
+    "date_not_future": q_date_not_future,
+    "embedding_neardup": q_embedding_neardup,
+    "shipping_priority": q_shipping_priority,
     "union_customer_ids": q_union_customer_ids,
     "pricing_rollup": q_pricing_rollup,
     "pivot_linestatus": q_pivot_linestatus,
@@ -951,6 +1057,9 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
+    "date_not_future": SQL_DATE_NOT_FUTURE,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
     "union_customer_ids": SQL_UNION_CUSTOMER_IDS,
     "pricing_rollup": SQL_PRICING_ROLLUP,
     "pivot_linestatus": SQL_PIVOT_LINESTATUS,
