@@ -1,0 +1,97 @@
+"""Scale-utility tests: salted aggregation equivalence, partitioned
+writes + partition pruning, shuffle-budget probes on headline plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_vehicule_insurance_spark.operators import scale as SC
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plain = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum("o_totalprice").alias("total_spend"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+    salted = SC.salted_agg(
+        orders,
+        "o_custkey",
+        {
+            "total_spend": ("sum", "o_totalprice"),
+            "n_orders": ("count", "o_orderkey"),
+            "last_order": ("max", "o_orderdate"),
+        },
+        salt_buckets=8,
+    )
+    a = {r["o_custkey"]: r.asDict() for r in plain.collect()}
+    b = {r["o_custkey"]: r.asDict() for r in salted.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["n_orders"] == b[k]["n_orders"]
+        assert a[k]["last_order"] == b[k]["last_order"]
+        assert a[k]["total_spend"] == pytest.approx(b[k]["total_spend"])
+
+
+def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with pytest.raises(ValueError, match="not decomposable"):
+        SC.salted_agg(orders, "o_custkey", {"bad": ("avg", "o_totalprice")})
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = str(tmp_path / "li_part")
+    SC.with_date_partitions(li, "l_shipdate").write.mode(
+        "overwrite"
+    ).partitionBy("year", "month").parquet(out)
+
+    back = spark.read.parquet(out).filter(
+        (F.col("year") == 1996) & (F.col("month") == 3)
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filters must reach the scan as PartitionFilters, and the
+    # result must equal the unpartitioned filter
+    assert "PartitionFilters: [" in plan and "year" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    expect = li.filter(
+        (F.year("l_shipdate") == 1996) & (F.month("l_shipdate") == 3)
+    ).count()
+    assert back.count() == expect
+
+
+def test_headline_plan_shuffle_budget(spark, sf_dir):
+    """client_summary: 4 aggregation/join shuffles max (3 groupBys +
+    distinct), everything else broadcast or reused — a regression guard
+    against accidentally adding exchanges."""
+    from datawarehouse_vehicule_insurance_spark.queries import q_client_summary
+
+    stats = SC.explain_shuffles(q_client_summary(spark, sf_dir))
+    # static plan (pre-AQE): bounded number of exchanges
+    assert stats["exchanges"] <= 8, stats
+    assert stats["broadcast_hash_joins"] >= 1, stats
+
+
+def test_cli_runs_end_to_end(spark, raw_tables, tmp_path):
+    csv_root = str(tmp_path / "raw")
+    for name, df in raw_tables.items():
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(
+            f"{csv_root}/{name}.csv"
+        )
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    rc = main([
+        "all", "--root", str(tmp_path / "lake"), "--csv-root", csv_root,
+        "--ref-date", "2025-03-28",
+    ])
+    assert rc == 0
+    fact = spark.read.parquet(
+        str(tmp_path / "lake" / "gold" / "fact_client_summary.parquet")
+    )
+    assert fact.count() == raw_tables["clients"].count()
