@@ -105,3 +105,54 @@ def test_video_frame_sampling(spark, assets):
     rows = [r.asDict() for r in out.collect()]
     assert all(r["asset_id"] == 4 for r in rows)
     assert len(rows) == len({r["frame_idx"] for r in rows}) > 0
+
+
+def test_stateful_running_profile_matches_batch(spark, event_files):
+    """applyInPandasWithState custom operator: final per-user state after
+    replaying the finite stream equals the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_vehicule_insurance_spark.streaming.stateful import (
+        running_user_profile,
+    )
+
+    stream = SE.read_event_stream(spark, event_files)
+    q = (
+        running_user_profile(stream)
+        .writeStream.format("memory")
+        .queryName("profiles_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # update mode appends one row per (user, batch) — keep the latest
+        out = spark.sql(
+            """
+            SELECT user_id, n_events, total_value, last_seen FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC
+              ) rn FROM profiles_test
+            ) WHERE rn = 1
+            """
+        )
+        got = {r["user_id"]: r.asDict() for r in out.collect()}
+        batch = (
+            spark.read.parquet(event_files)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+                F.max("ts").alias("last_seen"),
+            )
+        )
+        want = {r["user_id"]: r.asDict() for r in batch.collect()}
+        assert set(got) == set(want)
+        for uid in want:
+            assert got[uid]["n_events"] == want[uid]["n_events"]
+            assert got[uid]["total_value"] == pytest.approx(
+                want[uid]["total_value"], abs=0.05
+            )
+            assert got[uid]["last_seen"] == want[uid]["last_seen"]
+    finally:
+        q.stop()
