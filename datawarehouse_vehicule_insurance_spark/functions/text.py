@@ -25,6 +25,14 @@ def empty_to_null(col: Column) -> Column:
     return F.when(trimmed == "", F.lit(None)).otherwise(trimmed)
 
 
+def unicode_trim(col: Column) -> Column:
+    """Python ``str.strip()``-faithful trim: strips Unicode whitespace
+    (NBSP, NEL, …), where Spark's ``trim`` strips only ASCII space.
+    ``(?U)`` turns on Java's UNICODE_CHARACTER_CLASS so ``\\s`` matches
+    the Unicode White_Space property — found by Hypothesis on ``'\\xa0'``."""
+    return F.regexp_replace(col, r"(?U)(^\s+|\s+$)", "")
+
+
 def normalize_text(col: Column, fidelity: str = "fast") -> Column:
     """trim + title-case + empty→NULL (reference: load_silver.py:63-79).
 
@@ -35,7 +43,9 @@ def normalize_text(col: Column, fidelity: str = "fast") -> Column:
     ``f-150`` → ``F-150``) via an Arrow-batched pandas UDF.
     """
     if fidelity == "exact":
-        return title_exact(empty_to_null(col))
+        # Python-strip fidelity too: unicode whitespace counts as empty
+        t = unicode_trim(col)
+        return F.when(t == "", F.lit(None)).otherwise(title_exact(t))
     return F.initcap(empty_to_null(col))
 
 

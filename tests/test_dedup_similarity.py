@@ -154,3 +154,18 @@ def test_bpe_ish_token_count(spark):
     n = df.select(TA.bpe_ish_token_count(F.col("text")).alias("n")).collect()
     # Hello , world ! 42 times → 6
     assert n[0]["n"] == 6
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    exact = S.cosine_topk(qs, cands, k=5)
+    approx = S.ivf_topk(qs, cands, k=5, n_cells=8, n_probe=4)
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(approx_pairs) == 25  # 5 queries x top-5, all ranked
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.3  # probing half the cells on isotropic data
