@@ -901,6 +901,36 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_fact_lineitem_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``fact_payments`` pattern (README-promised, unimplemented in the
+    reference — README.md:43-48; delivered by gold.build_fact_payments):
+    fact-grain left enrichment with parent attributes, dedup-guarded
+    bridge, fact row count preserved."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    order_dim = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    ).dropDuplicates(["o_orderkey"])
+    return (
+        lineitem.select("l_orderkey", "l_linenumber", "l_quantity",
+                        F.round("l_extendedprice", 2).alias("price"))
+        .join(order_dim, lineitem.l_orderkey == order_dim.o_orderkey, "left")
+        .drop("o_orderkey")
+    )
+
+
+SQL_FACT_LINEITEM_ENRICHED = """
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+       round(l.l_extendedprice, 2) AS price,
+       o.o_custkey, o.o_orderstatus, CAST(o.o_orderdate AS DATE) AS o_orderdate
+FROM lineitem l
+LEFT JOIN (SELECT DISTINCT ON (o_orderkey) o_orderkey, o_custkey,
+                  o_orderstatus, o_orderdate FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+"""
+
+
 def q_union_customer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operation (absent from the reference, SURVEY.md §2.6 — additive):
     distinct union of customer keys seen in either table."""
@@ -1022,6 +1052,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "events_hourly": q_events_hourly,
     "events_json_extract": q_events_json_extract,
+    "fact_lineitem_enriched": q_fact_lineitem_enriched,
     "date_not_future": q_date_not_future,
     "embedding_neardup": q_embedding_neardup,
     "shipping_priority": q_shipping_priority,
@@ -1057,6 +1088,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
+    "fact_lineitem_enriched": SQL_FACT_LINEITEM_ENRICHED,
     "date_not_future": SQL_DATE_NOT_FUTURE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
