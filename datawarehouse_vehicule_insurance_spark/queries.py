@@ -901,6 +901,61 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no native ASOF JOIN): for
+    every purchase event, the value and time of the user's most recent
+    click at or before it. Union + running-window formulation — one
+    sort-shuffle, no range-join explosion (operators/asof.py).
+
+    Output timestamps as epoch microseconds (BIGINT) so the ns-precision
+    DuckDB oracle and the µs-precision Spark session agree exactly."""
+    from datawarehouse_vehicule_insurance_spark.operators.asof import asof_join
+
+    events = _events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, clicks,
+        on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["ts", "value"], right_id="event_id",
+    )
+    return joined.select(
+        "purchase_id", "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.unix_micros("asof_ts").alias("last_click_us"),
+        F.round("asof_value", 2).alias("last_click_value"),
+    )
+
+
+SQL_ASOF_LAST_CLICK = """
+WITH u AS (
+  SELECT user_id, ts, 0 AS is_p, event_id AS tie,
+         NULL::BIGINT AS purchase_id, ts AS c_ts, value AS c_value
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1 AS is_p, event_id,
+         event_id, NULL, NULL
+  FROM events WHERE event_type = 'purchase'
+), w AS (
+  SELECT *,
+         last_value(c_ts IGNORE NULLS) OVER win AS last_click_ts,
+         last_value(c_value IGNORE NULLS) OVER win AS last_click_value
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_p, tie
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT purchase_id, user_id,
+       epoch_ns(ts) // 1000 AS purchase_us,
+       epoch_ns(last_click_ts) // 1000 AS last_click_us,
+       round(last_click_value, 2) AS last_click_value
+FROM w WHERE is_p = 1
+"""
+
+
 def q_fact_lineitem_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``fact_payments`` pattern (README-promised, unimplemented in the
     reference — README.md:43-48; delivered by gold.build_fact_payments):
@@ -1052,6 +1107,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "events_hourly": q_events_hourly,
     "events_json_extract": q_events_json_extract,
+    "asof_last_click": q_asof_last_click,
     "fact_lineitem_enriched": q_fact_lineitem_enriched,
     "date_not_future": q_date_not_future,
     "embedding_neardup": q_embedding_neardup,
@@ -1088,6 +1144,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
+    "asof_last_click": SQL_ASOF_LAST_CLICK,
     "fact_lineitem_enriched": SQL_FACT_LINEITEM_ENRICHED,
     "date_not_future": SQL_DATE_NOT_FUTURE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
