@@ -956,6 +956,84 @@ FROM w WHERE is_p = 1
 """
 
 
+def q_range_clicks_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range join (custom operator): for each purchase, count and sum
+    all click events (any user) in the preceding hour. Executed as a
+    bucketized equi-join (operators/rangejoin.py) — a raw BETWEEN theta
+    join is a nested-loop cross product in Spark."""
+    from datawarehouse_vehicule_insurance_spark.operators.rangejoin import (
+        time_range_join,
+    )
+
+    events = _events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    pairs = time_range_join(
+        purchases, clicks, left_ts="p_ts", right_ts="c_ts",
+        window_seconds=3600,
+    )
+    agg = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        _dsum(F.col("c_value")).alias("click_value"),
+    )
+    return (
+        purchases.join(agg, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            "click_value",
+        )
+    )
+
+
+SQL_RANGE_CLICKS_BEFORE_PURCHASE = f"""
+WITH purchases AS (
+  SELECT event_id AS purchase_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT ts AS c_ts, value AS c_value FROM events WHERE event_type = 'click'
+), agg AS (
+  SELECT p.purchase_id,
+         count(*) AS n_clicks,
+         {_sql_dsum('c.c_value')} AS click_value
+  FROM purchases p
+  JOIN clicks c
+    ON c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 3600 SECOND
+  GROUP BY 1
+)
+SELECT p.purchase_id,
+       COALESCE(a.n_clicks, 0) AS n_clicks,
+       a.click_value
+FROM purchases p LEFT JOIN agg a USING (purchase_id)
+"""
+
+
+def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per group — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the definition."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_PERCENTILE_PRICES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       count(*) AS n_rows
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_fact_lineitem_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``fact_payments`` pattern (README-promised, unimplemented in the
     reference — README.md:43-48; delivered by gold.build_fact_payments):
@@ -1108,6 +1186,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_json_extract": q_events_json_extract,
     "asof_last_click": q_asof_last_click,
+    "range_clicks_before_purchase": q_range_clicks_before_purchase,
+    "percentile_prices": q_percentile_prices,
     "fact_lineitem_enriched": q_fact_lineitem_enriched,
     "date_not_future": q_date_not_future,
     "embedding_neardup": q_embedding_neardup,
@@ -1145,6 +1225,8 @@ ORACLES: dict[str, str] = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
     "asof_last_click": SQL_ASOF_LAST_CLICK,
+    "range_clicks_before_purchase": SQL_RANGE_CLICKS_BEFORE_PURCHASE,
+    "percentile_prices": SQL_PERCENTILE_PRICES,
     "fact_lineitem_enriched": SQL_FACT_LINEITEM_ENRICHED,
     "date_not_future": SQL_DATE_NOT_FUTURE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

@@ -64,3 +64,36 @@ def test_asof_join_no_prior_right_row(spark):
     # 'b': t=5 → no click at or before → NULL
     # 'c': key=2 has no right rows at all → NULL
     assert got == {"a": 2.5, "b": None, "c": None}
+
+
+def test_time_range_join_matches_bruteforce(spark):
+    """Bucketized range join ≡ brute-force theta join on the same data,
+    including bucket-boundary cases."""
+    import datetime as dt
+
+    from datawarehouse_vehicule_insurance_spark.operators.rangejoin import (
+        time_range_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    lefts = [(i, base + dt.timedelta(seconds=s)) for i, s in
+             enumerate([0, 5, 10, 17, 20, 30, 3600, 3605])]
+    rights = [(100 + i, base + dt.timedelta(seconds=s), float(i)) for i, s in
+              enumerate([0, 4, 9, 10, 11, 20, 29, 31, 3599, 3600])]
+    L = spark.createDataFrame(lefts, "lid int, p_ts timestamp")
+    R = spark.createDataFrame(rights, "rid int, c_ts timestamp, v double")
+
+    got = {
+        (r["lid"], r["rid"])
+        for r in time_range_join(L, R, "p_ts", "c_ts", 10).collect()
+    }
+    want = {
+        (r["lid"], r["rid"])
+        for r in L.crossJoin(R)
+        .filter(
+            (R.c_ts <= L.p_ts)
+            & (R.c_ts >= L.p_ts - F.expr("INTERVAL 10 SECONDS"))
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
