@@ -230,20 +230,88 @@ def ngram_jaccard(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive closure of a near-duplicate pair graph: returns
+    (id, component) where ``component`` is the minimum id reachable from
+    ``id`` — so one representative (the min) per duplicate cluster.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(diameter) rounds (duplicate clusters are near-cliques from LSH, so
+    typically 2-3). The per-round cost is one shuffle keyed by node id;
+    the loop is a driver-side iteration over plans, not over rows, with
+    a convergence check via a count aggregate. Labels are cached per
+    round and the previous round unpersisted."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    transitive: bool = False,
     **lsh_kwargs,
 ) -> DataFrame:
     """End-to-end near-dup removal: LSH candidates → Jaccard verify →
-    drop the higher id of each confirmed pair (connected via the pair
-    list; single-link union is approximated by iterated min — one pass is
-    the standard large-scale practice)."""
+    drop duplicates, keeping the min id. ``transitive=True`` runs
+    :func:`connected_components` first so chains A~B~C collapse to one
+    survivor even when A~C was never a candidate pair; the default
+    one-pass mode drops the higher id of each confirmed pair."""
     cand = minhash_lsh_candidates(df, text_col, id_col, **lsh_kwargs)
     confirmed = ngram_jaccard(cand, df, id_col, text_col, threshold=threshold)
-    losers = confirmed.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        comp = connected_components(confirmed)
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = confirmed.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 

@@ -87,6 +87,26 @@ def sessionize(
     )
 
 
+def run_stream_to_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint_path: str,
+):
+    """Durable ingestion: event stream → parquet files with exactly-once
+    semantics via the checkpoint (file-source offsets + sink commit log).
+    Restarting with the same checkpoint resumes from the last committed
+    batch — already-processed input files are not re-emitted."""
+    stream = read_event_stream(spark, src_path)
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", dst_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .start()
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, src_path: str, table_name: str = "hourly_rollup"
 ):

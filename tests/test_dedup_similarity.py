@@ -169,3 +169,28 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert len(approx_pairs) == 25  # 5 queries x top-5, all ranked
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.3  # probing half the cells on isotropic data
+
+
+def test_connected_components_transitive_chains(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1,       # chain collapses to min id
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_minhash_dedup_transitive(spark, docs_with_dups):
+    out = D.minhash_dedup(
+        docs_with_dups, threshold=0.5, transitive=True, k=32, bands=8
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 10_000 not in ids and 10_001 not in ids
+    assert {0, 1, 2} <= ids

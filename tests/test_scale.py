@@ -95,3 +95,35 @@ def test_cli_runs_end_to_end(spark, raw_tables, tmp_path):
         str(tmp_path / "lake" / "gold" / "fact_client_summary.parquet")
     )
     assert fact.count() == raw_tables["clients"].count()
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT an Exchange —
+    the write-time partitioning is reused by the join."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    SC.write_bucketed(
+        orders, "b_orders", "o_orderkey", 8, str(tmp_path / "b_orders")
+    )
+    SC.write_bucketed(
+        lineitem, "b_lineitem", "l_orderkey", 8, str(tmp_path / "b_lineitem")
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        stats = SC.explain_shuffles(joined)
+        assert stats["exchanges"] == 0, stats
+        assert stats["sort_merge_joins"] == 1, stats
+        # and it computes the right thing
+        assert joined.count() == lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

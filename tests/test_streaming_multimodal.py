@@ -156,3 +156,33 @@ def test_stateful_running_profile_matches_batch(spark, event_files):
             assert got[uid]["last_seen"] == want[uid]["last_seen"]
     finally:
         q.stop()
+
+
+def test_stream_to_parquet_checkpoint_restart(spark, tmp_path):
+    """Exactly-once file ingestion across a restart: stop the query,
+    add new input files, restart with the SAME checkpoint — output holds
+    every event exactly once."""
+    from datawarehouse_vehicule_insurance_spark.queries import _events
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    all_events = _events(spark, "/root/testdata/sf0.001").cache()
+    first = all_events.filter(F.col("event_id") < 500)
+    second = all_events.filter(F.col("event_id") >= 500)
+    first.write.mode("overwrite").parquet(src)
+
+    q = SE.run_stream_to_parquet(spark, src, dst, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    n1 = spark.read.parquet(dst).count()
+    assert n1 == first.count()
+
+    # append new files into the source dir, restart from the checkpoint
+    second.write.mode("append").parquet(src)
+    q2 = SE.run_stream_to_parquet(spark, src, dst, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    out = spark.read.parquet(dst)
+    assert out.count() == all_events.count()  # no loss, no duplicates
+    assert out.select("event_id").distinct().count() == all_events.count()
