@@ -85,6 +85,48 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     ).mapInPandas(_extract, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("n_bytes", T.IntegerType(), True),
+    T.StructField("duration_ms", T.IntegerType(), True),
+    T.StructField("rms_level", T.DoubleType(), True),
+])
+
+
+def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio analogue of :func:`extract_image_features`: decode +
+    feature-extract via mapInPandas. STUB decode — ``fake=True`` derives
+    a deterministic RMS-like level from the raw bytes; a real build
+    swaps an audio codec in behind the same signature."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload, dur in zip(
+                pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if payload is None:
+                    rows.append((asset_id, None, None, None))
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "audio decode requires a codec library; "
+                        "run with fake=True for the deterministic stub"
+                    )
+                data = bytes(payload)
+                n = len(data)
+                rms = (sum(b * b for b in data[:256]) / max(min(n, 256), 1)) ** 0.5 / 255.0
+                rows.append((asset_id, n, dur, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "n_bytes", "duration_ms", "rms_level"],
+            )
+
+    return df.filter(df.modality == "audio").select(
+        "asset_id", "payload", "duration_ms"
+    ).mapInPandas(_extract, AUDIO_FEATURES_SCHEMA)
+
+
 FRAME_SAMPLE_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType(), False),
     T.StructField("frame_idx", T.IntegerType(), False),

@@ -125,6 +125,8 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 0,
+    kmeans_sample: int = 2048,
     seed: int = 42,
     query_id: str = "query_id",
     query_vec: str = "qvec",
@@ -132,15 +134,18 @@ def ivf_topk(
     cand_vec: str = "embedding",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: candidates are assigned to
-    their nearest of ``n_cells`` sampled centroids; each query probes its
+    their nearest of ``n_cells`` centroids; each query probes its
     ``n_probe`` closest cells and ranks only those members.
 
-    Centroids come from a deterministic sample of the candidate set (a
-    k-means refinement would sharpen cells but sampling is the standard
-    bootstrap). Assignment is an Arrow-batched numpy matmul; the probe
-    join is an equi-join on cell id — the shuffle is bucketed by cell,
-    which is the property that survives scale-out. Expected recall with
-    n_probe/n_cells = 1/4 on isotropic data ≈ 60-80%.
+    Centroids bootstrap from a deterministic sample of the candidate
+    set; ``kmeans_iters`` > 0 refines them with spherical-Lloyd
+    iterations over a driver-side sample (``kmeans_sample`` vectors) —
+    the standard IVF training recipe, cheap because training sees a
+    sample while assignment sees everything. Assignment is an
+    Arrow-batched numpy matmul; the probe join is an equi-join on cell
+    id — the shuffle is bucketed by cell, which is the property that
+    survives scale-out. Expected recall with n_probe/n_cells = 1/4 on
+    isotropic data ≈ 60-80%.
     """
     import numpy as np
     import pandas as pd
@@ -155,6 +160,24 @@ def ivf_topk(
     )
     cents = np.array([r[1] for r in cent_rows], dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    if kmeans_iters > 0:
+        train_rows = (
+            candidates.select(cand_id, cand_vec)
+            .orderBy(cand_id)
+            .limit(kmeans_sample)
+            .collect()
+        )
+        X = np.array([r[1] for r in train_rows], dtype=np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        for _ in range(kmeans_iters):
+            assign = (X @ cents.T).argmax(axis=1)
+            for c in range(n_cells):
+                members = X[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    cents[c] = m / np.linalg.norm(m)
+
     b_cents = spark.sparkContext.broadcast(cents)
 
     def _assign(id_name: str, vec_name: str, top: int):

@@ -1014,6 +1014,34 @@ FROM purchases p LEFT JOIN agg a USING (purchase_id)
 """
 
 
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (~1/8 of orders): rows whose
+    md5(key) starts with '0' or '1'. Unlike seeded random sampling this
+    is reproducible across engines AND across partitioning changes — the
+    sampling decision is a pure function of the row key, which is what a
+    100-TB pipeline wants for stable experiment subsets."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    return (
+        orders.filter(bucket.isin("0", "1"))
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            _dsum(F.col("o_totalprice")).alias("sampled_spend"),
+        )
+    )
+
+
+SQL_DETERMINISTIC_SAMPLE = f"""
+SELECT o_orderstatus AS status,
+       count(*) AS n_sampled,
+       {_sql_dsum('o_totalprice')} AS sampled_spend
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+GROUP BY 1
+"""
+
+
 def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median / p90) per group — Spark
     ``percentile`` and DuckDB ``quantile_cont`` share the definition."""
@@ -1188,6 +1216,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_last_click": q_asof_last_click,
     "range_clicks_before_purchase": q_range_clicks_before_purchase,
     "percentile_prices": q_percentile_prices,
+    "deterministic_sample": q_deterministic_sample,
     "fact_lineitem_enriched": q_fact_lineitem_enriched,
     "date_not_future": q_date_not_future,
     "embedding_neardup": q_embedding_neardup,
@@ -1227,6 +1256,7 @@ ORACLES: dict[str, str] = {
     "asof_last_click": SQL_ASOF_LAST_CLICK,
     "range_clicks_before_purchase": SQL_RANGE_CLICKS_BEFORE_PURCHASE,
     "percentile_prices": SQL_PERCENTILE_PRICES,
+    "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
     "fact_lineitem_enriched": SQL_FACT_LINEITEM_ENRICHED,
     "date_not_future": SQL_DATE_NOT_FUTURE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

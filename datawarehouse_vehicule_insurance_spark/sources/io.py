@@ -55,6 +55,21 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan (additive beyond the reference's CSV/Parquet).
+    Schema should be declared — JSON inference is a full extra scan."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
 def write_csv(df: DataFrame, path: str) -> None:
     """Header CSV sink (reference: generate_raw_data.py:144-149)."""
     df.write.mode("overwrite").option("header", True).csv(path)

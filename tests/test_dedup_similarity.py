@@ -194,3 +194,17 @@ def test_minhash_dedup_transitive(spark, docs_with_dups):
     ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert 10_000 not in ids and 10_001 not in ids
     assert {0, 1, 2} <= ids
+
+
+def test_ivf_kmeans_refinement_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    exact = S.cosine_topk(qs, cands, k=5)
+    refined = S.ivf_topk(qs, cands, k=5, n_cells=8, n_probe=4, kmeans_iters=5)
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ref_pairs = {(r["query_id"], r["vec_id"]) for r in refined.collect()}
+    assert len(ref_pairs) == 25
+    assert len(exact_pairs & ref_pairs) / len(exact_pairs) >= 0.3

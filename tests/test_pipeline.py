@@ -96,3 +96,14 @@ def test_per_table_error_isolation(spark, tmp_path):
     results = pipe.run_bronze(str(tmp_path / "nonexistent_csvs"))
     assert len(results) == 6
     assert all(v.startswith("error") for v in results.values())
+
+
+def test_json_roundtrip(spark, raw_tables, tmp_path):
+    from datawarehouse_vehicule_insurance_spark.catalog import RAW_SCHEMAS
+    from datawarehouse_vehicule_insurance_spark.sources import io as IO
+
+    path = str(tmp_path / "clients_json")
+    IO.write_json(raw_tables["clients"], path)
+    back = IO.read_json(spark, path, RAW_SCHEMAS["clients"])
+    assert back.count() == raw_tables["clients"].count()
+    assert back.schema == raw_tables["clients"].schema

@@ -186,3 +186,12 @@ def test_stream_to_parquet_checkpoint_restart(spark, tmp_path):
     out = spark.read.parquet(dst)
     assert out.count() == all_events.count()  # no loss, no duplicates
     assert out.select("event_id").distinct().count() == all_events.count()
+
+
+def test_audio_feature_extraction_fake_decode(spark, assets):
+    out = MM.extract_audio_features(assets, fake=True)
+    rows = {r["asset_id"]: r.asDict() for r in out.collect()}
+    assert set(rows) == {5}
+    assert rows[5]["n_bytes"] == 128
+    assert rows[5]["duration_ms"] == 2000
+    assert rows[5]["rms_level"] == 0.0  # silence payload
