@@ -1185,6 +1185,98 @@ def q_title_exact_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all subtotal combinations of two dimensions."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_PRICING_CUBE = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_dsum('l_quantity')} AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface breadth (C-family beyond the reference):
+    length / case / substring / concat / pad / replace / reverse /
+    split-part / null-handling, all JVM-side."""
+    customer = _t(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return customer.select(
+        "c_custkey",
+        F.length(name).alias("name_len"),
+        F.upper(name).alias("upper_name"),
+        F.substring(name, 1, 8).alias("prefix8"),
+        F.concat_ws("|", name, F.col("c_mktsegment")).alias("joined"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.regexp_replace(name, "[0-9]", "#").alias("masked"),
+        F.reverse(name).alias("reversed_name"),
+        F.split_part(name, F.lit("#"), F.lit(2)).alias("num_part"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                   F.lit("<default>")).alias("segment_or_default"),
+    )
+
+
+SQL_STRING_FUNCTIONS = """
+SELECT c_custkey,
+       length(c_name) AS name_len,
+       upper(c_name) AS upper_name,
+       substr(c_name, 1, 8) AS prefix8,
+       concat_ws('|', c_name, c_mktsegment) AS joined,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+       reverse(c_name) AS reversed_name,
+       split_part(c_name, '#', 2) AS num_part,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '<default>')
+         AS segment_or_default
+FROM customer
+"""
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface breadth: extract / truncate / arithmetic /
+    diff / boundary functions over order dates."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("q"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.date_add(d, 30).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d).alias(
+            "days_to_1999"
+        ),
+        # Spark dayofweek: 1=Sunday..7=Saturday
+        F.dayofweek(d).alias("dow"),
+    )
+
+
+SQL_DATE_FUNCTIONS = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(day(o_orderdate) AS INT) AS dom,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+         AS days_to_1999,
+       CAST(dayofweek(o_orderdate) AS INT) + 1 AS dow
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1223,6 +1315,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "union_customer_ids": q_union_customer_ids,
     "pricing_rollup": q_pricing_rollup,
+    "pricing_cube": q_pricing_cube,
+    "string_functions": q_string_functions,
+    "date_functions": q_date_functions,
     "pivot_linestatus": q_pivot_linestatus,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_signatures": q_simhash_signatures,
@@ -1263,6 +1358,9 @@ ORACLES: dict[str, str] = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "union_customer_ids": SQL_UNION_CUSTOMER_IDS,
     "pricing_rollup": SQL_PRICING_ROLLUP,
+    "pricing_cube": SQL_PRICING_CUBE,
+    "string_functions": SQL_STRING_FUNCTIONS,
+    "date_functions": SQL_DATE_FUNCTIONS,
     "pivot_linestatus": SQL_PIVOT_LINESTATUS,
     # minhash_near_dup / simhash_signatures / title_exact_normalize:
     # intentionally no oracle (non-ANSI-SQL-expressible) → rows-only check
