@@ -1277,6 +1277,90 @@ FROM orders
 """
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity for a bounded pair set (the
+    verification-grade metric behind near-dup dedup), all native array
+    ops. Bounded to doc_id < 40 so the oracle's all-pairs compare stays
+    cheap; production pairs come from LSH candidates, not cross joins."""
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = docs.select(
+        "doc_id", shingles(F.col("text"), 3).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > 0)
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+           AS t
+  FROM documents WHERE doc_id < 40
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')
+         )) AS s
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) > 0
+"""
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the embedding column: size, element
+    access, slicing, min/max, L1 norm via aggregate — native array ops
+    (the DuckDB mirror uses the list_* family)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(vec).alias("dim"),
+        F.round(F.element_at(vec, 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_min(vec).cast("double"), 6).alias("min_val"),
+        F.round(F.array_max(vec).cast("double"), 6).alias("max_val"),
+        F.size(F.slice(vec, 1, 8)).alias("head_len"),
+        F.round(
+            F.aggregate(
+                vec, F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))
+            ),
+            4,
+        ).alias("l1_norm"),
+    )
+
+
+SQL_ARRAY_FUNCTIONS = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+       CAST(len(list_slice(embedding, 1, 8)) AS INT) AS head_len,
+       round(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x)), 'sum'), 4)
+         AS l1_norm
+FROM embeddings
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1318,6 +1402,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_cube": q_pricing_cube,
     "string_functions": q_string_functions,
     "date_functions": q_date_functions,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "array_functions": q_array_functions,
     "pivot_linestatus": q_pivot_linestatus,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_signatures": q_simhash_signatures,
@@ -1361,6 +1447,8 @@ ORACLES: dict[str, str] = {
     "pricing_cube": SQL_PRICING_CUBE,
     "string_functions": SQL_STRING_FUNCTIONS,
     "date_functions": SQL_DATE_FUNCTIONS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "array_functions": SQL_ARRAY_FUNCTIONS,
     "pivot_linestatus": SQL_PIVOT_LINESTATUS,
     # minhash_near_dup / simhash_signatures / title_exact_normalize:
     # intentionally no oracle (non-ANSI-SQL-expressible) → rows-only check

@@ -107,6 +107,44 @@ def run_stream_to_parquet(
     )
 
 
+def run_hourly_to_partitioned(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint_path: str,
+    watermark: str = "0 seconds",
+):
+    """Production rollup sink: append-mode windowed aggregation into a
+    date/hour-partitioned parquet table. Append mode emits each window
+    exactly once — when the watermark passes its end — so the sink is an
+    immutable, partition-pruned fact table; no upsert machinery needed.
+    Late data within the watermark updates state BEFORE emission; data
+    later than that is dropped (the documented trade)."""
+    stream = read_event_stream(spark, src_path)
+    rollup = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type", "n_events", "total_value",
+            F.to_date(F.col("win.start")).alias("date"),
+            F.hour(F.col("win.start")).alias("hour"),
+        )
+    )
+    return (
+        rollup.writeStream.format("parquet")
+        .option("path", dst_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy("date", "hour")
+        .outputMode("append")
+        .start()
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, src_path: str, table_name: str = "hourly_rollup"
 ):

@@ -195,3 +195,47 @@ def test_audio_feature_extraction_fake_decode(spark, assets):
     assert rows[5]["n_bytes"] == 128
     assert rows[5]["duration_ms"] == 2000
     assert rows[5]["rms_level"] == 0.0  # silence payload
+
+
+def test_hourly_partitioned_append_sink(spark, event_files, tmp_path):
+    """Append-mode windowed rollup → date/hour-partitioned parquet:
+    every window finalized by the watermark lands exactly once and
+    matches the batch aggregate for those windows."""
+    dst = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    q = SE.run_hourly_to_partitioned(spark, event_files, dst, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = spark.read.parquet(event_files)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    batch_rollup = (
+        batch.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        # only windows whose END the watermark passed get emitted
+        .filter(F.col("hour_start") < F.date_trunc("hour", F.lit(max_ts)))
+    )
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(dst).collect()
+    }
+    want = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch_rollup.collect()
+    }
+    assert want.items() <= got.items()  # all finalized windows present once
+    assert len(got) - len(want) <= 10   # at most the boundary hour extra
+    # partition pruning works on the sink
+    one = spark.read.parquet(dst).filter(
+        (F.col("date") == "2024-01-01") & (F.col("hour") == 3)
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
