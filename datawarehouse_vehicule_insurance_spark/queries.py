@@ -1361,6 +1361,52 @@ FROM embeddings
 """
 
 
+def q_zscore_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature normalization (training-data prep): per-segment z-score of
+    account balance via window aggregates — stays JVM-side (no grouped
+    pandas UDF needed for this shape)."""
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    mean = F.avg("c_acctbal").over(w)
+    std = F.stddev_samp("c_acctbal").over(w)
+    return customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round((F.col("c_acctbal") - mean) / std, 6).alias("acctbal_z"),
+    )
+
+
+SQL_ZSCORE_BY_SEGMENT = """
+SELECT c_custkey, c_mktsegment AS segment,
+       round((c_acctbal - avg(c_acctbal) OVER w)
+             / stddev_samp(c_acctbal) OVER w, 6) AS acctbal_z
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment)
+"""
+
+
+def q_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k: highest-spend customers, ties broken on the
+    key so the result SET is unique (the reference never sorts — top-k
+    is additive, SURVEY.md §2.6)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("client_id"))
+        .agg(_dsum(F.col("o_totalprice")).alias("total_spend"))
+        .orderBy(F.col("total_spend").desc(), F.col("client_id").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_SPENDERS = f"""
+SELECT o_custkey AS client_id,
+       {_sql_dsum('o_totalprice')} AS total_spend
+FROM orders GROUP BY 1
+ORDER BY total_spend DESC, client_id ASC
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1404,6 +1450,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_functions": q_date_functions,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "array_functions": q_array_functions,
+    "zscore_by_segment": q_zscore_by_segment,
+    "top_spenders": q_top_spenders,
     "pivot_linestatus": q_pivot_linestatus,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_signatures": q_simhash_signatures,
@@ -1449,6 +1497,8 @@ ORACLES: dict[str, str] = {
     "date_functions": SQL_DATE_FUNCTIONS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "array_functions": SQL_ARRAY_FUNCTIONS,
+    "zscore_by_segment": SQL_ZSCORE_BY_SEGMENT,
+    "top_spenders": SQL_TOP_SPENDERS,
     "pivot_linestatus": SQL_PIVOT_LINESTATUS,
     # minhash_near_dup / simhash_signatures / title_exact_normalize:
     # intentionally no oracle (non-ANSI-SQL-expressible) → rows-only check
