@@ -1385,6 +1385,29 @@ WINDOW w AS (PARTITION BY c_mktsegment)
 """
 
 
+def q_regr_slope_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear regression via native aggregates (regr_slope /
+    regr_intercept — one hash aggregation, no Python). The grouped
+    applyInPandas variant (operators/mlprep.py) is tested equal."""
+    customer = _t(spark, sf_dir, "customer")
+    return customer.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.round(F.regr_slope("c_acctbal", "c_custkey"), 6).alias("slope"),
+        F.round(F.regr_intercept("c_acctbal", "c_custkey"), 4).alias(
+            "intercept"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_REGR_SLOPE_BY_SEGMENT = """
+SELECT c_mktsegment AS segment,
+       round(regr_slope(c_acctbal, c_custkey), 6) AS slope,
+       round(regr_intercept(c_acctbal, c_custkey), 4) AS intercept,
+       count(*) AS n
+FROM customer GROUP BY 1
+"""
+
+
 def q_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic top-k: highest-spend customers, ties broken on the
     key so the result SET is unique (the reference never sorts — top-k
@@ -1452,6 +1475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_functions": q_array_functions,
     "zscore_by_segment": q_zscore_by_segment,
     "top_spenders": q_top_spenders,
+    "regr_slope_by_segment": q_regr_slope_by_segment,
     "pivot_linestatus": q_pivot_linestatus,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_signatures": q_simhash_signatures,
@@ -1499,6 +1523,7 @@ ORACLES: dict[str, str] = {
     "array_functions": SQL_ARRAY_FUNCTIONS,
     "zscore_by_segment": SQL_ZSCORE_BY_SEGMENT,
     "top_spenders": SQL_TOP_SPENDERS,
+    "regr_slope_by_segment": SQL_REGR_SLOPE_BY_SEGMENT,
     "pivot_linestatus": SQL_PIVOT_LINESTATUS,
     # minhash_near_dup / simhash_signatures / title_exact_normalize:
     # intentionally no oracle (non-ANSI-SQL-expressible) → rows-only check

@@ -127,3 +127,33 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_grouped_linear_fit_pandas_equals_native(spark, sf_dir):
+    """applyInPandas per-group OLS == native regr_slope/intercept."""
+    import pytest as _pytest
+
+    from datawarehouse_vehicule_insurance_spark.operators import mlprep as ML
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pandas_fit = {
+        r["c_mktsegment"]: r.asDict()
+        for r in ML.grouped_linear_fit(
+            customer, "c_mktsegment", "c_custkey", "c_acctbal"
+        ).collect()
+    }
+    native_fit = {
+        r["c_mktsegment"]: r.asDict()
+        for r in ML.native_linear_fit(
+            customer, "c_mktsegment", "c_custkey", "c_acctbal"
+        ).collect()
+    }
+    assert set(pandas_fit) == set(native_fit)
+    for seg in native_fit:
+        assert pandas_fit[seg]["n"] == native_fit[seg]["n"]
+        assert pandas_fit[seg]["slope"] == _pytest.approx(
+            native_fit[seg]["slope"], rel=1e-6
+        )
+        assert pandas_fit[seg]["intercept"] == _pytest.approx(
+            native_fit[seg]["intercept"], rel=1e-6
+        )
