@@ -1430,6 +1430,58 @@ LIMIT 10
 """
 
 
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten (explode) + aggregate: corpus-wide token frequencies —
+    the word-count shape. Explode is narrow; the groupBy combines
+    map-side so the shuffle carries (token, partial_count) pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    return (
+        docs.select(F.explode(tokens).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+SQL_TOKEN_FREQUENCIES = r"""
+SELECT t.token, count(*) AS freq
+FROM documents,
+     unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                         ' ')) AS t(token)
+GROUP BY 1
+"""
+
+
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations: customers ordering in both
+    1995 and 1996, minus those with any 'F'-status order."""
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("client_id")
+    )
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("client_id")
+    )
+    failed = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("client_id")
+    )
+    # intersect/subtract are SET-semantic (distinct), matching SQL
+    # INTERSECT/EXCEPT; SQL gives INTERSECT the higher precedence, so the
+    # DataFrame chain mirrors (y95 ∩ y96) \ failed
+    return y95.intersect(y96).subtract(failed)
+
+
+SQL_CUSTOMER_SET_OPS = """
+SELECT o_custkey AS client_id FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1476,6 +1528,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zscore_by_segment": q_zscore_by_segment,
     "top_spenders": q_top_spenders,
     "regr_slope_by_segment": q_regr_slope_by_segment,
+    "token_frequencies": q_token_frequencies,
+    "customer_set_ops": q_customer_set_ops,
     "pivot_linestatus": q_pivot_linestatus,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_signatures": q_simhash_signatures,
@@ -1524,6 +1578,8 @@ ORACLES: dict[str, str] = {
     "zscore_by_segment": SQL_ZSCORE_BY_SEGMENT,
     "top_spenders": SQL_TOP_SPENDERS,
     "regr_slope_by_segment": SQL_REGR_SLOPE_BY_SEGMENT,
+    "token_frequencies": SQL_TOKEN_FREQUENCIES,
+    "customer_set_ops": SQL_CUSTOMER_SET_OPS,
     "pivot_linestatus": SQL_PIVOT_LINESTATUS,
     # minhash_near_dup / simhash_signatures / title_exact_normalize:
     # intentionally no oracle (non-ANSI-SQL-expressible) → rows-only check
