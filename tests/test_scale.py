@@ -157,3 +157,42 @@ def test_grouped_linear_fit_pandas_equals_native(spark, sf_dir):
         assert pandas_fit[seg]["intercept"] == _pytest.approx(
             native_fit[seg]["intercept"], rel=1e-6
         )
+
+
+def test_filters_push_down_to_scan(spark, sf_dir):
+    """Predicates and projections must reach the parquet scan."""
+    from datawarehouse_vehicule_insurance_spark.queries import (
+        q_filter_positive_amounts,
+        q_silver_clean_normalize,
+    )
+
+    plan = (
+        q_filter_positive_amounts(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
+
+    # column pruning: the cleaning query reads only the 4 needed columns
+    plan2 = (
+        q_silver_clean_normalize(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    read_schema = plan2.split("ReadSchema: ")[1].split("\n")[0]
+    assert "c_custkey" in read_schema and "c_nationkey" not in read_schema
+
+
+def test_whole_stage_codegen_covers_cleaning(spark, sf_dir):
+    """The fused silver rule projection stays inside one codegen span."""
+    from datawarehouse_vehicule_insurance_spark.queries import (
+        q_silver_clean_normalize,
+    )
+
+    plan = (
+        q_silver_clean_normalize(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # '*(n)' prefixes mark whole-stage-codegen'd operators in the
+    # compact plan string
+    assert "*(1)" in plan
+    assert "Exchange" not in plan  # single narrow stage
