@@ -1482,6 +1482,41 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 """
 
 
+def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (rows-only: sketch internals are
+    implementation-specific, so no cross-engine oracle): per-segment
+    DataSketches HLL distinct-customer estimates unioned into a global
+    estimate, plus approx percentiles. The mergeability is the point —
+    partial sketches combine associatively across partitions and across
+    groups, which is how distinct-counting scales to 100 TB without a
+    global shuffle of raw keys."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    per_segment = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.hll_sketch_agg("o_custkey").alias("cust_sketch"),
+            F.approx_percentile("o_totalprice", 0.5, 1000).alias(
+                "approx_median_price"
+            ),
+        )
+    )
+    return (
+        per_segment.agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("cust_sketch")
+            ).alias("approx_total_customers"),
+            F.sum(
+                F.hll_sketch_estimate("cust_sketch")
+            ).alias("sum_of_segment_estimates"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1530,6 +1565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regr_slope_by_segment": q_regr_slope_by_segment,
     "token_frequencies": q_token_frequencies,
     "customer_set_ops": q_customer_set_ops,
+    "sketch_aggregates": q_sketch_aggregates,
     "pivot_linestatus": q_pivot_linestatus,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_signatures": q_simhash_signatures,
