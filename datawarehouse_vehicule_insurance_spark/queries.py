@@ -1517,6 +1517,149 @@ def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth (additive; SURVEY.md §2.6 records the
+    reference has none): per-customer ordered order sequence with LAG
+    (days since previous order), a running cumulative spend, and a
+    DENSE_RANK of order price within the customer. The running sum uses
+    the decimal-quantized `_dsum` shape so frame accumulation order
+    (sequential in Spark vs segment-tree in other engines) cannot change
+    the result. Partitioned windows shuffle once on the partition key —
+    at 100 TB this is one exchange on o_custkey reused by all three
+    window functions (same partitioning + ordering → one Window node)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wrank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("client_id"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("days_since_prev"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(wcum), 2
+        ).cast("double").alias("cum_spend"),
+        F.dense_rank().over(wrank).alias("price_rank"),
+    )
+
+
+SQL_WINDOW_ANALYTICS = """
+SELECT o_orderkey,
+       o_custkey AS client_id,
+       CAST(o_orderdate AS DATE) AS order_date,
+       date_diff('day',
+                 lag(CAST(o_orderdate AS DATE)) OVER w,
+                 CAST(o_orderdate AS DATE)) AS days_since_prev,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER
+                  (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS cum_spend,
+       dense_rank() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS price_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-per-group via max-join + MIN_BY tiebreak: the customer with
+    the highest account balance in each market segment. Two partial-agg
+    passes (max per segment is map-side combinable; the equality join
+    back is broadcast — 5 segment rows), then ``min_by(name, custkey)``
+    resolves balance ties deterministically. This is the scalable argmax
+    shape: no global sort, no single-reducer group."""
+    customer = _t(spark, sf_dir, "customer")
+    seg_max = customer.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(F.max("c_acctbal").alias("max_acctbal"))
+    return (
+        customer.join(
+            F.broadcast(seg_max),
+            (customer.c_mktsegment == seg_max.segment)
+            & (customer.c_acctbal == seg_max.max_acctbal),
+        )
+        .groupBy("segment", "max_acctbal")
+        .agg(
+            F.min("c_custkey").alias("top_custkey"),
+            F.min_by("c_name", "c_custkey").alias("top_name"),
+        )
+    )
+
+
+SQL_ARGMAX_PER_GROUP = """
+WITH seg_max AS (
+  SELECT c_mktsegment, max(c_acctbal) AS max_acctbal
+  FROM customer GROUP BY 1
+)
+SELECT c.c_mktsegment AS segment,
+       m.max_acctbal,
+       min(c.c_custkey) AS top_custkey,
+       arg_min(c.c_name, c.c_custkey) AS top_name
+FROM customer c
+JOIN seg_max m
+  ON c.c_mktsegment = m.c_mktsegment AND c.c_acctbal = m.max_acctbal
+GROUP BY 1, 2
+"""
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving window frames over a daily rollup: cumulative revenue and a
+    7-day (ROWS-framed) moving average on daily order totals. The
+    unpartitioned window is safe here because the input grain is days
+    (the groupBy collapsed the fact table first — at 100 TB the window
+    input is still only ~years×365 rows); window sums go through the
+    decimal quantization so frame-combine order is immaterial."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("order_date")
+    ).agg(
+        _dsum(F.col("o_totalprice")).alias("daily_revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("order_date")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wma = w.rowsBetween(-6, Window.currentRow)
+    dec = F.col("daily_revenue").cast("decimal(28,6)")
+    return daily.select(
+        "order_date",
+        "daily_revenue",
+        "n_orders",
+        F.round(F.sum(dec).over(wcum), 2).cast("double").alias("cum_revenue"),
+        F.round(
+            F.sum(dec).over(wma).cast("double")
+            / F.count(F.lit(1)).over(wma),
+            4,
+        ).alias("ma7_revenue"),
+    )
+
+
+SQL_RUNNING_REVENUE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         {_sql_dsum('o_totalprice')} AS daily_revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT order_date, daily_revenue, n_orders,
+       CAST(round(sum(CAST(daily_revenue AS DECIMAL(28,6))) OVER
+                  (ORDER BY order_date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS cum_revenue,
+       round(CAST(sum(CAST(daily_revenue AS DECIMAL(28,6))) OVER w7
+                  AS DOUBLE)
+             / count(*) OVER w7, 4) AS ma7_revenue
+FROM daily
+WINDOW w7 AS (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1566,6 +1709,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_frequencies": q_token_frequencies,
     "customer_set_ops": q_customer_set_ops,
     "sketch_aggregates": q_sketch_aggregates,
+    "window_analytics": q_window_analytics,
+    "argmax_per_group": q_argmax_per_group,
+    "running_revenue": q_running_revenue,
     "pivot_linestatus": q_pivot_linestatus,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_signatures": q_simhash_signatures,
@@ -1616,6 +1762,9 @@ ORACLES: dict[str, str] = {
     "regr_slope_by_segment": SQL_REGR_SLOPE_BY_SEGMENT,
     "token_frequencies": SQL_TOKEN_FREQUENCIES,
     "customer_set_ops": SQL_CUSTOMER_SET_OPS,
+    "window_analytics": SQL_WINDOW_ANALYTICS,
+    "argmax_per_group": SQL_ARGMAX_PER_GROUP,
+    "running_revenue": SQL_RUNNING_REVENUE,
     "pivot_linestatus": SQL_PIVOT_LINESTATUS,
     # minhash_near_dup / simhash_signatures / title_exact_normalize:
     # intentionally no oracle (non-ANSI-SQL-expressible) → rows-only check
