@@ -145,6 +145,59 @@ def run_hourly_to_partitioned(
     )
 
 
+def run_upsert_rollup(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint_path: str,
+):
+    """Update-mode upsert sink via ``foreachBatch``: the hourly rollup
+    emits *changed* (window × event_type) groups each trigger, and the
+    batch function merges them into a keyed parquet table.
+
+    Plain parquet has no MERGE, so the upsert is done with group-grain
+    dynamic partition overwrite: the table is partitioned by
+    (date, hour, event_type) — exactly the aggregate key — so rewriting
+    the partitions present in a micro-batch replaces each group's old row
+    with its new one and touches nothing else. This also makes replays
+    idempotent (exactly-once per group): re-running a batch rewrites the
+    same partitions with the same content. On Delta/Iceberg the body of
+    ``_merge`` becomes a single ``MERGE INTO`` and no partition-per-group
+    layout is needed.
+    """
+    stream = read_event_stream(spark, src_path)
+    rollup = (
+        stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type", "n_events", "total_value",
+            F.to_date(F.col("win.start")).alias("date"),
+            F.hour(F.col("win.start")).alias("hour"),
+        )
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date", "hour", "event_type")
+            .parquet(dst_path)
+        )
+
+    return (
+        rollup.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .start()
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, src_path: str, table_name: str = "hourly_rollup"
 ):

@@ -239,3 +239,52 @@ def test_hourly_partitioned_append_sink(spark, event_files, tmp_path):
     )
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
+
+
+def test_upsert_rollup_foreachbatch(spark, tmp_path):
+    """foreachBatch upsert: update-mode rollup merged into a parquet
+    table via group-grain dynamic partition overwrite. Groups re-emitted
+    by later micro-batches are REPLACED (one row per group, final values
+    match the batch aggregate over everything seen), not appended."""
+    from datawarehouse_vehicule_insurance_spark.queries import _events
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    all_events = _events(spark, "/root/testdata/sf0.001").cache()
+    first = all_events.filter(F.col("event_id") < 500)
+    second = all_events.filter(F.col("event_id") >= 500)
+    first.write.mode("overwrite").parquet(src)
+
+    q = SE.run_upsert_rollup(spark, src, dst, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    # stream restart with appended input: shared groups get UPDATED
+    second.write.mode("append").parquet(src)
+    q2 = SE.run_upsert_rollup(spark, src, dst, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    out = spark.read.parquet(dst)
+    want_df = (
+        all_events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+    want = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in want_df.collect()
+    }
+    assert got == want
+    # exactly one row per group — overwritten, never duplicated
+    assert out.count() == len(got)
