@@ -12,7 +12,7 @@ operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: aggregates that can be split into (partial per salt) → (final combine)
@@ -98,6 +98,60 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def weighted_exact_percentile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: dict[str, float],
+) -> DataFrame:
+    """Distributed EXACT interpolated percentiles (same definition as
+    Spark ``percentile`` / SQL ``percentile_cont``) without buffering a
+    group's raw values on one reducer.
+
+    ``F.percentile`` is an ObjectHashAggregate that holds every value of
+    a group in reducer memory — with few, huge groups (the 100-TB shape)
+    that is a single-reducer straggler or an OOM. This operator instead:
+
+    1. compresses to (group, value, weight) with a map-side-combinable
+       ``groupBy().count()`` — for quantized domains (money in cents,
+       ratings, ages) this collapses billions of rows to at most
+       |distinct values| rows per group;
+    2. cumulative-sums the weights per group ordered by value (window
+       state = distinct values, not rows);
+    3. picks/interpolates each percentile at rank ``p * (n - 1)`` with
+       two conditional MINs — plain partial+final aggregation.
+
+    Exact whenever the value domain is quantized (so the compression is
+    lossless); identical to ``percentile_cont``'s linear interpolation.
+    ``percentiles`` maps output column name → fraction in [0, 1].
+    """
+    w = df.filter(F.col(value_col).isNotNull()).groupBy(
+        F.col(group_col), F.col(value_col).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__w"))
+
+    win = Window.partitionBy(group_col).orderBy("__v")
+    wtot = Window.partitionBy(group_col)
+    w = (
+        w.withColumn("__cumw", F.sum("__w").over(win))
+        .withColumn("__n", F.sum("__w").over(wtot))
+    )
+
+    aggs = []
+    for name, p in percentiles.items():
+        # 0-indexed fractional rank; value at index k is the first __v
+        # whose cumulative weight exceeds k. __n is constant per group:
+        # usable row-wise inside the MINs, aggregate-wrapped outside.
+        lo_idx = F.floor(F.lit(p) * (F.col("__n") - 1))
+        lo = F.min(F.when(F.col("__cumw") > lo_idx, F.col("__v")))
+        hi = F.min(F.when(F.col("__cumw") > lo_idx + 1, F.col("__v")))
+        pos_g = F.lit(p) * (F.first("__n") - 1)
+        frac = pos_g - F.floor(pos_g)
+        aggs.append(
+            (lo + frac * (F.coalesce(hi, lo) - lo)).alias(name)
+        )
+    return w.groupBy(group_col).agg(*aggs)
 
 
 def explain_shuffles(df: DataFrame) -> dict[str, int]:

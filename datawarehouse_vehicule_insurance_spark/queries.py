@@ -1660,6 +1660,38 @@ WINDOW w7 AS (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
 
+def q_percentile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact percentiles via the (group, value, weight)
+    compression in ``operators.scale.weighted_exact_percentile`` — same
+    answers as ``q_percentile_prices`` but with bounded reducer state
+    (no per-group raw-value buffering), the shape that survives few-huge-
+    groups at 100 TB."""
+    from datawarehouse_vehicule_insurance_spark.operators.scale import (
+        weighted_exact_percentile,
+    )
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    out = weighted_exact_percentile(
+        lineitem,
+        "l_returnflag",
+        "l_extendedprice",
+        {"median_price": 0.5, "p90_price": 0.9},
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("median_price", 4).alias("median_price"),
+        F.round("p90_price", 4).alias("p90_price"),
+    )
+
+
+SQL_PERCENTILE_DISTRIBUTED = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+FROM lineitem GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1709,6 +1741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_frequencies": q_token_frequencies,
     "customer_set_ops": q_customer_set_ops,
     "sketch_aggregates": q_sketch_aggregates,
+    "percentile_distributed": q_percentile_distributed,
     "window_analytics": q_window_analytics,
     "argmax_per_group": q_argmax_per_group,
     "running_revenue": q_running_revenue,
@@ -1762,6 +1795,7 @@ ORACLES: dict[str, str] = {
     "regr_slope_by_segment": SQL_REGR_SLOPE_BY_SEGMENT,
     "token_frequencies": SQL_TOKEN_FREQUENCIES,
     "customer_set_ops": SQL_CUSTOMER_SET_OPS,
+    "percentile_distributed": SQL_PERCENTILE_DISTRIBUTED,
     "window_analytics": SQL_WINDOW_ANALYTICS,
     "argmax_per_group": SQL_ARGMAX_PER_GROUP,
     "running_revenue": SQL_RUNNING_REVENUE,

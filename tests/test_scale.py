@@ -196,3 +196,36 @@ def test_whole_stage_codegen_covers_cleaning(spark, sf_dir):
     # compact plan string
     assert "*(1)" in plan
     assert "Exchange" not in plan  # single narrow stage
+
+
+def test_weighted_exact_percentile_matches_native(spark, sf_dir):
+    """Distributed (group,value,weight) percentile ≡ the single-reducer
+    ``F.percentile`` — same linear interpolation, bounded reducer state."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in SC.weighted_exact_percentile(
+            li, "l_returnflag", "l_extendedprice", {"p50": 0.5, "p90": 0.9}
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in li.groupBy("l_returnflag").agg(
+            F.percentile("l_extendedprice", 0.5).alias("p50"),
+            F.percentile("l_extendedprice", 0.9).alias("p90"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0], abs=1e-6)
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-6)
+
+
+def test_weighted_exact_percentile_interpolates(spark):
+    """Even-count group: p50 must interpolate between the two middle
+    values (rank 0.5*(4-1)=1.5 → halfway between sorted[1] and [2])."""
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 4.0), ("g", 8.0)], ["k", "v"]
+    )
+    out = SC.weighted_exact_percentile(df, "k", "v", {"p50": 0.5}).collect()
+    assert out[0]["p50"] == pytest.approx(3.0)
