@@ -153,3 +153,87 @@ def build_fact_payments(
         "policy_id", "client_id", "vehicle_id", "coverage", "status"
     ).dropDuplicates(["policy_id"])
     return payments.join(F.broadcast(policy_dim), "policy_id", "left")
+
+
+def scd2_apply(
+    dim: DataFrame | None,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    load_date,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge (additive scope — the
+    reference overwrites its dims wholesale, losing history;
+    load_gold.py:73,90).
+
+    ``dim`` is the current SCD2 table (or None on first load) with
+    bookkeeping columns ``valid_from``, ``valid_to`` (NULL = current),
+    ``is_current``. ``updates`` is the freshly-built dimension snapshot
+    at the same grain. Rows whose ``tracked`` attributes changed get
+    their current version closed (``valid_to = load_date``) and a new
+    version opened; unchanged rows pass through untouched; new keys are
+    inserted.
+
+    Implementation is pure DataFrame ops — one broadcast-or-shuffle
+    equi-join of current-versions against updates plus unions; history
+    rows are never rewritten (at 100 TB: pair with a partition-on-
+    ``is_current`` layout or a Delta MERGE so the rewrite touches only
+    the current partition).
+    """
+    ld = F.lit(load_date).cast("date")
+    new_version = updates.withColumn("valid_from", ld).withColumn(
+        "valid_to", F.lit(None).cast("date")
+    ).withColumn("is_current", F.lit(True))
+
+    if dim is None:
+        return new_version
+
+    history = dim.filter(~F.col("is_current"))
+    current = dim.filter(F.col("is_current"))
+
+    # null-safe change predicate over the tracked attributes
+    changed = None
+    for c in tracked:
+        neq = ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
+        changed = neq if changed is None else (changed | neq)
+
+    joined = current.alias("cur").join(
+        new_version.alias("upd"), on=key, how="full"
+    )
+    cur_cols = [F.col(f"cur.{c}") for c in dim.columns if c != key]
+    upd_cols = [F.col(f"upd.{c}") for c in dim.columns if c != key]
+
+    # current rows: keep as-is when unchanged / key absent from updates;
+    # close the version when changed
+    kept_current = (
+        joined.filter(F.col(f"upd.valid_from").isNull() | ~changed)
+        .filter(F.col(f"cur.valid_from").isNotNull())
+        .select(F.col(key), *cur_cols)
+    )
+    closed = (
+        joined.filter(
+            F.col(f"cur.valid_from").isNotNull()
+            & F.col(f"upd.valid_from").isNotNull()
+            & changed
+        )
+        .select(
+            F.col(key),
+            *[
+                F.col(f"cur.{c}") for c in dim.columns
+                if c not in (key, "valid_to", "is_current")
+            ],
+            ld.alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+        .select(F.col(key), *[c for c in dim.columns if c != key])
+    )
+    opened = (
+        joined.filter(
+            F.col(f"upd.valid_from").isNotNull()
+            & (F.col(f"cur.valid_from").isNull() | changed)
+        )
+        .select(F.col(key), *upd_cols)
+    )
+    return history.unionByName(kept_current).unionByName(
+        closed
+    ).unionByName(opened)

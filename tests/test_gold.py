@@ -143,3 +143,47 @@ def test_fact_summary_plan_broadcasts_aggregates(raw_tables):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scd2_apply_versions(spark):
+    """SCD2 merge: changed keys close + reopen, unchanged pass through,
+    new keys insert, history is immutable."""
+    import datetime as dt
+
+    d1 = dt.date(2025, 1, 1)
+    d2 = dt.date(2025, 2, 1)
+    snap1 = spark.createDataFrame(
+        [("c1", "gold", "low"), ("c2", "silver", "high")],
+        ["client_id", "client_type", "risk_level"],
+    )
+    dim = G.scd2_apply(None, snap1, "client_id",
+                       ["client_type", "risk_level"], d1)
+    assert dim.count() == 2
+    assert dim.filter(~F.col("is_current")).count() == 0
+
+    # c1 changes, c2 unchanged, c3 new
+    snap2 = spark.createDataFrame(
+        [("c1", "platinum", "low"), ("c2", "silver", "high"),
+         ("c3", "bronze", "medium")],
+        ["client_id", "client_type", "risk_level"],
+    )
+    dim2 = G.scd2_apply(dim, snap2, "client_id",
+                        ["client_type", "risk_level"], d2)
+    rows = {(r["client_id"], r["is_current"]): r.asDict()
+            for r in dim2.collect()}
+    assert len(rows) == 4  # c1 old + c1 new + c2 + c3
+    closed = rows[("c1", False)]
+    assert closed["client_type"] == "gold"
+    assert closed["valid_to"] == d2 and closed["valid_from"] == d1
+    opened = rows[("c1", True)]
+    assert opened["client_type"] == "platinum"
+    assert opened["valid_from"] == d2 and opened["valid_to"] is None
+    # unchanged row keeps its original version window
+    assert rows[("c2", True)]["valid_from"] == d1
+    assert rows[("c3", True)]["valid_from"] == d2
+
+    # third load with no changes: table is a fixed point
+    dim3 = G.scd2_apply(dim2, snap2, "client_id",
+                        ["client_type", "risk_level"], dt.date(2025, 3, 1))
+    assert dim3.count() == 4
+    assert dim3.filter(F.col("is_current")).count() == 3
