@@ -98,3 +98,42 @@ def rolling_fingerprints(text: Column, window: int = 8) -> Column:
     return F.transform(
         idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, window), " "))
     )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least one
+    word ``n``-gram with any benchmark document, with the number of
+    distinct shared grams — the standard pre-training hygiene check.
+
+    Scale shape: both sides explode to n-grams hashed to 8-byte
+    ``xxhash64`` keys (the gram strings never shuffle); the benchmark
+    side is distinct-hashed and is orders of magnitude smaller than the
+    corpus, so it broadcasts — the corpus is filtered in a single narrow
+    pass with no corpus-wide shuffle before the per-doc count.
+    """
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        shingles,
+    )
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingles(F.col(text_col), n)).alias("__g")
+        )
+        .select(F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("__g"),
+    ).select(id_col, F.xxhash64("__g").alias("__gh"))
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "__gh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__gh").alias("n_shared_grams"))
+    )

@@ -1692,6 +1692,43 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-data hygiene): corpus docs
+    sharing any word 4-gram with a 'benchmark' split (every 100th doc),
+    plus the distinct-shared-gram count. Gram matching happens on 8-byte
+    xxhash64 keys with the small benchmark side broadcast — see
+    ``operators.text_analysis.contamination_overlap``."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        contamination_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 100 == 0)
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    # n=4 on the synthetic corpus (tiny vocab, short docs) plays the
+    # role 13-grams play on real web text: rare-but-present overlap
+    return contamination_overlap(corpus, benchmark, n=4)
+
+
+SQL_CONTAMINATION_CHECK = r"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g
+  FROM tok, unnest(generate_series(1, greatest(len(t) - 3, 1))) AS u(i)
+),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0),
+cg AS (SELECT doc_id, g FROM grams WHERE doc_id % 100 <> 0)
+SELECT cg.doc_id, count(DISTINCT cg.g) AS n_shared_grams
+FROM cg JOIN bg USING (g)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1742,6 +1779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_set_ops": q_customer_set_ops,
     "sketch_aggregates": q_sketch_aggregates,
     "percentile_distributed": q_percentile_distributed,
+    "contamination_check": q_contamination_check,
     "window_analytics": q_window_analytics,
     "argmax_per_group": q_argmax_per_group,
     "running_revenue": q_running_revenue,
@@ -1796,6 +1834,7 @@ ORACLES: dict[str, str] = {
     "token_frequencies": SQL_TOKEN_FREQUENCIES,
     "customer_set_ops": SQL_CUSTOMER_SET_OPS,
     "percentile_distributed": SQL_PERCENTILE_DISTRIBUTED,
+    "contamination_check": SQL_CONTAMINATION_CHECK,
     "window_analytics": SQL_WINDOW_ANALYTICS,
     "argmax_per_group": SQL_ARGMAX_PER_GROUP,
     "running_revenue": SQL_RUNNING_REVENUE,
