@@ -60,3 +60,40 @@ def native_linear_fit(
         F.regr_intercept(y_col, x_col).alias("intercept"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling for dataset balancing (e.g.
+    down-weighting an over-represented language or source). Thin wrapper
+    over ``sampleBy`` — one narrow pass, no shuffle; seeded so a rerun
+    reproduces the same sample (per-row hash decision, independent of
+    partitioning)."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shuffle_seed: int = 42,
+    order_col: str | None = None,
+) -> None:
+    """Write a training-ready sharded dataset: exactly ``n_shards``
+    similarly-sized parquet files, rows pseudo-randomly (seeded) assigned
+    to shards so each shard is an unbiased sample — the layout data
+    loaders expect (shard-per-worker, deterministic restart).
+
+    ``repartition(n, expr)`` hash-distributes on a seeded per-row hash —
+    a full shuffle, paid once at export. ``order_col`` optionally sorts
+    within each shard (e.g. by length for batching efficiency).
+    """
+    key = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(shuffle_seed))
+    out = df.repartition(n_shards, key)
+    if order_col is not None:
+        out = out.sortWithinPartitions(order_col)
+    out.write.mode("overwrite").parquet(path)

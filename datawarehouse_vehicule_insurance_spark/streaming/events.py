@@ -217,3 +217,36 @@ def run_stream_to_memory(
         .outputMode("complete")
         .start()
     )
+
+
+def run_incremental_batch(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint_path: str,
+    transform=None,
+):
+    """Incremental batch ingestion (auto-loader pattern): a file-source
+    stream with ``availableNow`` processes exactly the files that arrived
+    since the last run, then STOPS — a scheduled batch job with streaming
+    bookkeeping instead of hand-rolled "which files are new" state. Each
+    invocation is one incremental run; the checkpoint carries the file
+    ledger across runs, so re-listing or re-running never duplicates.
+    ``transform`` (optional) maps the streaming DataFrame — the same
+    lazy plan batch code uses, e.g. a silver rule list.
+
+    This is the 100-TB answer to the reference's full-rebuild loads
+    (load_bronze.py:88-101 re-reads every CSV every run): per-run work is
+    proportional to NEW data, not table size.
+    """
+    stream = read_event_stream(spark, src_path)
+    if transform is not None:
+        stream = transform(stream)
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", dst_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -229,3 +229,45 @@ def test_weighted_exact_percentile_interpolates(spark):
     )
     out = SC.weighted_exact_percentile(df, "k", "v", {"p50": 0.5}).collect()
     assert out[0]["p50"] == pytest.approx(3.0)
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
+    from datawarehouse_vehicule_insurance_spark.operators import mlprep as MP
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fr = {"en": 0.2, "es": 1.0, "de": 0.0}
+    fractions = {k: fr.get(k, 0.5) for k in
+                 [r[0] for r in docs.select("lang").distinct().collect()]}
+    s1 = MP.stratified_sample(docs, "lang", fractions).cache()
+    s2 = MP.stratified_sample(docs, "lang", fractions)
+    # seeded determinism: identical row sets
+    assert s1.count() == s2.count()
+    assert s1.exceptAll(s2).count() == 0
+    got = {r["lang"]: r["n"] for r in
+           s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tot = {r["lang"]: r["n"] for r in
+           docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("de", 0) == 0
+    if "es" in tot:
+        assert got["es"] == tot["es"]  # fraction 1.0 keeps everything
+    if "en" in tot and tot["en"] > 50:
+        assert 0.05 < got.get("en", 0) / tot["en"] < 0.45
+
+
+def test_export_training_shards(spark, sf_dir, tmp_path):
+    from datawarehouse_vehicule_insurance_spark.operators import mlprep as MP
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dst = str(tmp_path / "shards")
+    MP.export_training_shards(docs, dst, n_shards=8, order_col="n_chars")
+    import glob
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == 8
+    back = spark.read.parquet(dst)
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0
+    # shards are balanced within 3x of each other (hash assignment)
+    sizes = sorted(
+        spark.read.parquet(f).count() for f in files
+    )
+    assert sizes[0] > 0 and sizes[-1] / max(sizes[0], 1) < 3

@@ -288,3 +288,37 @@ def test_upsert_rollup_foreachbatch(spark, tmp_path):
     assert got == want
     # exactly one row per group — overwritten, never duplicated
     assert out.count() == len(got)
+
+
+def test_incremental_batch_processes_only_new_files(spark, tmp_path):
+    """availableNow incremental runs: first run ingests the backlog and
+    stops; the second run ingests only files added in between; a third
+    run with nothing new writes nothing."""
+    from datawarehouse_vehicule_insurance_spark.queries import _events
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    all_events = _events(spark, "/root/testdata/sf0.001").cache()
+    first = all_events.filter(F.col("event_id") < 300)
+    second = all_events.filter(F.col("event_id") >= 300)
+    first.write.mode("overwrite").parquet(src)
+
+    # doubled value as a stand-in transform (same plan as batch)
+    tf = lambda df: df.withColumn("value2", F.col("value") * 2)
+
+    q = SE.run_incremental_batch(spark, src, dst, ckpt, transform=tf)
+    q.awaitTermination()  # availableNow self-terminates
+    assert spark.read.parquet(dst).count() == first.count()
+
+    second.write.mode("append").parquet(src)
+    q2 = SE.run_incremental_batch(spark, src, dst, ckpt, transform=tf)
+    q2.awaitTermination()
+    out = spark.read.parquet(dst)
+    assert out.count() == all_events.count()
+    assert out.select("event_id").distinct().count() == all_events.count()
+    assert out.filter(F.col("value2") != F.col("value") * 2).count() == 0
+
+    q3 = SE.run_incremental_batch(spark, src, dst, ckpt, transform=tf)
+    q3.awaitTermination()
+    assert spark.read.parquet(dst).count() == all_events.count()
