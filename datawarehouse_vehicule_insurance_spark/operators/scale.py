@@ -164,3 +164,43 @@ def explain_shuffles(df: DataFrame) -> dict[str, int]:
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
     }
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """Single-pass column profiling (the ``ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS`` shape): per column — row count, null count,
+    approximate distinct count (HLL, mergeable), and min/max for
+    orderable types. ALL columns are profiled in ONE aggregation over ONE
+    scan (every stat is partial+final combinable); the result is unpivoted
+    driver-side from a single row, so cost is one pass regardless of
+    column count — at 100 TB the scan dominates and nothing shuffles but
+    one row per partition.
+    """
+    numeric_like = {"int", "bigint", "smallint", "tinyint", "double",
+                    "float", "date", "timestamp", "timestamp_ntz"}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, t in df.dtypes:
+        base = t.split("(")[0]
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls")
+        )
+        aggs.append(F.approx_count_distinct(c).alias(f"{c}__distinct"))
+        orderable = base in numeric_like or base == "decimal"
+        aggs.append(
+            (F.min(c) if orderable else F.lit(None)).cast("string").alias(f"{c}__min")
+        )
+        aggs.append(
+            (F.max(c) if orderable else F.lit(None)).cast("string").alias(f"{c}__max")
+        )
+    row = df.agg(*aggs).collect()[0].asDict()
+    spark = df.sparkSession
+    out = [
+        (c, t, row["__n"], row[f"{c}__nulls"], row[f"{c}__distinct"],
+         row[f"{c}__min"], row[f"{c}__max"])
+        for c, t in df.dtypes
+    ]
+    return spark.createDataFrame(
+        out,
+        "column string, dtype string, n_rows long, n_nulls long, "
+        "approx_distinct long, min string, max string",
+    )

@@ -271,3 +271,19 @@ def test_export_training_shards(spark, sf_dir, tmp_path):
         spark.read.parquet(f).count() for f in files
     )
     assert sizes[0] > 0 and sizes[-1] / max(sizes[0], 1) < 3
+
+
+def test_profile_table_single_pass(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = {r["column"]: r.asDict()
+            for r in SC.profile_table(docs).collect()}
+    assert set(prof) == set(docs.columns)
+    n = docs.count()
+    for c in docs.columns:
+        assert prof[c]["n_rows"] == n
+    assert prof["doc_id"]["n_nulls"] == docs.filter(
+        F.col("doc_id").isNull()).count()
+    exact = docs.select("lang").distinct().count()
+    assert abs(prof["lang"]["approx_distinct"] - exact) <= max(1, exact * 0.1)
+    assert prof["n_chars"]["min"] is not None
+    assert prof["text"]["min"] is None  # strings not min/max'd
