@@ -1729,6 +1729,40 @@ GROUP BY 1
 """
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (profiling/binning shape): bucket order
+    totals into 20 equal-width bins over [0, 600000) and aggregate per
+    bin. Bucketing is a codegen'd arithmetic projection (no UDF); the
+    groupBy has ≤20 groups → map-side partials collapse almost all rows
+    before the shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    width = 600000.0 / 20
+    bucket = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / width), F.lit(0)),
+        F.lit(19),
+    ).cast("int")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("bucket_total"),
+        )
+        .withColumn("bucket_lo", (F.col("bucket") * width).cast("double"))
+    )
+
+
+SQL_PRICE_HISTOGRAM = f"""
+SELECT CAST(least(greatest(floor(o_totalprice / 30000.0), 0), 19) AS INT)
+         AS bucket,
+       count(*) AS n_orders,
+       {_sql_dsum('o_totalprice')} AS bucket_total,
+       CAST(least(greatest(floor(o_totalprice / 30000.0), 0), 19) AS INT)
+         * 30000.0 AS bucket_lo
+FROM orders
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1780,6 +1814,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_aggregates": q_sketch_aggregates,
     "percentile_distributed": q_percentile_distributed,
     "contamination_check": q_contamination_check,
+    "price_histogram": q_price_histogram,
     "window_analytics": q_window_analytics,
     "argmax_per_group": q_argmax_per_group,
     "running_revenue": q_running_revenue,
@@ -1835,6 +1870,7 @@ ORACLES: dict[str, str] = {
     "customer_set_ops": SQL_CUSTOMER_SET_OPS,
     "percentile_distributed": SQL_PERCENTILE_DISTRIBUTED,
     "contamination_check": SQL_CONTAMINATION_CHECK,
+    "price_histogram": SQL_PRICE_HISTOGRAM,
     "window_analytics": SQL_WINDOW_ANALYTICS,
     "argmax_per_group": SQL_ARGMAX_PER_GROUP,
     "running_revenue": SQL_RUNNING_REVENUE,
