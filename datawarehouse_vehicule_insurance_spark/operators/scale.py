@@ -204,3 +204,64 @@ def profile_table(df: DataFrame) -> DataFrame:
         "column string, dtype string, n_rows long, n_nulls long, "
         "approx_distinct long, min string, max string",
     )
+
+
+def approx_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Top-k frequent items over an unbounded domain with bounded memory
+    (Misra-Gries / SpaceSaving): the scale answer when an exact
+    ``groupBy(col).count()`` would shuffle a 100-TB-scale vocabulary.
+
+    1. Each partition builds a summary of ≤ ``capacity`` items via
+       ``mapInPandas`` (merge a batch's value_counts, then prune by
+       subtracting the (capacity+1)-th largest weight — the classic MG
+       decrement, so every kept weight is a lower bound with undercount
+       ≤ n_partition / capacity).
+    2. Partials merge by summing per item (MG summaries are mergeable);
+       every item with true frequency > n/capacity survives.
+    3. An exact second pass counts ONLY the candidate items (broadcast
+       semi-join) — final top-k counts are exact, not estimates.
+
+    Deterministic output: ties broken on the item value.
+    """
+    import pandas as pd
+
+    def mg_partition(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].dropna().value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > capacity:
+                thresh = sorted(counts.values(), reverse=True)[capacity]
+                counts = {
+                    v: c - thresh for v, c in counts.items() if c > thresh
+                }
+        yield pd.DataFrame(
+            {"item": list(counts), "weight": list(counts.values())}
+        )
+
+    partials = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        mg_partition, schema="item string, weight long"
+    )
+    candidates = (
+        partials.groupBy("item")
+        .agg(F.sum("weight").alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("item").asc())
+        .limit(max(k * 4, k + 8))
+        .select("item")
+    )
+    exact = (
+        df.join(
+            F.broadcast(candidates),
+            F.col(col).cast("string") == F.col("item"),
+        )
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("item").asc())
+        .limit(k)
+    )
+    return exact

@@ -1763,6 +1763,40 @@ GROUP BY 1
 """
 
 
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters with exact final counts: top-10 corpus
+    tokens via per-partition Misra-Gries summaries (bounded memory,
+    ``scale.approx_heavy_hitters``) + an exact candidate count pass. The
+    oracle is plain exact top-k SQL — valid because the MG guarantee
+    keeps every item with freq > n/capacity in the candidate set and the
+    second pass replaces estimates with exact counts."""
+    from datawarehouse_vehicule_insurance_spark.operators.scale import (
+        approx_heavy_hitters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            )
+        ).alias("token")
+    )
+    return approx_heavy_hitters(tokens, "token", k=10, capacity=4096)
+
+
+SQL_HEAVY_HITTER_TOKENS = r"""
+SELECT t.token AS item, count(*) AS freq
+FROM documents,
+     unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                         ' ')) AS t(token)
+GROUP BY 1
+ORDER BY freq DESC, item ASC
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1815,6 +1849,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentile_distributed": q_percentile_distributed,
     "contamination_check": q_contamination_check,
     "price_histogram": q_price_histogram,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "window_analytics": q_window_analytics,
     "argmax_per_group": q_argmax_per_group,
     "running_revenue": q_running_revenue,
@@ -1871,6 +1906,7 @@ ORACLES: dict[str, str] = {
     "percentile_distributed": SQL_PERCENTILE_DISTRIBUTED,
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "price_histogram": SQL_PRICE_HISTOGRAM,
+    "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
     "window_analytics": SQL_WINDOW_ANALYTICS,
     "argmax_per_group": SQL_ARGMAX_PER_GROUP,
     "running_revenue": SQL_RUNNING_REVENUE,

@@ -287,3 +287,37 @@ def test_profile_table_single_pass(spark, sf_dir):
     assert abs(prof["lang"]["approx_distinct"] - exact) <= max(1, exact * 0.1)
     assert prof["n_chars"]["min"] is not None
     assert prof["text"]["min"] is None  # strings not min/max'd
+
+
+def test_approx_heavy_hitters_matches_exact_topk(spark, sf_dir):
+    """With adequate capacity the MG candidates contain every true heavy
+    hitter, and the second pass makes the top-k counts exact."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            )
+        ).alias("token")
+    )
+    got = [(r["item"], r["freq"]) for r in
+           SC.approx_heavy_hitters(tokens, "token", k=10,
+                                   capacity=2048).collect()]
+    want = [(r["token"], r["freq"]) for r in
+            tokens.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("token").asc())
+            .limit(10).collect()]
+    assert got == want
+
+
+def test_approx_heavy_hitters_small_capacity_finds_hot_item(spark):
+    """A planted mega-key must survive even a tiny summary (freq > n/cap
+    guarantee)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"v": [f"rare_{i}" for i in range(5000)] + ["hot"] * 2000})
+    df = spark.createDataFrame(pdf).repartition(8)
+    out = SC.approx_heavy_hitters(df, "v", k=1, capacity=16).collect()
+    assert out[0]["item"] == "hot" and out[0]["freq"] == 2000
