@@ -111,29 +111,60 @@ def contamination_overlap(
     word ``n``-gram with any benchmark document, with the number of
     distinct shared grams — the standard pre-training hygiene check.
 
-    Scale shape: both sides explode to n-grams hashed to 8-byte
-    ``xxhash64`` keys (the gram strings never shuffle); the benchmark
-    side is distinct-hashed and is orders of magnitude smaller than the
-    corpus, so it broadcasts — the corpus is filtered in a single narrow
-    pass with no corpus-wide shuffle before the per-doc count.
+    Scale shape: both sides reduce n-grams to 8-byte ``xxhash64`` keys
+    built from per-token hashes with a lead window over exploded tokens
+    — the gram pipeline stays in whole-stage codegen and no gram STRING
+    is ever materialized (interpreted higher-order array functions are
+    the table-scale slow path; same lesson as
+    ``dedup.minhash_signatures_df``). The benchmark side is
+    distinct-hashed and orders of magnitude smaller than the corpus, so
+    it broadcasts.
     """
-    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
-        shingles,
-    )
-
     bench_grams = (
-        benchmark.select(
-            F.explode(shingles(F.col(text_col), n)).alias("__g")
-        )
-        .select(F.xxhash64("__g").alias("__gh"))
-        .distinct()
+        _gram_hashes(benchmark, id_col, text_col, n)
+        .select("__gh").distinct()
     )
-    corpus_grams = corpus.select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), n)).alias("__g"),
-    ).select(id_col, F.xxhash64("__g").alias("__gh"))
+    corpus_grams = _gram_hashes(
+        corpus, id_col, text_col, n
+    ).withColumnRenamed("__id", id_col)
     return (
         corpus_grams.join(F.broadcast(bench_grams), "__gh")
         .groupBy(id_col)
         .agg(F.count_distinct("__gh").alias("n_shared_grams"))
     )
+
+
+def _gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc, gram-hash) pairs: explode tokens, hash each, combine ``n``
+    consecutive token hashes with a lead window into one 64-bit gram
+    key. Mirrors ``dedup.shingles`` indexing: full grams at positions
+    0..size-n, and a document shorter than ``n`` tokens keeps its single
+    partial gram (trailing null leads are skipped by ``xxhash64``,
+    deterministically, so equal short docs still collide)."""
+    from pyspark.sql import Window
+
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(toks).alias("__sz"),
+        F.posexplode(toks).alias("__pos", "__tok"),
+    ).withColumn("__th", F.xxhash64("__tok"))
+    w = Window.partitionBy("__id").orderBy("__pos")
+    parts = [F.col("__th")] + [
+        F.lead("__th", j).over(w) for j in range(1, n)
+    ]
+    g = base.select(
+        "__id",
+        "__sz",
+        "__pos",
+        F.xxhash64(*parts).alias("__gh"),
+        F.lead("__th", n - 1).over(w).alias("__last"),
+    )
+    return g.filter(
+        F.col("__last").isNotNull()
+        | ((F.col("__sz") < n) & (F.col("__pos") == 0))
+    ).select("__id", "__gh")
