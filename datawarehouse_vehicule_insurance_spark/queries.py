@@ -1797,6 +1797,70 @@ LIMIT 10
 """
 
 
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks after
+    30 min of per-user inactivity — LAG to mark session starts, a
+    running SUM to number sessions, then per-session aggregates. The
+    streaming twin is ``streaming.sessionize`` (native session_window);
+    this is the oracle-checkable batch equivalent. All time math is on
+    integer epoch-µs (exact; ns→µs truncation matches the events
+    reader)."""
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id", "event_id", "value",
+            F.unix_micros(F.col("ts")).alias("tsu"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    new_sess = F.when(
+        F.lag("tsu").over(w).isNull()
+        | ((F.col("tsu") - F.lag("tsu").over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("session_id", F.sum(new_sess).over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("tsu").alias("session_start_us"),
+            F.max("tsu").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("session_value"),
+        )
+    )
+
+
+SQL_SESSIONIZE_BATCH = f"""
+WITH ev AS (
+  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tsu
+  FROM events WHERE user_id IS NOT NULL
+), marked AS (
+  SELECT *,
+         CASE WHEN lag(tsu) OVER w IS NULL
+                   OR tsu - lag(tsu) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+), numbered AS (
+  SELECT *,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       min(tsu) AS session_start_us,
+       max(tsu) AS session_end_us,
+       count(*) AS n_events,
+       {_sql_dsum('value')} AS session_value
+FROM numbered
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1850,6 +1914,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": q_contamination_check,
     "price_histogram": q_price_histogram,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "sessionize_batch": q_sessionize_batch,
     "window_analytics": q_window_analytics,
     "argmax_per_group": q_argmax_per_group,
     "running_revenue": q_running_revenue,
@@ -1907,6 +1972,7 @@ ORACLES: dict[str, str] = {
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "price_histogram": SQL_PRICE_HISTOGRAM,
     "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
+    "sessionize_batch": SQL_SESSIONIZE_BATCH,
     "window_analytics": SQL_WINDOW_ANALYTICS,
     "argmax_per_group": SQL_ARGMAX_PER_GROUP,
     "running_revenue": SQL_RUNNING_REVENUE,
