@@ -250,3 +250,41 @@ def run_incremental_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases matched to the
+    same user's clicks from the preceding ``window_minutes``. Both sides
+    are watermarked and the join condition time-bounds the match, so
+    Spark can evict join state for rows older than watermark + bound —
+    the state-bounding requirement of production stream-stream joins.
+    The same function joins two batch DataFrames identically (tested:
+    stream ≡ batch)."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    bound = F.expr(f"click_ts >= purchase_ts - INTERVAL {window_minutes} MINUTES")
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & bound
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id", "purchase_ts", "purchase_value",
+        "click_id", "click_ts",
+    )

@@ -322,3 +322,37 @@ def test_incremental_batch_processes_only_new_files(spark, tmp_path):
     q3 = SE.run_incremental_batch(spark, src, dst, ckpt, transform=tf)
     q3.awaitTermination()
     assert spark.read.parquet(dst).count() == all_events.count()
+
+
+def test_stream_stream_join_matches_batch(spark, event_files):
+    """Watermarked stream-stream join produces exactly the rows the same
+    join yields in batch (finite replay; watermark wide enough that
+    nothing is dropped)."""
+    stream = SE.read_event_stream(spark, event_files)
+    out = SE.click_purchase_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql(
+            "SELECT user_id, purchase_id, click_id FROM ss_join_test"
+        ).collect()}
+    finally:
+        q.stop()
+
+    batch = spark.read.parquet(event_files)
+    want_df = SE.click_purchase_join(
+        batch.filter(F.col("event_type") == "click"),
+        batch.filter(F.col("event_type") == "purchase"),
+    )
+    want = {tuple(r) for r in
+            want_df.select("user_id", "purchase_id", "click_id").collect()}
+    assert len(want) > 0
+    assert got == want
