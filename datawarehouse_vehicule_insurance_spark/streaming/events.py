@@ -288,3 +288,14 @@ def click_purchase_join(
         "purchase_id", "purchase_ts", "purchase_value",
         "click_id", "click_ts",
     )
+
+
+def enrich_with_static(
+    stream: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension
+    (the kimball lookup shape). Stateless — each micro-batch joins
+    against the CURRENT dim snapshot, so a small dim broadcasts per
+    batch and no streaming state accumulates; re-reading the dim picks
+    up dimension updates between batches for free."""
+    return stream.join(F.broadcast(dim), on, "left")

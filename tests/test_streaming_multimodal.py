@@ -356,3 +356,35 @@ def test_stream_stream_join_matches_batch(spark, event_files):
             want_df.select("user_id", "purchase_id", "click_id").collect()}
     assert len(want) > 0
     assert got == want
+
+
+def test_stream_static_enrichment(spark, event_files):
+    """Stream-static left join enriches every event; result matches the
+    batch join exactly."""
+    dim = (
+        spark.read.parquet(event_files)
+        .select("user_id").distinct()
+        .withColumn("user_tier", F.when(F.col("user_id") % 2 == 0, "even")
+                    .otherwise("odd"))
+    ).cache()
+    stream = SE.read_event_stream(spark, event_files)
+    q = (
+        SE.enrich_with_static(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT event_id, user_tier FROM enrich_test"
+        ).collect()
+    finally:
+        q.stop()
+    batch = SE.enrich_with_static(spark.read.parquet(event_files), dim)
+    want = {r["event_id"]: r["user_tier"]
+            for r in batch.select("event_id", "user_tier").collect()}
+    assert len(got) == len(want)
+    for r in got:
+        assert want[r["event_id"]] == r["user_tier"]
