@@ -265,3 +265,37 @@ def approx_heavy_hitters(
         .limit(k)
     )
     return exact
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join by salting: the big (skewed) side gets a
+    random salt in [0, ``salt_buckets``); the small side is replicated
+    once per salt value; joining on (key, salt) spreads a hot key's rows
+    over ``salt_buckets`` tasks instead of one straggler. Result is
+    row-identical to the plain join (each match pairs with exactly the
+    one replica carrying its salt — tested).
+
+    AQE's skew-join splitting covers sort-merge joins at runtime; reach
+    for explicit salting when the skewed side must shuffle-hash join, or
+    the engine/config runs without AQE, or the skew is known at plan
+    time and you want a deterministic layout. Cost: small side is
+    materialized ``salt_buckets`` times — keep it broadcast-sized.
+    ``how`` ∈ {inner, left} (the outer row-preservation cases that make
+    sense with a replicated right side).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got '{how}'")
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    replicated = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    return salted_big.join(replicated, [key, "__salt"], how).drop("__salt")

@@ -321,3 +321,18 @@ def test_approx_heavy_hitters_small_capacity_finds_hot_item(spark):
     df = spark.createDataFrame(pdf).repartition(8)
     out = SC.approx_heavy_hitters(df, "v", k=1, capacity=16).collect()
     assert out[0]["item"] == "hot" and out[0]["freq"] == 2000
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_equals_plain_join(spark, sf_dir, how):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    got = SC.salted_join(orders, customer, "o_custkey", how=how)
+    want = orders.join(customer, "o_custkey", how)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
