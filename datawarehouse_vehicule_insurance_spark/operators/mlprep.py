@@ -18,16 +18,21 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def grouped_linear_fit(
     df: DataFrame, group_col: str, x_col: str, y_col: str
 ) -> DataFrame:
     """Per-group OLS fit of ``y ~ x`` via applyInPandas (numpy lstsq).
-    Returns (group, slope, intercept, n)."""
-    out_schema = (
-        f"{group_col} string, slope double, intercept double, n long"
-    )
+    Returns (group, slope, intercept, n). The group column keeps its
+    input type (same contract as :func:`native_linear_fit`)."""
+    out_schema = T.StructType([
+        T.StructField(group_col, df.schema[group_col].dataType),
+        T.StructField("slope", T.DoubleType()),
+        T.StructField("intercept", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
 
     def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

@@ -18,6 +18,7 @@ compact features and drop the payload column as early as possible.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -157,7 +158,13 @@ def sample_video_frames(
                 n_frames = max(len(data) // 256, 1)
                 for idx in range(0, n_frames, every_n):
                     chunk = data[idx * 256:(idx + 1) * 256]
-                    rows.append((asset_id, idx, hash(chunk) & 0x7FFFFFFFFFFFFFFF))
+                    # stable across processes/runs — builtin hash() is
+                    # PYTHONHASHSEED-salted and would differ per executor
+                    digest = hashlib.blake2b(chunk, digest_size=8).digest()
+                    frame_hash = (
+                        int.from_bytes(digest, "big") & 0x7FFFFFFFFFFFFFFF
+                    )
+                    rows.append((asset_id, idx, frame_hash))
             yield pd.DataFrame(
                 rows, columns=["asset_id", "frame_idx", "frame_hash"]
             )

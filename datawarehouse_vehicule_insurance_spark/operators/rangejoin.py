@@ -30,14 +30,22 @@ def time_range_join(
 
     Both inputs keep all their columns (names must not collide). The
     equi-join key is the coarse time bucket of width ``window_seconds``;
-    right rows are exploded into the two buckets they can serve.
+    right rows are exploded into the two buckets they can serve. The
+    precise window predicate lives IN the join condition (not a
+    post-filter) so ``how='left'`` keeps unmatched left rows with NULL
+    right columns instead of silently degrading to inner semantics.
+    A right row duplicated into two buckets can match a given left row
+    through at most one of them (the left row has a single bucket), so
+    no dedup is needed.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"time_range_join supports inner/left, got '{how}'")
     w = F.lit(window_seconds)
     l_b = (F.unix_timestamp(F.col(left_ts)) / w).cast("long")
     r_sec = F.unix_timestamp(F.col(right_ts))
-    l_tagged = left.withColumn("__bucket", l_b)
+    l_tagged = left.withColumn("__bucket_l", l_b)
     r_tagged = right.withColumn(
-        "__bucket",
+        "__bucket_r",
         F.explode(
             F.array_distinct(
                 F.array(
@@ -48,11 +56,11 @@ def time_range_join(
         ),
     )
     cond = (
-        (F.col(right_ts) <= F.col(left_ts))
+        (F.col("__bucket_l") == F.col("__bucket_r"))
+        & (F.col(right_ts) <= F.col(left_ts))
         & (F.col(right_ts) >= F.col(left_ts) - F.make_dt_interval(secs=w))
     )
     return (
-        l_tagged.join(r_tagged, "__bucket", how)
-        .filter(cond)
-        .drop("__bucket")
+        l_tagged.join(r_tagged, cond, how)
+        .drop("__bucket_l", "__bucket_r")
     )

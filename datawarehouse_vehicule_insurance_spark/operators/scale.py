@@ -226,32 +226,62 @@ def approx_heavy_hitters(
     3. An exact second pass counts ONLY the candidate items (broadcast
        semi-join) — final top-k counts are exact, not estimates.
 
+    Candidate cut: MG weights undercount by at most the partition's
+    total decrement, so an item's true count is bounded by
+    ``merged_weight + D`` where ``D`` is the summed decrement across all
+    partitions (emitted as a NULL-item sentinel row). Any item whose
+    upper bound falls below the k-th largest merged lower bound cannot
+    be a true top-k item — that is the only pruning applied, so the
+    exact-top-k claim holds whenever the true k-th count exceeds ``D``
+    (the standard MG capacity condition). A fixed ``limit(4k)`` cut
+    (the previous form) could drop a true top-k item under near-ties.
+
     Deterministic output: ties broken on the item value.
     """
     import pandas as pd
 
     def mg_partition(batches):
         counts: dict = {}
+        decr = 0
         for pdf in batches:
             for v, c in pdf[col].dropna().value_counts().items():
                 counts[v] = counts.get(v, 0) + int(c)
             if len(counts) > capacity:
                 thresh = sorted(counts.values(), reverse=True)[capacity]
+                decr += thresh
                 counts = {
                     v: c - thresh for v, c in counts.items() if c > thresh
                 }
-        yield pd.DataFrame(
+        out = pd.DataFrame(
             {"item": list(counts), "weight": list(counts.values())}
         )
+        if decr:
+            out = pd.concat(
+                [out, pd.DataFrame({"item": [None], "weight": [decr]})],
+                ignore_index=True,
+            )
+        yield out
 
     partials = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
         mg_partition, schema="item string, weight long"
+    ).localCheckpoint(eager=False)
+    merged = (
+        partials.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    slack = partials.filter(F.col("item").isNull()).agg(
+        F.coalesce(F.sum("weight"), F.lit(0)).alias("__slack")
+    )
+    kth = (
+        merged.orderBy(F.col("weight").desc(), F.col("item").asc())
+        .limit(k)
+        .agg(F.coalesce(F.min("weight"), F.lit(0)).alias("__kth"))
     )
     candidates = (
-        partials.groupBy("item")
-        .agg(F.sum("weight").alias("weight"))
-        .orderBy(F.col("weight").desc(), F.col("item").asc())
-        .limit(max(k * 4, k + 8))
+        merged.crossJoin(F.broadcast(slack))
+        .crossJoin(F.broadcast(kth))
+        .filter(F.col("weight") + F.col("__slack") >= F.col("__kth"))
         .select("item")
     )
     exact = (

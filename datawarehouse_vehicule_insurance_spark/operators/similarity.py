@@ -77,46 +77,99 @@ def cosine_neardup_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 2048,
 ) -> DataFrame:
-    """All-pairs cosine near-duplicate detection via Arrow-batched numpy
-    matmul: the full (normalized) matrix is broadcast to executors, each
-    partition multiplies its block against it with BLAS. ~30× faster
-    than per-pair column expressions (interpreted HOFs) at 5k vectors.
+    """EXACT all-pairs cosine near-duplicate detection, distributed via
+    block-pair partitioning: rows are hashed into B = ceil(N/block_rows)
+    blocks; each of the B(B+1)/2 block pairs becomes one applyInPandas
+    group whose task multiplies its two blocks with BLAS. Every unordered
+    row pair meets in exactly one task (cross-block pairs where the two
+    blocks differ, upper-triangle within a diagonal task), so the output
+    equals the brute-force all-pairs result — no driver ``collect()``,
+    no full-matrix broadcast; per-task memory is 2×``block_rows``
+    vectors regardless of N.
 
-    Scale ceiling: the broadcast matrix — fine to ~1M×small-dim vectors;
-    beyond that, pre-bucket with :func:`lsh_bucket` and run this within
-    buckets (same emit schema).
+    The quadratic comparison cost is inherent to EXACT near-dup; it is
+    here spread evenly over the cluster (each row is replicated ~B times
+    into its block-pair tasks). For approximate near-dup at extreme
+    scale, pre-bucket with :func:`lsh_bucket` and run the same matmul
+    within buckets.
     """
+    import math as _math
+
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    n = df.count()
+    n_blocks = max(1, _math.ceil(n / block_rows))
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        .cast("int")
+        .alias("__blk"),
+    )
+    # row in block b serves as the "left" matrix of tasks (b, j≥b) and as
+    # the "right" matrix of tasks (i<b, b); the diagonal task (b, b) uses
+    # the left copy only.
+    left = base.withColumn(
+        "__bj", F.explode(F.sequence(F.col("__blk"), F.lit(n_blocks - 1)))
+    ).select(
+        F.col("__blk").alias("__bi"), "__bj",
+        F.lit(0).alias("__side"), "__id", "__vec",
+    )
+    right = base.withColumn(
+        "__bi", F.explode(F.sequence(F.lit(0), F.col("__blk") - 1))
+    ).select(
+        "__bi", F.col("__blk").alias("__bj"),
+        F.lit(1).alias("__side"), "__id", "__vec",
+    )
+    tasks = left.unionByName(right)
 
     out_schema = "id_a long, id_b long, cosine_sim double"
 
-    def _block(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            blk = np.array(list(pdf[vec_col]), dtype=np.float64)
-            blk /= np.linalg.norm(blk, axis=1, keepdims=True)
-            blk_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            sims = blk @ all_mat.T  # BLAS
-            ia, ib = np.nonzero(sims >= threshold)
-            a, b = blk_ids[ia], all_ids[ib]
-            keep = a < b  # dedup ordered pairs + drop self-pairs
-            yield pd.DataFrame({
-                "id_a": a[keep],
-                "id_b": b[keep],
-                "cosine_sim": np.round(sims[ia, ib][keep], 6),
-            })
+    def _pairs(key, pdf):
+        bi, bj = key
+        a_pdf = pdf[pdf["__side"] == 0]
+        b_pdf = pdf[pdf["__side"] == 1]
+        empty = pd.DataFrame({
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cosine_sim": pd.Series(dtype="float64"),
+        })
+        if len(a_pdf) == 0:
+            return empty
 
-    return df.select(id_col, vec_col).mapInPandas(_block, out_schema)
+        def _mat(p):
+            m = np.array(list(p["__vec"]), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            return m / norms
+
+        m_a = _mat(a_pdf)
+        ids_a = a_pdf["__id"].to_numpy(dtype=np.int64)
+        if bi == bj:
+            sims = m_a @ m_a.T
+            ia, ib = np.nonzero(sims >= threshold)
+            a, b = ids_a[ia], ids_a[ib]
+            keep = a < b  # symmetric matrix: keep each pair once, no self
+        else:
+            if len(b_pdf) == 0:
+                return empty
+            m_b = _mat(b_pdf)
+            ids_b = b_pdf["__id"].to_numpy(dtype=np.int64)
+            sims = m_a @ m_b.T
+            ia, ib = np.nonzero(sims >= threshold)
+            a, b = ids_a[ia], ids_b[ib]
+            # cross-block: every pair meets exactly once; orient by id
+            keep = np.ones(len(a), dtype=bool)
+        return pd.DataFrame({
+            "id_a": np.minimum(a, b)[keep],
+            "id_b": np.maximum(a, b)[keep],
+            "cosine_sim": np.round(sims[ia, ib][keep], 6),
+        })
+
+    return tasks.groupBy("__bi", "__bj").applyInPandas(_pairs, out_schema)
 
 
 def ivf_topk(

@@ -1846,9 +1846,10 @@ WITH ev AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
 ), numbered AS (
   SELECT *,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
+         CAST(sum(new_sess) OVER (
+             PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id,
