@@ -97,3 +97,33 @@ def test_time_range_join_matches_bruteforce(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_time_range_join_left_keeps_unmatched(spark):
+    """how='left' preserves left rows with no right row in the window
+    (the predicate lives in the join condition, not a post-filter)."""
+    import datetime as dt
+
+    from datawarehouse_vehicule_insurance_spark.operators.rangejoin import (
+        time_range_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    lefts = [(0, base), (1, base + dt.timedelta(seconds=500))]
+    rights = [(100, base - dt.timedelta(seconds=2), 1.0)]
+    L = spark.createDataFrame(lefts, "lid int, p_ts timestamp")
+    R = spark.createDataFrame(rights, "rid int, c_ts timestamp, v double")
+
+    out = {
+        (r["lid"], r["rid"])
+        for r in time_range_join(L, R, "p_ts", "c_ts", 10, how="left")
+        .collect()
+    }
+    # left 0 matches right 100 (2s before); left 1 has nothing in window
+    assert out == {(0, 100), (1, None)}
+
+    inner = {
+        (r["lid"], r["rid"])
+        for r in time_range_join(L, R, "p_ts", "c_ts", 10).collect()
+    }
+    assert inner == {(0, 100)}

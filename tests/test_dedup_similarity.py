@@ -208,3 +208,40 @@ def test_ivf_kmeans_refinement_recall(spark):
     ref_pairs = {(r["query_id"], r["vec_id"]) for r in refined.collect()}
     assert len(ref_pairs) == 25
     assert len(exact_pairs & ref_pairs) / len(exact_pairs) >= 0.3
+
+
+def test_cosine_neardup_block_partitioned_matches_bruteforce(spark):
+    """The distributed block-pair path (forced multi-block via tiny
+    block_rows) produces exactly the brute-force all-pairs result —
+    cross-block pairs must be oriented by id, not dropped."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, dim = 60, 8
+    mat = rng.normal(size=(n, dim))
+    # plant near-dups across the id range (they will hash to different blocks)
+    mat[37] = mat[2] + rng.normal(scale=0.01, size=dim)
+    mat[58] = mat[11] + rng.normal(scale=0.01, size=dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_neardup_pairs(
+            df, threshold=0.6, block_rows=16
+        ).collect()
+    }
+
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(range(n), 2)
+        if sims[a, b] >= 0.6
+    }
+    assert (2, 37) in want and (11, 58) in want
+    assert got == want

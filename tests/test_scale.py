@@ -336,3 +336,61 @@ def test_salted_join_equals_plain_join(spark, sf_dir, how):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_approx_heavy_hitters_survives_near_ties(spark):
+    """Adversarial near-tie case: many items whose counts cluster just
+    below the top-k — the upper-bound candidate cut must keep every
+    possible true top-k item (a fixed limit(4k) cut can drop one)."""
+    from datawarehouse_vehicule_insurance_spark.operators.scale import (
+        approx_heavy_hitters,
+    )
+
+    rows = []
+    # 3 hot items at 60 and a 40-way near-tie band at 50/49
+    for i in range(3):
+        rows += [(f"hot_{i}",)] * 60
+    for i in range(40):
+        rows += [(f"tie_{i:02d}",)] * (50 - (i % 2))
+    # noise tail to force MG pruning at tiny capacity
+    for i in range(300):
+        rows += [(f"noise_{i:03d}",)] * 2
+    df = spark.createDataFrame(rows, "token string").repartition(8)
+
+    got = [
+        (r["item"], r["freq"])
+        for r in approx_heavy_hitters(df, "token", k=5, capacity=16)
+        .collect()
+    ]
+    exact = [
+        (r["token"], r["cnt"])
+        for r in df.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(5)
+        .collect()
+    ]
+    assert got == exact
+
+
+def test_grouped_linear_fit_preserves_numeric_group_dtype(spark):
+    """A numeric group column keeps its type in the applyInPandas output
+    (was hardcoded to string)."""
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        grouped_linear_fit,
+        native_linear_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(x), 2.0 * x + g) for g in (1, 2) for x in range(5)],
+        "grp int, x double, y double",
+    )
+    pandas_fit = grouped_linear_fit(df, "grp", "x", "y")
+    native = native_linear_fit(df, "grp", "x", "y")
+    assert pandas_fit.schema["grp"].dataType == df.schema["grp"].dataType
+    got = {r["grp"]: r for r in pandas_fit.collect()}
+    want = {r["grp"]: r for r in native.collect()}
+    assert set(got) == {1, 2}
+    for g in got:
+        assert abs(got[g]["slope"] - want[g]["slope"]) < 1e-9
+        assert abs(got[g]["intercept"] - want[g]["intercept"]) < 1e-9

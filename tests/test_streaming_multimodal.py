@@ -388,3 +388,46 @@ def test_stream_static_enrichment(spark, event_files):
     assert len(got) == len(want)
     for r in got:
         assert want[r["event_id"]] == r["user_tier"]
+
+
+def test_fake_mode_contract_pinned(spark, assets):
+    """Contract test: the deterministic fake-decode features are PINNED
+    so the stub plumbing cannot drift between rounds (and frame hashes
+    are process-stable — blake2b, not the salted builtin hash)."""
+    import hashlib
+
+    img = {
+        r["asset_id"]: r.asDict()
+        for r in MM.extract_image_features(assets, fake=True).collect()
+    }
+    # asset 1: payload bytes(range(200)) -> n=200
+    assert img[1] == {
+        "asset_id": 1, "n_bytes": 200, "width": 201, "height": 201,
+        "mean_luma": (sum(range(64)) / 64) / 255.0,
+    }
+    # asset 2: 1000 x 0xff
+    assert img[2]["width"] == (1000 % 640) + 1
+    assert img[2]["height"] == (1000 % 480) + 1
+    assert img[2]["mean_luma"] == 1.0
+
+    frames = {
+        r["frame_idx"]: r["frame_hash"]
+        for r in MM.sample_video_frames(assets, every_n=5, fake=True)
+        .collect()
+    }
+    data = bytes(range(256)) * 40
+    for idx, got_hash in frames.items():
+        chunk = data[idx * 256:(idx + 1) * 256]
+        want = int.from_bytes(
+            hashlib.blake2b(chunk, digest_size=8).digest(), "big"
+        ) & 0x7FFFFFFFFFFFFFFF
+        assert got_hash == want
+
+    aud = {
+        r["asset_id"]: r.asDict()
+        for r in MM.extract_audio_features(assets, fake=True).collect()
+    }
+    assert aud[5] == {
+        "asset_id": 5, "n_bytes": 128, "duration_ms": 2000,
+        "rms_level": 0.0,
+    }
