@@ -105,6 +105,7 @@ def weighted_exact_percentile(
     group_col: str,
     value_col: str,
     percentiles: dict[str, float],
+    count_col: str | None = None,
 ) -> DataFrame:
     """Distributed EXACT interpolated percentiles (same definition as
     Spark ``percentile`` / SQL ``percentile_cont``) without buffering a
@@ -126,6 +127,9 @@ def weighted_exact_percentile(
     Exact whenever the value domain is quantized (so the compression is
     lossless); identical to ``percentile_cont``'s linear interpolation.
     ``percentiles`` maps output column name → fraction in [0, 1].
+    ``count_col`` optionally adds the per-group non-null value count —
+    free (it is the total weight already computed), saving callers a
+    second scan of the fact table.
     """
     w = df.filter(F.col(value_col).isNotNull()).groupBy(
         F.col(group_col), F.col(value_col).alias("__v")
@@ -151,6 +155,8 @@ def weighted_exact_percentile(
         aggs.append(
             (lo + frac * (F.coalesce(hi, lo) - lo)).alias(name)
         )
+    if count_col is not None:
+        aggs.append(F.max("__n").alias(count_col))
     return w.groupBy(group_col).agg(*aggs)
 
 

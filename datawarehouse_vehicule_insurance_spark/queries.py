@@ -1051,15 +1051,13 @@ def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_extendedprice",
         {"median_price": 0.5, "p90_price": 0.9},
+        count_col="n_values",
     )
-    counts = lineitem.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_rows")
-    )
-    return pct.join(counts, "l_returnflag").select(
+    return pct.select(
         "l_returnflag",
         F.round("median_price", 4).alias("median_price"),
         F.round("p90_price", 4).alias("p90_price"),
-        "n_rows",
+        "n_values",
     )
 
 
@@ -1067,7 +1065,7 @@ SQL_PERCENTILE_PRICES = """
 SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
        round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
-       count(*) AS n_rows
+       count(l_extendedprice) AS n_values
 FROM lineitem GROUP BY 1
 """
 
@@ -1146,27 +1144,29 @@ FROM evolved GROUP BY 1
 def q_pricing_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP and CUBE grouping-sets aggregates in one gate query
     (subtotals + grand total; cube adds the per-linestatus slice),
-    tagged by set operator. Grouping sets expand map-side — each input
-    row contributes to its sets' partials before ONE shuffle per
-    branch."""
+    tagged by set operator — computed from ONE cube aggregation over ONE
+    scan: rollup's grouping sets {(rf,ls),(rf),()} are exactly the cube
+    sets minus the ls-only slice, identified by ``grouping_id()``
+    (bit 2 = rf aggregated, bit 1 = ls aggregated → gid 2 is the
+    ls-only set). The rollup branch is a filter over the cached cube
+    result, so the fact table is scanned and shuffled once, not
+    twice."""
     lineitem = _t(spark, sf_dir, "lineitem")
-    rollup = (
-        lineitem.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .withColumn("set_op", F.lit("rollup"))
+    cube = lineitem.cube("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping_id().alias("__gid"),
     )
-    cube = (
-        lineitem.cube("l_returnflag", "l_linestatus")
-        .agg(
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .withColumn("set_op", F.lit("cube"))
+    # each cube row belongs to 'cube' always, and to 'rollup' unless it
+    # is the ls-only set (gid 2); exploding the tag list avoids a union
+    # of two branches (which would re-plan the scan+aggregate twice)
+    tags = F.when(
+        F.col("__gid") == 2, F.array(F.lit("cube"))
+    ).otherwise(F.array(F.lit("rollup"), F.lit("cube")))
+    return cube.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "n_rows",
+        F.explode(tags).alias("set_op"),
     )
-    return rollup.unionByName(cube)
 
 
 SQL_PRICING_GROUPING_SETS = f"""
