@@ -33,7 +33,9 @@ def unicode_trim(col: Column) -> Column:
     return F.regexp_replace(col, r"(?U)(^\s+|\s+$)", "")
 
 
-def normalize_text(col: Column, fidelity: str = "fast") -> Column:
+def normalize_text(
+    col: Column, fidelity: str = "fast", keep_empty: bool = False
+) -> Column:
     """trim + title-case + empty→NULL (reference: load_silver.py:63-79).
 
     ``fidelity='fast'`` uses native ``initcap`` (capitalizes after
@@ -41,11 +43,21 @@ def normalize_text(col: Column, fidelity: str = "fast") -> Column:
     plain words). ``fidelity='exact'`` reproduces ``str.title()`` including
     capitalization after ANY non-alpha char (``o'neil`` → ``O'Neil``,
     ``f-150`` → ``F-150``) via an Arrow-batched pandas UDF.
+
+    ``keep_empty=True`` reproduces the reference's vehicles brand/model
+    path (load_silver.py:123-128), which title-cases but KEEPS an
+    empty-after-trim string instead of nulling it; the default (empty →
+    NULL) matches the reference's clients path and is the deliberate
+    data-quality choice for everything else.
     """
     if fidelity == "exact":
         # Python-strip fidelity too: unicode whitespace counts as empty
         t = unicode_trim(col)
+        if keep_empty:
+            return title_exact(t)
         return F.when(t == "", F.lit(None)).otherwise(title_exact(t))
+    if keep_empty:
+        return F.initcap(F.trim(col))
     return F.initcap(empty_to_null(col))
 
 

@@ -11,8 +11,10 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def domain_validate(col: Column, domain: list[str], normalizer=None) -> Column:
@@ -45,13 +47,34 @@ def int_range_validate(
     return F.when(v.isNotNull() & (v >= lo) & (v <= upper), v.try_cast("int"))
 
 
-def positive_round2(col: Column) -> Column:
+def positive_round2(col: Column, banker: bool = False) -> Column:
     """Keep strictly-positive numerics re-rounded to 2 decimals, else NULL
     (reference: load_silver.py:167-169,197-199,215-217). Whether NULL then
     drops the row (payments) or is retained (policies/claims premium/amount)
-    is the rule engine's ``on_invalid`` choice."""
+    is the rule engine's ``on_invalid`` choice.
+
+    Rounding mode: Spark ``round`` is HALF_UP on the decimalized value;
+    the reference's Python ``round()`` correctly rounds the BINARY
+    double half-to-even — they differ on .xx5-looking boundaries of
+    >2-decimal raw values (the generator pre-rounds, so reference parity
+    holds either way). ``banker=True`` gives exact CPython ``round()``
+    fidelity via an Arrow-batched pandas UDF (the same opt-in pattern as
+    ``text.title_exact``). Note ``F.bround`` is NOT equivalent: it
+    decimalizes via ``Double.toString`` first, so e.g. ``bround(2.675,
+    2) = 2.68`` while CPython gives ``2.67`` (the stored binary value is
+    2.674999…)."""
     v = col.try_cast("double")
-    return F.when(v > 0, F.round(v, 2))
+    rounded = round2_exact(v) if banker else F.round(v, 2)
+    return F.when(v > 0, rounded)
+
+
+@F.pandas_udf(T.DoubleType())
+def round2_exact(s: pd.Series) -> pd.Series:
+    """Exact CPython ``round(x, 2)`` per element (correctly-rounded
+    half-to-even on the binary double) — numpy's scaled-multiply
+    rounding can diverge in the last ulp, so this maps the Python
+    builtin over the Arrow batch."""
+    return s.map(lambda v: v if pd.isna(v) else round(float(v), 2))
 
 
 def date_not_future(

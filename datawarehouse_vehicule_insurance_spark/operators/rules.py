@@ -71,11 +71,19 @@ class NotNullKeys(Rule):
 
 @dataclass
 class TextNormalize(Rule):
+    """``keep_empty=True`` reproduces the reference's vehicles
+    brand/model fidelity exactly (load_silver.py:123-128 keeps ``''``
+    after title-casing); the default nulls empty-after-trim values —
+    the documented accepted deviation (NOTES.md)."""
+
     cols: list[str]
+    keep_empty: bool = False
 
     def exprs(self, ctx: RuleContext) -> dict[str, Column]:
         return {
-            c: TX.normalize_text(F.col(c), fidelity=ctx.fidelity)
+            c: TX.normalize_text(
+                F.col(c), fidelity=ctx.fidelity, keep_empty=self.keep_empty
+            )
             for c in self.cols
         }
 
@@ -146,11 +154,19 @@ class IntRange(Rule):
 
 @dataclass
 class PositiveRound2(Rule):
+    """``banker=True`` uses HALF_EVEN (``F.bround``) for exact CPython
+    ``round()`` fidelity; the default HALF_UP matches SQL conventions —
+    they differ only on .xx5 boundaries of >2-decimal raw values
+    (documented accepted deviation, NOTES.md)."""
+
     col: str
     on_invalid: str = "null"  # 'null' (policies/claims) | 'drop' (payments)
+    banker: bool = False
 
     def exprs(self, ctx: RuleContext) -> dict[str, Column]:
-        return {self.col: V.positive_round2(F.col(self.col))}
+        return {
+            self.col: V.positive_round2(F.col(self.col), banker=self.banker)
+        }
 
     def predicate(self, ctx: RuleContext) -> Column | None:
         if self.on_invalid == "drop":

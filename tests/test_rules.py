@@ -164,3 +164,45 @@ def test_silver_rules_plan_is_single_stage(spark):
     out = R.apply_rules(df, R.clients_rules(), CTX)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_keep_empty_matches_reference_vehicles_path(spark):
+    """keep_empty=True reproduces load_silver.py:123-128 exactly: ''
+    after trim stays '' (the default nulls it — documented deviation)."""
+    from datawarehouse_vehicule_insurance_spark.functions.text import (
+        normalize_text,
+    )
+
+    df = spark.createDataFrame(
+        [("  ",), ("",), (" ford focus ",), (None,)], "brand string"
+    )
+    kept = [
+        r["b"] for r in df.select(
+            normalize_text(F.col("brand"), keep_empty=True).alias("b")
+        ).collect()
+    ]
+    assert kept == ["", "", "Ford Focus", None]
+    nulled = [
+        r["b"] for r in df.select(
+            normalize_text(F.col("brand")).alias("b")
+        ).collect()
+    ]
+    assert nulled == [None, None, "Ford Focus", None]
+
+
+def test_banker_rounding_matches_cpython_round(spark):
+    """positive_round2(banker=True) == Python round() (HALF_EVEN on the
+    binary double), including the .xx5 boundary where HALF_UP differs."""
+    from datawarehouse_vehicule_insurance_spark.functions.validate import (
+        positive_round2,
+    )
+
+    vals = [2.675, 2.665, 0.125, 0.135, 1.005, 10.555, 3.0, -1.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r["r"] for r in df.select(
+            positive_round2(F.col("x"), banker=True).alias("r")
+        ).collect()
+    ]
+    want = [round(v, 2) if v > 0 else None for v in vals]
+    assert got == want
