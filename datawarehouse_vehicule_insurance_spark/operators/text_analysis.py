@@ -60,9 +60,29 @@ def lang_id(text: Column) -> Column:
     return pred
 
 
+def dup_ngram_ratio(text: Column, n: int = 2) -> Column:
+    """Within-document repetition signal (the Gopher-rules shape):
+    fraction of word ``n``-grams that are duplicates of an earlier gram,
+    ``1 − distinct/total``; 0.0 for documents with fewer than ``n``
+    tokens. High values flag boilerplate/looping text. Array HOFs are
+    interpreted, but per-document arrays are small — this is a per-row
+    projection, not a table-scale loop."""
+    toks = tokens(text)
+    n_grams = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    ratio = F.round(
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 6
+    )
+    return F.when(n_grams >= 1, ratio).otherwise(F.lit(0.0))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append quality-scoring features: length, token stats, alpha ratio,
-    stopword ratio, mean token length. One fused projection."""
+    stopword ratio, mean token length, duplicate-2-gram repetition
+    ratio. One fused projection."""
     text = F.col(text_col)
     toks = tokens(text)
     n_tokens = F.size(toks)
@@ -80,6 +100,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ) / n_tokens,
             6,
         ),
+        "dup_2gram_ratio": dup_ngram_ratio(text, 2),
     })
 
 

@@ -611,14 +611,25 @@ STOPWORDS = ["the", "a", "and", "of", "to"]
 
 def q_doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring per document in one pass
-    (whitespace tokens; length / alpha-ratio / stopword-ratio) — all
-    native expressions (no UDF), a single narrow projection."""
+    (whitespace tokens; length / alpha-ratio / stopword-ratio /
+    duplicate-2-gram repetition ratio, the Gopher-rules boilerplate
+    signal) — all native expressions (no UDF), a single narrow
+    projection."""
     docs = _t(spark, sf_dir, "documents")
     tokens = F.split(F.trim(F.col("text")), r"\s+")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size(tokens)
     n_stop = F.size(F.filter(tokens, lambda x: F.array_contains(stop_arr, x)))
     alpha_chars = F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", ""))
+    n_grams = n_tokens - 1
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.array_join(F.slice(tokens, i, 2), " "),
+    )
+    dup_ratio = F.when(
+        n_grams >= 1,
+        F.round(1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 6),
+    ).otherwise(F.lit(0.0))
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -626,22 +637,33 @@ def q_doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.length("text") / n_tokens, 6).alias("chars_per_token"),
         F.round(alpha_chars / F.length("text"), 6).alias("alpha_ratio"),
         F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        dup_ratio.alias("dup_2gram_ratio"),
     )
 
 
 _STOPS = ", ".join(f"'{s}'" for s in STOPWORDS)
 SQL_DOC_QUALITY_STATS = rf"""
+WITH tok AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, text, t,
+         list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                        i -> array_to_string(t[i:i+1], ' ')) AS g
+  FROM tok
+)
 SELECT doc_id, length(text) AS n_chars,
-       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
-       round(length(text) / len(string_split_regex(trim(text), '\s+')), 6)
-         AS chars_per_token,
+       CAST(len(t) AS INT) AS n_tokens,
+       round(length(text) / len(t), 6) AS chars_per_token,
        round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
              / length(text), 6) AS alpha_ratio,
-       round(len(list_filter(string_split_regex(trim(text), '\s+'),
-                             x -> x IN ({_STOPS})))
-             / len(string_split_regex(trim(text), '\s+')), 6)
-         AS stopword_ratio
-FROM documents
+       round(len(list_filter(t, x -> x IN ({_STOPS}))) / len(t), 6)
+         AS stopword_ratio,
+       CASE WHEN len(t) >= 2
+            THEN round(1.0 - len(list_distinct(g)) / len(g), 6)
+            ELSE 0.0 END AS dup_2gram_ratio
+FROM grams
 """
 
 

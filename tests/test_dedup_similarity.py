@@ -245,3 +245,27 @@ def test_cosine_neardup_block_partitioned_matches_bruteforce(spark):
     }
     assert (2, 37) in want and (11, 58) in want
     assert got == want
+
+
+def test_dup_ngram_ratio_repetition_signal(spark):
+    """Repetition ratio: 0 for all-unique grams, high for looped text,
+    0 for sub-n-gram docs."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),           # 4 distinct 2-grams / 4
+            (2, "spam spam spam spam"), # 1 distinct / 3
+            (3, "one"),                 # < 2 tokens
+            (4, "x y x y x y"),         # grams: xy yx xy yx xy -> 2/5
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", TA.dup_ngram_ratio(F.col("text"), 2).alias("r")
+        ).collect()
+    }
+    assert out[1] == 0.0
+    assert abs(out[2] - (1 - 1 / 3)) < 1e-6
+    assert out[3] == 0.0
+    assert abs(out[4] - (1 - 2 / 5)) < 1e-6
