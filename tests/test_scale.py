@@ -394,3 +394,46 @@ def test_grouped_linear_fit_preserves_numeric_group_dtype(spark):
     for g in got:
         assert abs(got[g]["slope"] - want[g]["slope"]) < 1e-9
         assert abs(got[g]["intercept"] - want[g]["intercept"]) < 1e-9
+
+
+def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files have tight min/max spans on BOTH clustered
+    columns (data skipping works for either predicate), unlike a
+    single-column sort where the second column spans its full range in
+    every file."""
+    import glob
+
+    from datawarehouse_vehicule_insurance_spark.operators.scale import (
+        write_zordered,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(orders, zpath, ["o_custkey", "o_totalprice"], n_files=8)
+
+    lpath = str(tmp_path / "linear")
+    (orders.repartitionByRange(8, "o_custkey")
+     .sortWithinPartitions("o_custkey")
+     .write.mode("overwrite").parquet(lpath))
+
+    def mean_span_fraction(path, col):
+        spans, total = [], None
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            row = (spark.read.parquet(f)
+                   .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+                   .collect()[0])
+            spans.append(row["hi"] - row["lo"])
+        full = (orders.agg((F.max(col) - F.min(col)).alias("s"))
+                .collect()[0]["s"])
+        return sum(spans) / len(spans) / full
+
+    # same row count round-trips
+    assert spark.read.parquet(zpath).count() == orders.count()
+    # z-order: both dims clustered (mean per-file span well below full)
+    assert mean_span_fraction(zpath, "o_custkey") < 0.6
+    assert mean_span_fraction(zpath, "o_totalprice") < 0.6
+    # linear sort: first dim tightly clustered, second dim NOT
+    assert mean_span_fraction(lpath, "o_custkey") < 0.2
+    assert mean_span_fraction(lpath, "o_totalprice") > 0.9
