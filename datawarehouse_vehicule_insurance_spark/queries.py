@@ -1552,38 +1552,42 @@ def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(customer.select("c_custkey", "c_mktsegment")),
         orders.o_custkey == customer.c_custkey,
     )
-    per_segment = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
-        F.hll_sketch_agg("o_custkey").alias("cust_sketch"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
-    )
-    within = (
-        F.abs(
-            F.hll_sketch_estimate("cust_sketch").cast("double")
-            / F.col("exact_customers").cast("double")
-            - 1.0
+    # ONE aggregate feeds everything: a customer belongs to exactly one
+    # segment, so the global exact distinct is the SUM of per-segment
+    # exact counts, and the global sketch is the union of per-segment
+    # sketches — no second pass over the fact table. localCheckpoint
+    # pins the 5-row aggregate so the two output branches don't re-plan
+    # the scan+aggregate.
+    per_segment = (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.hll_sketch_agg("o_custkey").alias("cust_sketch"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
         )
-        < 0.05
+        .localCheckpoint(eager=False)
     )
+
+    def _within(est: F.Column, exact: F.Column) -> F.Column:
+        return (
+            F.abs(est.cast("double") / exact.cast("double") - 1.0) < 0.05
+        )
+
     seg_rows = per_segment.select(
-        "segment", "exact_customers", within.alias("hll_within_5pct")
+        "segment",
+        "exact_customers",
+        _within(
+            F.hll_sketch_estimate("cust_sketch"), F.col("exact_customers")
+        ).alias("hll_within_5pct"),
     )
-    global_exact = joined.agg(
-        F.countDistinct("o_custkey").alias("exact_customers")
-    )
-    global_est = per_segment.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("cust_sketch")).alias("__est")
-    )
-    all_row = global_est.crossJoin(global_exact).select(
+    all_row = per_segment.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("cust_sketch")).alias("__est"),
+        F.sum("exact_customers").alias("exact_customers"),
+    ).select(
         F.lit("__ALL__").alias("segment"),
         "exact_customers",
-        (
-            F.abs(
-                F.col("__est").cast("double")
-                / F.col("exact_customers").cast("double")
-                - 1.0
-            )
-            < 0.05
-        ).alias("hll_within_5pct"),
+        _within(F.col("__est"), F.col("exact_customers")).alias(
+            "hll_within_5pct"
+        ),
     )
     return seg_rows.unionByName(all_row)
 
