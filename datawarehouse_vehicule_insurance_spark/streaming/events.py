@@ -299,3 +299,26 @@ def enrich_with_static(
     batch and no streaming state accumulates; re-reading the dim picks
     up dimension updates between batches for free."""
     return stream.join(F.broadcast(dim), on, "left")
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once event deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so the dedup state store holds a sliding
+    window of keys instead of every key ever seen (the unbounded-state
+    failure mode of plain ``dropDuplicates`` on a stream). The contract
+    matches at-least-once sources (Kafka redeliveries, file-source
+    replays): duplicates arriving within the watermark interval are
+    dropped; a duplicate arriving later than the watermark would be a
+    source-contract violation.
+
+    Batch equivalence: on finite replayed input this equals batch
+    ``dropDuplicates(keys)`` keeping one row per key (tested)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -559,3 +559,47 @@ def test_non_png_image_still_raises_without_fake(spark):
     )
     with _pytest.raises(Exception, match="NotImplementedError|PNG"):
         MM.extract_image_features(df, fake=False).collect()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Planted duplicate event_ids (same-batch and cross-file replays
+  within the watermark) are dropped exactly-once; result equals batch
+    dropDuplicates on the replayed input."""
+    import datetime as dt
+
+    from datawarehouse_vehicule_insurance_spark.streaming import events as SE
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batch1 = [
+        (1, base, 10, "click", 1.0, None),
+        (2, base + dt.timedelta(minutes=1), 11, "view", 2.0, None),
+        (1, base, 10, "click", 1.0, None),  # same-file duplicate
+    ]
+    batch2 = [
+        (2, base + dt.timedelta(minutes=1), 11, "view", 2.0, None),  # replay
+        (3, base + dt.timedelta(minutes=5), 12, "buy", 3.0, None),
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, SE.EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        SE.dedup_events(SE.read_event_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r["event_id"], r["user_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, 10), (2, 11), (3, 12)]
