@@ -621,10 +621,14 @@ def q_doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(tokens)
     n_stop = F.size(F.filter(tokens, lambda x: F.array_contains(stop_arr, x)))
     alpha_chars = F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", ""))
+    # 2-grams via zip_with over shifted slices (see text_analysis.ngrams:
+    # 7x faster than per-position transform+slice — interpreted HOFs)
     n_grams = n_tokens - 1
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-        lambda i: F.array_join(F.slice(tokens, i, 2), " "),
+    width = F.greatest(n_grams, F.lit(1))
+    grams = F.zip_with(
+        F.slice(tokens, 1, width),
+        F.slice(tokens, 2, width),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     dup_ratio = F.when(
         n_grams >= 1,
