@@ -92,3 +92,111 @@ def test_empty_to_null_idempotent(spark, vals):
     assert [r["out"] for r in once.collect()] == [
         r["out"] for r in twice.collect()
     ]
+
+
+@given(
+    st.lists(
+        st.floats(min_value=1e-3, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=30,
+    )
+)
+@SETTINGS
+def test_round2_exact_matches_cpython(spark, vals):
+    """validate.round2_exact == CPython round(x, 2) on arbitrary
+    positive doubles (correctly-rounded half-even on the binary value)."""
+    from datawarehouse_vehicule_insurance_spark.functions.validate import (
+        positive_round2,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r["r"] for r in
+        df.select(positive_round2(F.col("x"), banker=True).alias("r"))
+        .collect()
+    ]
+    want = [round(v, 2) for v in vals]
+    assert got == want, (got, want)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1, max_size=12,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@SETTINGS
+def test_ngrams_and_dup_ratio_match_python(spark, texts, n):
+    """text_analysis.ngrams / dup_ngram_ratio == the straightforward
+    Python reference over arbitrary token streams (incl. empty and
+    sub-n-gram docs)."""
+    from datawarehouse_vehicule_insurance_spark.operators import (
+        text_analysis as TA,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["r"]
+        for r in df.select(
+            "i", TA.dup_ngram_ratio(F.col("t"), n).alias("r")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.strip().lower().split()
+        grams = [
+            " ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)
+        ]
+        if not grams:
+            want = 0.0
+        else:
+            want = round(1.0 - len(set(grams)) / len(grams), 6)
+        assert abs(got[i] - want) < 1e-9, (t, got[i], want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 10_000)),
+        min_size=2, max_size=40,
+    )
+)
+@SETTINGS
+def test_zorder_value_matches_python_interleave(spark, pts):
+    """scale.zorder_value == a Python Morton-interleave reference over
+    the same linear quantization."""
+    from datawarehouse_vehicule_insurance_spark.operators.scale import (
+        zorder_value,
+    )
+
+    bits = 8
+    xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+    mins = [float(min(xs)), float(min(ys))]
+    maxs = [float(max(xs)), float(max(ys))]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = [
+        r["z"] for r in df.select(
+            zorder_value([F.col("x"), F.col("y")], mins, maxs, bits)
+            .alias("z")
+        ).collect()
+    ]
+
+    def quant(v, lo, hi):
+        span = (hi - lo) or 1.0
+        import math
+        return min(max(math.floor((v - lo) / span * (2 ** bits)), 0),
+                   2 ** bits - 1)
+
+    def interleave(a, b):
+        z = 0
+        for bit in range(bits):
+            z |= ((a >> bit) & 1) << (2 * bit)
+            z |= ((b >> bit) & 1) << (2 * bit + 1)
+        return z
+
+    want = [
+        interleave(quant(x, mins[0], maxs[0]), quant(y, mins[1], maxs[1]))
+        for x, y in pts
+    ]
+    assert got == want
