@@ -437,3 +437,25 @@ def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
     # linear sort: first dim tightly clustered, second dim NOT
     assert mean_span_fraction(lpath, "o_custkey") < 0.2
     assert mean_span_fraction(lpath, "o_totalprice") > 0.9
+
+
+def test_deweaked_queries_plan_shapes(spark, sf_dir):
+    """Plan-probe guards for the two round-1 scale-killers:
+
+    - percentile_prices must NOT buffer raw group values in an
+      ObjectHashAggregate (it routes through the (group,value,weight)
+      compression);
+    - embedding_neardup must be the distributed block-pair
+      applyInPandas shape — no broadcast of the full embedding matrix,
+      no driver-side materialization in the plan.
+    """
+    from datawarehouse_vehicule_insurance_spark import queries as Q
+
+    pct = Q.QUERIES["percentile_prices"](spark, sf_dir)
+    pct_plan = pct._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" not in pct_plan
+
+    emb = Q.QUERIES["embedding_neardup"](spark, sf_dir)
+    emb_plan = emb._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in emb_plan
+    assert "BroadcastExchange" not in emb_plan
