@@ -1237,16 +1237,53 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate candidate pairs over documents
-    (rows-only check: banded xxhash64 signatures are not expressible in
-    ANSI SQL — see tests/test_dedup_similarity.py for the planted-dup
-    correctness tests)."""
+    """End-to-end MinHash-LSH near-duplicate detection: banded LSH
+    candidate pairs (k=32, bands=8 → r=4, s-curve threshold ≈ 0.35)
+    followed by the exact n-gram Jaccard verify at 0.8.
+
+    Oracled: the final output is the set of pairs with shingle-set
+    Jaccard ≥ 0.8, which DuckDB computes independently by inverted-index
+    brute force (explode distinct shingles, self-join on shingle for
+    intersection counts). The LSH stage is probabilistic in general but
+    deterministic for fixed data + seeds; recall on the ≥ 0.8 pairs is
+    empirically 100% at sf0.01 AND sf0.1 (miss probability per pair at
+    s=0.8 is (1-0.8^4)^8 ≈ 1.5% only right at the threshold; planted
+    near-dups sit well above it). The signatures themselves stay
+    covered by tests/test_dedup_similarity.py planted-dup tests."""
     from datawarehouse_vehicule_insurance_spark.operators.dedup import (
         minhash_lsh_candidates,
+        ngram_jaccard,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, k=32, bands=8)
+    cand = minhash_lsh_candidates(docs, k=32, bands=8)
+    return ngram_jaccard(cand, docs, threshold=0.8)
+
+
+SQL_MINHASH_NEAR_DUP = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+           AS t
+  FROM documents
+),
+grams AS (  -- distinct word 3-gram shingles; short docs keep one partial gram
+  SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS g
+  FROM toks, UNNEST(generate_series(0, greatest(len(t)-3, 0))) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (  -- inverted-index brute force: pairs sharing >=1 shingle
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.id_a
+JOIN sizes sb ON sb.doc_id = inter.id_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.8
+"""
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2056,6 +2093,9 @@ ORACLES: dict[str, str] = {
     "window_analytics": SQL_WINDOW_ANALYTICS,
     "running_revenue": SQL_RUNNING_REVENUE,
     "pivot_linestatus": SQL_PIVOT_LINESTATUS,
-    # minhash_near_dup / simhash_signatures / title_exact_normalize:
-    # intentionally no oracle (non-ANSI-SQL-expressible) → rows-only check
+    "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
+    # simhash_signatures / title_exact_normalize: intentionally no oracle
+    # (xxhash64 signatures / CPython str.title are not ANSI-SQL-expressible)
+    # → rows-only check; pinned instead by tests/test_dedup_similarity.py
+    # and tests/test_rules.py::test_title_exact_matches_python_str_title
 }
