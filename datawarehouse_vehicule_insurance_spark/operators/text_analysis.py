@@ -119,6 +119,43 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
 
 
+#: PII patterns, ordered most- to least-specific: each is applied in
+#: sequence so an email's digits are gone before the phone pattern runs.
+#: Kept to syntax shared by Java regex (Spark) and RE2 (DuckDB oracle):
+#: \d, \b, bounded repetition, simple classes — no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IP": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "SSN": r"\b\d{3}-\d{2}-\d{4}\b",
+    "PHONE": r"\+?\b\d[\d .()-]{6,}\d\b",
+}
+
+
+def redact_pii(text: Column, kinds: list[str] | None = None) -> Column:
+    """Redact PII spans with ``<KIND>`` placeholders — the pre-training
+    privacy scrub (emails, IPv4s, SSN-shaped ids, phone-shaped digit
+    runs). Pure chained ``regexp_replace`` — codegen'd JVM regex, no
+    UDF; patterns apply most-specific-first so e.g. an SSN is not
+    half-eaten by the phone pattern. ``kinds`` selects/orders a subset
+    of :data:`PII_PATTERNS`."""
+    out = text
+    for kind in kinds or list(PII_PATTERNS):
+        out = F.regexp_replace(
+            out, PII_PATTERNS[kind], f"<{kind}>"
+        )
+    return out
+
+
+def pii_count(text: Column, kinds: list[str] | None = None) -> Column:
+    """Number of PII spans :func:`redact_pii` would redact — the audit
+    metric (rows with ``pii_count > 0`` measure scrub coverage).
+    Counts placeholders after redaction so overlap resolution matches
+    the redactor exactly."""
+    red = redact_pii(text, kinds)
+    pat = "|".join(f"<{k}>" for k in (kinds or PII_PATTERNS))
+    return F.size(F.regexp_extract_all(red, F.lit(pat), 0))
+
+
 def fingerprint(text: Column) -> Column:
     """Canonical-form content fingerprint: md5 over lowercase
     whitespace-collapsed text (stable under formatting noise)."""

@@ -1309,9 +1309,35 @@ def q_title_exact_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function surface breadth (C-family beyond the reference):
     length / case / substring / concat / pad / replace / reverse /
-    split-part / null-handling, all JVM-side."""
+    split-part / null-handling, all JVM-side — plus the PII scrub
+    (``text_analysis.redact_pii``/``pii_count``) over a synthesized
+    per-row contact string (the test tables carry no real PII, so the
+    query builds an email + conditional phone from customer columns;
+    the patterns and chained-replace order are exactly the operator's,
+    and the oracle interpolates the SAME pattern strings)."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        pii_count,
+        redact_pii,
+    )
+
     customer = _t(spark, sf_dir, "customer")
     name = F.col("c_name")
+    key = F.col("c_custkey")
+    contact = F.concat(
+        name,
+        F.lit(" reach me at "),
+        F.lower(F.regexp_replace(name, "[^A-Za-z0-9]", "")),
+        F.lit("@example.com"),
+        F.when(
+            key % 2 == 0,
+            F.concat(
+                F.lit(" or +1 ("),
+                F.lpad(((key % 900) + 100).cast("string"), 3, "0"),
+                F.lit(") 555-"),
+                F.lpad((key % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
     return customer.select(
         "c_custkey",
         F.length(name).alias("name_len"),
@@ -1324,10 +1350,38 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(name, F.lit("#"), F.lit(2)).alias("num_part"),
         F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
                    F.lit("<default>")).alias("segment_or_default"),
+        redact_pii(contact).alias("redacted_contact"),
+        pii_count(contact).alias("n_pii"),
     )
 
 
-SQL_STRING_FUNCTIONS = """
+def _sql_string_functions() -> str:
+    """Oracle for ``string_functions``; the PII patterns are interpolated
+    from :data:`operators.text_analysis.PII_PATTERNS` so Spark and the
+    oracle can never drift (DuckDB RE2 and Java regex agree on the
+    shared subset the patterns are restricted to)."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        PII_PATTERNS,
+    )
+
+    redacted = "contact"
+    for kind, pat in PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{pat}', '<{kind}>', 'g')"
+    marker = "|".join(f"<{k}>" for k in PII_PATTERNS)
+    return f"""
+WITH base AS (
+  SELECT *,
+         c_name || ' reach me at '
+           || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))
+           || '@example.com'
+           || CASE WHEN c_custkey % 2 = 0
+                THEN ' or +1 ('
+                  || lpad(CAST((c_custkey % 900) + 100 AS VARCHAR), 3, '0')
+                  || ') 555-'
+                  || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS contact
+  FROM customer
+)
 SELECT c_custkey,
        length(c_name) AS name_len,
        upper(c_name) AS upper_name,
@@ -1338,9 +1392,15 @@ SELECT c_custkey,
        reverse(c_name) AS reversed_name,
        split_part(c_name, '#', 2) AS num_part,
        COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '<default>')
-         AS segment_or_default
-FROM customer
+         AS segment_or_default,
+       {redacted} AS redacted_contact,
+       CAST(len(regexp_extract_all({redacted}, '{marker}'))
+            AS INTEGER) AS n_pii
+FROM base
 """
+
+
+SQL_STRING_FUNCTIONS = _sql_string_functions()
 
 
 def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -269,3 +269,36 @@ def test_dup_ngram_ratio_repetition_signal(spark):
     assert abs(out[2] - (1 - 1 / 3)) < 1e-6
     assert out[3] == 0.0
     assert abs(out[4] - (1 - 2 / 5)) < 1e-6
+
+
+def test_redact_pii_kinds_and_order(spark):
+    cases = [
+        # email redacted before phone can eat its digits
+        ("mail bob.smith+x@corp.example.org now",
+         "mail <EMAIL> now", 1),
+        # SSN shape wins over the generic phone shape
+        ("ssn 123-45-6789 end", "ssn <SSN> end", 1),
+        ("call +1 (415) 555-0199 today", "call <PHONE> today", 1),
+        ("host 10.0.255.3 port", "host <IP> port", 1),
+        ("a@b.io or 10.1.1.1 or 555-123-4567",
+         "<EMAIL> or <IP> or <PHONE>", 3),
+        ("no pii here", "no pii here", 0),
+        ("", "", 0),
+    ]
+    df = spark.createDataFrame(cases, "text string, want string, n int")
+    got = df.select(
+        "want", "n",
+        TA.redact_pii(F.col("text")).alias("red"),
+        TA.pii_count(F.col("text")).alias("cnt"),
+    ).collect()
+    for r in got:
+        assert r["red"] == r["want"], (r["red"], r["want"])
+        assert r["cnt"] == r["n"], (r["red"], r["cnt"], r["n"])
+
+
+def test_redact_pii_kind_subset(spark):
+    df = spark.createDataFrame([("a@b.io and 10.1.1.1",)], "text string")
+    out = df.select(
+        TA.redact_pii(F.col("text"), kinds=["EMAIL"]).alias("red")
+    ).collect()[0]["red"]
+    assert out == "<EMAIL> and 10.1.1.1"
