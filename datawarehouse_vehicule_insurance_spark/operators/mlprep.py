@@ -102,3 +102,84 @@ def export_training_shards(
     if order_col is not None:
         out = out.sortWithinPartitions(order_col)
     out.write.mode("overwrite").parquet(path)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    max_len: int = 2048,
+    num_shards: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences
+    (first-fit-decreasing bin packing) — the step that turns a curated
+    corpus into dense ``max_len``-token samples without cross-document
+    truncation.
+
+    Exact sequential packing is inherently serial, so the distributed
+    shape shards the corpus by a seeded id hash (``num_shards``
+    independent packing problems), then FFD-packs each shard in one
+    ``applyInPandas`` task: sort by (tokens desc, id), drop each doc
+    into the first sequence with room. FFD wastes at most ~22% vs the
+    unknowable optimum (11/9·OPT + 1 per shard); the loss from sharding
+    itself is at most one underfull sequence per shard. Deterministic
+    for fixed (data, seed, num_shards) — the pack runs on sorted input,
+    so partitioning of the input does not matter.
+
+    A document longer than ``max_len`` gets a singleton sequence with
+    ``overflow = true`` (callers split or drop those upstream; flagging
+    beats silent truncation). Returns one row per document:
+    (id, tokens, seq_id, overflow), ``seq_id`` globally unique.
+
+    Scale note: a shard is one task — size ``num_shards`` so a shard's
+    (id, tokens) pairs fit one worker (the pack never sees text, only
+    token counts; 10M docs/shard ≈ 160 MB).
+    """
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField(token_col, T.LongType()),
+        T.StructField("seq_id", T.LongType()),
+        T.StructField("overflow", T.BooleanType()),
+    ])
+    shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(num_shards))
+    slim = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias(token_col),
+        shard.alias("__shard"),
+    )
+
+    def _pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard_id = int(key[0])
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        room: list[int] = []          # remaining capacity per open sequence
+        assign: list[int] = []
+        overflow: list[bool] = []
+        for tok in pdf[token_col]:
+            tok = int(tok)
+            if tok > max_len:
+                room.append(0)
+                assign.append(len(room) - 1)
+                overflow.append(True)
+                continue
+            for i, cap in enumerate(room):
+                if cap >= tok:
+                    room[i] = cap - tok
+                    assign.append(i)
+                    break
+            else:
+                room.append(max_len - tok)
+                assign.append(len(room) - 1)
+            overflow.append(False)
+        base = shard_id << 40
+        return pd.DataFrame({
+            id_col: pdf[id_col],
+            token_col: pdf[token_col],
+            "seq_id": [base + a for a in assign],
+            "overflow": overflow,
+        })
+
+    return slim.groupBy("__shard").applyInPandas(_pack, out_schema)

@@ -459,3 +459,55 @@ def test_deweaked_queries_plan_shapes(spark, sf_dir):
     emb_plan = emb._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in emb_plan
     assert "BroadcastExchange" not in emb_plan
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from datawarehouse_vehicule_insurance_spark.operators import mlprep as MP
+    from datawarehouse_vehicule_insurance_spark.operators import (
+        text_analysis as TA,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", TA.token_count(F.col("text")).alias("n_tokens")
+    )
+    max_len = 64
+    packed = MP.pack_sequences(
+        docs, token_col="n_tokens", max_len=max_len, num_shards=4
+    ).cache()
+
+    # every document packed exactly once
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+    # no non-overflow sequence exceeds the budget; overflow iff too long
+    seqs = packed.groupBy("seq_id").agg(
+        F.sum("n_tokens").alias("tot"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(F.col("overflow").cast("int")).alias("has_ovf"),
+    ).collect()
+    for s in seqs:
+        if s["has_ovf"]:
+            assert s["n_docs"] == 1 and s["tot"] > max_len
+        else:
+            assert s["tot"] <= max_len
+    ovf_docs = packed.filter("overflow").select("n_tokens").collect()
+    assert all(r["n_tokens"] > max_len for r in ovf_docs)
+    n_ovf_expected = docs.filter(F.col("n_tokens") > max_len).count()
+    assert len(ovf_docs) == n_ovf_expected
+
+    # deterministic under re-run and input repartitioning
+    again = MP.pack_sequences(
+        docs.repartition(13), token_col="n_tokens",
+        max_len=max_len, num_shards=4,
+    )
+    assert packed.exceptAll(again).count() == 0
+
+    # packing density: within 1.5x of the bin-count lower bound
+    # (+ slack for per-shard underfull tails)
+    total = docs.filter(F.col("n_tokens") <= max_len).select(
+        F.sum("n_tokens")
+    ).collect()[0][0]
+    n_seqs = sum(1 for s in seqs if not s["has_ovf"])
+    lower = -(-total // max_len)
+    assert n_seqs <= 1.5 * lower + 4
+    packed.unpersist()
