@@ -1,0 +1,89 @@
+"""End-to-end training-corpus curation: the composition the individual
+operators exist for — exact dedup → cheap quality/language gates →
+near-dup removal → benchmark decontamination, in cost order.
+
+Each stage is an existing verified operator (:mod:`.dedup`,
+:mod:`.text_analysis`); this module only sequences them so the
+expensive stages (MinHash-LSH, contamination joins) see the smallest
+possible corpus. Everything stays one lazy plan — no action is taken
+here, and Catalyst prunes the feature columns once the filters consume
+them (the output schema is the input schema).
+
+Cost ordering rationale (the 100-TB argument):
+
+1. exact dedup — one 16-byte-key shuffle, typically the biggest row
+   reduction per dollar;
+2. quality + language gates — ONE narrow projection, no shuffle: drops
+   boilerplate/junk before anything pays a per-shingle cost;
+3. MinHash near-dup — the only heavy stage, now over survivors only;
+4. decontamination — gram-hash semi-join against the (small, broadcast)
+   benchmark side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import exact_dedup_by_content, minhash_dedup
+from .text_analysis import contamination_overlap, lang_id, quality_features
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_allow: tuple[str, ...] | None = None,
+    min_tokens: int = 8,
+    min_alpha_ratio: float = 0.5,
+    max_dup_2gram_ratio: float = 0.6,
+    jaccard_threshold: float = 0.8,
+    contamination_n: int = 8,
+    transitive: bool = True,
+) -> DataFrame:
+    """Curate ``docs`` for training; returns surviving rows with the
+    input schema. ``benchmark`` (optional) enables the decontamination
+    stage; ``lang_allow`` (optional) keeps only the listed
+    :func:`~.text_analysis.lang_id` predictions.
+
+    Thresholds are the Gopher-style defaults scaled down for the test
+    corpus; every one is a parameter because curation policy is a
+    property of the training run, not of the engine.
+    """
+    cols = docs.columns
+
+    # 1. exact dedup (content hash, min-id survivor)
+    out = exact_dedup_by_content(docs, text_col=text_col, id_col=id_col)
+
+    # 2. quality + language gates — one fused projection, then restore
+    #    the input schema so downstream stages see plain documents
+    feats = quality_features(out, text_col=text_col)
+    gate = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("dup_2gram_ratio") <= max_dup_2gram_ratio)
+    )
+    if lang_allow is not None:
+        gate = gate & lang_id(F.col(text_col)).isin(*lang_allow)
+    out = feats.filter(gate).select(*cols)
+
+    # 3. near-dup removal over survivors only
+    out = minhash_dedup(
+        out,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=jaccard_threshold,
+        transitive=transitive,
+    )
+
+    # 4. benchmark decontamination: drop any doc sharing an n-gram window
+    #    with the benchmark (standard eval-hygiene overlap rule)
+    if benchmark is not None:
+        hits = contamination_overlap(
+            out, benchmark, n=contamination_n,
+            id_col=id_col, text_col=text_col,
+        ).select(F.col(id_col)).distinct()
+        out = out.join(hits, id_col, "left_anti")
+
+    return out

@@ -302,3 +302,40 @@ def test_redact_pii_kind_subset(spark):
         TA.redact_pii(F.col("text"), kinds=["EMAIL"]).alias("red")
     ).collect()[0]["red"]
     assert out == "<EMAIL> and 10.1.1.1"
+
+
+def test_curate_corpus_end_to_end(spark):
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+             "omega red blue green yellow purple orange black white "
+             "north south east west").split()
+    base = "the " + " ".join(words[:30]) + " and more of it"   # en, 35 toks
+    near = base.replace("omicron", "OTHERWORD")                # 1-token edit
+    bench_span = "zebra yak xylo wombat viper urchin tapir swan"
+    contaminated = ("the " + " ".join(words[30:]) + " and then of course "
+                    + bench_span + " appears here")
+    clean2 = ("the " + " ".join(reversed(words[:20]))
+              + " and none of those")
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup → dropped
+        (2, near),                                   # near dup → dropped
+        (3, "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@"),  # junk → dropped
+        (4, "el coche la casa de madrid el sol la luna de noche"),  # es
+        (5, ("spam ham " * 12).strip()),             # repetitive → dropped
+        (6, contaminated),                           # benchmark hit
+        (7, clean2),                                 # survives
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    benchmark = spark.createDataFrame(
+        [(100, "intro words then " + bench_span + " trailing tail here")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(docs, benchmark, lang_allow=("en",))
+    assert out.columns == ["doc_id", "text"]
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [0, 7]
