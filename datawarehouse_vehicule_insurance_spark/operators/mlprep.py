@@ -183,3 +183,54 @@ def pack_sequences(
         })
 
     return slim.groupBy("__shard").applyInPandas(_pack, out_schema)
+
+
+def temperature_fractions(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.7,
+    target_rows: int | None = None,
+) -> dict:
+    """Per-domain sampling fractions for a temperature-weighted training
+    mix: domain probability ∝ count^alpha (alpha=1 keeps natural
+    proportions, alpha→0 approaches uniform — the standard multilingual/
+    multi-domain reweighting), scaled so the expected sample size is
+    ``target_rows`` (default: the input size). Fractions cap at 1.0 —
+    up-sampling is the data loader's job (repeat epochs), not the
+    engine's.
+
+    One partial+final count aggregation; the collect is one row per
+    DOMAIN (bounded — domains are a small vocabulary by construction,
+    not a data-scale key space)."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r[0] is not None
+    }
+    total = sum(counts.values())
+    if not counts:
+        return {}
+    if target_rows is None:
+        target_rows = total
+    wsum = sum(c ** alpha for c in counts.values())
+    return {
+        d: min(1.0, target_rows * (c ** alpha / wsum) / c)
+        for d, c in counts.items()
+    }
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.7,
+    target_rows: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-weighted domain mix in one shot:
+    :func:`temperature_fractions` → :func:`stratified_sample` (seeded
+    per-row Bernoulli, no shuffle). Rows whose domain is NULL are
+    dropped (no defined weight)."""
+    fr = temperature_fractions(df, domain_col, alpha, target_rows)
+    return stratified_sample(df, domain_col, fr, seed=seed)

@@ -511,3 +511,33 @@ def test_pack_sequences_invariants(spark, sf_dir):
     lower = -(-total // max_len)
     assert n_seqs <= 1.5 * lower + 4
     packed.unpersist()
+
+
+def test_temperature_mix_flattens_skew(spark, sf_dir):
+    from datawarehouse_vehicule_insurance_spark.operators import mlprep as MP
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nat = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    # natural proportions are skewed; alpha<1 must flatten them
+    fr = MP.temperature_fractions(docs, "lang", alpha=0.3)
+    assert all(0 < f <= 1.0 for f in fr.values())
+    # rarer domains get strictly larger fractions
+    ordered = sorted(nat, key=nat.get)
+    fs = [fr[d] for d in ordered]
+    assert fs == sorted(fs, reverse=True)
+
+    mixed = MP.temperature_mix(docs, "lang", alpha=0.3, seed=7).cache()
+    got = {r[0]: r[1] for r in mixed.groupBy("lang").count().collect()}
+    # mixing reduces the max/min imbalance vs natural
+    def imb(d):
+        vals = [v for v in d.values() if v > 0]
+        return max(vals) / min(vals)
+    assert imb(got) < imb(nat)
+    # deterministic
+    again = MP.temperature_mix(docs, "lang", alpha=0.3, seed=7)
+    assert mixed.exceptAll(again).count() == 0
+    mixed.unpersist()
+
+    # alpha=1, no target: expected fraction 1.0 for every domain
+    fr1 = MP.temperature_fractions(docs, "lang", alpha=1.0)
+    assert all(abs(f - 1.0) < 1e-12 for f in fr1.values())
