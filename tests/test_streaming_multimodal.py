@@ -603,3 +603,106 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == [(1, 10), (2, 11), (3, 12)]
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas speaks a protobuf state protocol to the
+    JVM; the pure-python engine works without protobuf, so this one API
+    needs a runtime gate (standard Spark distro Python envs ship it)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas requires google.protobuf "
+    "(not in this container; operator runs on standard Spark distros)",
+)
+def test_transform_with_state_context_window(spark, event_files):
+    """transformWithStateInPandas (Spark 4 stateful v2): final per-user
+    context window after the finite replay equals the batch last-n."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from datawarehouse_vehicule_insurance_spark.streaming.stateful import (
+        rolling_context_window,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = SE.read_event_stream(spark, event_files)
+        q = (
+            rolling_context_window(stream, n=5)
+            .writeStream.format("memory")
+            .queryName("ctx_test")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r["user_id"]: r.asDict()
+                for r in spark.sql(
+                    """
+                    SELECT * FROM (
+                      SELECT *, row_number() OVER (
+                        PARTITION BY user_id ORDER BY total_seen DESC
+                      ) rn FROM ctx_test
+                    ) WHERE rn = 1
+                    """
+                ).collect()
+            }
+        finally:
+            q.stop()
+
+        ev = spark.read.parquet(event_files)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        lastn = ev.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= 5
+        )
+        want = (
+            lastn.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_ctx"),
+                F.concat_ws(
+                    "|",
+                    F.reverse(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ).getField("event_type"),
+                ).alias("ctx_types"),
+                F.max(F.unix_micros("ts")).alias("last_ts_us"),
+            )
+        )
+        tot = {
+            r["user_id"]: r["n"]
+            for r in ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for r in want.collect():
+            uid = r["user_id"]
+            assert uid in got
+            assert got[uid]["total_seen"] == tot[uid]
+            assert got[uid]["n_ctx"] == r["n_ctx"]
+            assert got[uid]["ctx_types"] == r["ctx_types"]
+            assert got[uid]["last_ts_us"] == r["last_ts_us"]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
