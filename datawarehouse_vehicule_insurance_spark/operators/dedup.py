@@ -262,19 +262,27 @@ def connected_components(
     O(diameter) rounds (duplicate clusters are near-cliques from LSH, so
     typically 2-3). The per-round cost is one shuffle keyed by node id;
     the loop is a driver-side iteration over plans, not over rows, with
-    a convergence check via a count aggregate. Labels are cached per
-    round and the previous round unpersisted."""
+    a convergence check via a count aggregate.
+
+    Lineage is TRUNCATED, not just cached: ``edges`` (referenced every
+    round) and each round's labels go through ``localCheckpoint`` — an
+    iterative algorithm that only caches keeps the whole upstream plan
+    in every round's lineage, so Catalyst re-optimizes a plan that grows
+    by one join-tree per round (with an expensive upstream like
+    MinHash-LSH this is driver plan-explosion/OOM long before the data
+    is big; classic iterative-Spark failure mode). The checkpoint makes
+    each round's plan O(1)-deep over materialized partitions."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -291,7 +299,7 @@ def connected_components(
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
-            .cache()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -299,11 +307,9 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels
 
 
@@ -319,11 +325,17 @@ def minhash_dedup(
     drop duplicates, keeping the min id. ``transitive=True`` runs
     :func:`connected_components` first so chains A~B~C collapse to one
     survivor even when A~C was never a candidate pair; the default
-    one-pass mode drops the higher id of each confirmed pair."""
+    one-pass mode drops the higher id of each confirmed pair.
+
+    The confirmed-pair table is ``localCheckpoint``-ed before the
+    transitive closure: the iterative component loop would otherwise
+    carry the whole signature→LSH→verify plan in every round's lineage
+    (plan-explosion on the driver — the cost is in Catalyst, not the
+    data)."""
     cand = minhash_lsh_candidates(df, text_col, id_col, **lsh_kwargs)
     confirmed = ngram_jaccard(cand, df, id_col, text_col, threshold=threshold)
     if transitive:
-        comp = connected_components(confirmed)
+        comp = connected_components(confirmed.localCheckpoint(eager=False))
         losers = comp.filter(F.col("id") != F.col("component")).select(
             F.col("id").alias(id_col)
         )

@@ -541,3 +541,32 @@ def test_temperature_mix_flattens_skew(spark, sf_dir):
     # alpha=1, no target: expected fraction 1.0 for every domain
     fr1 = MP.temperature_fractions(docs, "lang", alpha=1.0)
     assert all(abs(f - 1.0) < 1e-12 for f in fr1.values())
+
+
+def test_round2_rewrite_plan_shapes(spark, sf_dir):
+    """Plan-probe guards for the late-round-2 rewrites:
+
+    - contamination_check builds grams per row — NO window sort
+      (the old posexplode+lead pipeline had one per side);
+    - the Jaccard verify stage adds no window and no pandas stage of
+      its own (hashed shingle arrays of candidate docs, JVM array ops),
+      and restricts the docs side with left-semi joins.
+    """
+    from datawarehouse_vehicule_insurance_spark import queries as Q
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        ngram_jaccard,
+    )
+
+    con = Q.QUERIES["contamination_check"](spark, sf_dir)
+    con_plan = con._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in con_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3)], "id_a long, id_b long"
+    )
+    ver = ngram_jaccard(pairs, docs)
+    ver_plan = ver._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in ver_plan
+    assert "InPandas" not in ver_plan
+    assert "LeftSemi" in ver_plan
