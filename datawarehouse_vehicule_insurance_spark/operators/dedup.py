@@ -332,7 +332,11 @@ def minhash_dedup(
     carry the whole signature→LSH→verify plan in every round's lineage
     (plan-explosion on the driver — the cost is in Catalyst, not the
     data)."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, **lsh_kwargs)
+    # the verify references the candidate table three times; checkpoint
+    # so the signature→LSH pipeline executes once
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, **lsh_kwargs
+    ).localCheckpoint(eager=False)
     confirmed = ngram_jaccard(cand, df, id_col, text_col, threshold=threshold)
     if transitive:
         comp = connected_components(confirmed.localCheckpoint(eager=False))

@@ -1256,7 +1256,12 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(docs, k=32, bands=8)
+    # the verify references the candidate table three times (pair join +
+    # both sides of its id-universe union); checkpoint so the LSH
+    # pipeline runs once, not three times
+    cand = minhash_lsh_candidates(docs, k=32, bands=8).localCheckpoint(
+        eager=False
+    )
     return ngram_jaccard(cand, docs, threshold=0.8)
 
 
