@@ -364,3 +364,141 @@ def lsh_topk(
         .select(query_id, cand_id, F.round("sim", 6).alias("cosine_sim"),
                 "rank")
     )
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    train_sample: int = 2048,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """Product-quantization approximate top-k — the compression tier of
+    the ANN ladder (brute → LSH buckets → IVF cells → PQ codes): every
+    candidate vector is stored as ``m`` sub-space codebook indices
+    (``m`` bytes at ``ks`` ≤ 256), and query-candidate similarity is the
+    asymmetric-distance sum of per-subspace lookup-table entries — a
+    full scan like brute force, but over codes ~dim·4/m× smaller than
+    the raw vectors with O(m) adds per candidate instead of O(dim)
+    multiplies. The memory-bound regime's answer (IVF bounds candidates
+    per query; PQ bounds bytes per candidate; real systems compose
+    both).
+
+    Codebooks train driver-side on a deterministic bounded sample
+    (lowest ids — same recipe as :func:`ivf_topk`), per-subspace Lloyd
+    iterations; encoding and scanning are Arrow-batched numpy over
+    executor partitions, queries' lookup tables broadcast. Each
+    partition emits only its local per-query top-k, so the final
+    exact-rank shuffle carries Q·k rows per partition, never the scan.
+
+    Returns (query_id, cand_id, pq_sim, rank) — ``pq_sim`` is the
+    quantized cosine (vectors are normalized before training/encoding),
+    so ranks are approximate; verify/re-rank with exact
+    :func:`cosine_sim` downstream if exact order matters.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = candidates.sparkSession
+
+    train_rows = (
+        candidates.select(cand_id, cand_vec)
+        .orderBy(cand_id)
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([r[1] for r in train_rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    rng = np.random.RandomState(seed)
+    books = []  # m arrays of (ks, sub)
+    for j in range(m):
+        Xj = X[:, j * sub:(j + 1) * sub]
+        init = rng.choice(len(Xj), size=min(ks, len(Xj)), replace=False)
+        C = Xj[np.sort(init)].copy()
+        for _ in range(kmeans_iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(len(C)):
+                members = Xj[a == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C)
+    b_books = spark.sparkContext.broadcast(books)
+
+    def _encode(batches):
+        B = b_books.value
+        for pdf in batches:
+            M = np.array(list(pdf[cand_vec]), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            codes = np.empty((len(M), m), dtype=np.int32)
+            for j, C in enumerate(B):
+                Mj = M[:, j * sub:(j + 1) * sub]
+                d2 = (
+                    (Mj ** 2).sum(axis=1, keepdims=True)
+                    - 2.0 * Mj @ C.T
+                    + (C ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({
+                cand_id: pdf[cand_id].to_numpy(dtype=np.int64),
+                "__code": list(codes),
+            })
+
+    codes_df = candidates.select(cand_id, cand_vec).mapInPandas(
+        _encode, f"{cand_id} long, __code array<int>"
+    )
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    # LUT[q, j, c] = dot(query_j, codebook_j[c]): pq_sim = sum_j LUT
+    lut = np.stack(
+        [Q[:, j * sub:(j + 1) * sub] @ books[j].T for j in range(m)],
+        axis=1,
+    )
+    b_lut = spark.sparkContext.broadcast((qids, lut))
+
+    def _scan(batches):
+        ids_q, L = b_lut.value
+        nq = len(ids_q)
+        for pdf in batches:
+            codes = np.array(list(pdf["__code"]), dtype=np.int64)
+            n = len(codes)
+            sims = np.zeros((nq, n), dtype=np.float64)
+            for j in range(m):
+                sims += L[:, j, :][:, codes[:, j]]
+            cids = pdf[cand_id].to_numpy(dtype=np.int64)
+            top = min(k, n)
+            # local per-query top-k: only Q*k rows leave the partition
+            part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            yield pd.DataFrame({
+                query_id: np.repeat(ids_q, top),
+                cand_id: cids[part].ravel(),
+                "pq_sim": np.take_along_axis(sims, part, axis=1).ravel(),
+            })
+
+    local_top = codes_df.mapInPandas(
+        _scan, f"{query_id} long, {cand_id} long, pq_sim double"
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("pq_sim").desc(), F.col(cand_id).asc()
+    )
+    return (
+        local_top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, F.round("pq_sim", 6).alias("pq_sim"),
+                "rank")
+    )

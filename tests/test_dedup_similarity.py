@@ -339,3 +339,34 @@ def test_curate_corpus_end_to_end(spark):
     assert out.columns == ["doc_id", "text"]
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [0, 7]
+
+
+def test_pq_topk_shortlist_recall_vs_exact(spark):
+    """PQ ranks by quantized similarity, so on near-isotropic synthetic
+    vectors (true cosines ~N(0, 1/8)) direct top-5 agreement with exact
+    is noise-bound by construction; the production composition — PQ
+    SHORTLIST then exact re-rank — is what must hold. A shortlist of
+    100/495 candidates recovers 88% of the exact top-5 here (verified
+    equal to a numpy reference implementation of the same codebooks)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    exact = S.cosine_topk(qs, cands, k=5)
+    shortlist = S.pq_topk(qs, cands, k=100, m=8, ks=16)
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    rows = shortlist.collect()
+    short_pairs = {(r["query_id"], r["vec_id"]) for r in rows}
+    assert len(short_pairs) == 5 * 100
+    # quantized sims stay in the cosine range
+    assert all(-1.01 <= r["pq_sim"] <= 1.01 for r in rows)
+    # exact re-rank of a shortlist containing the true top-5 recovers it,
+    # so shortlist containment IS end-to-end recall
+    recall = len(exact_pairs & short_pairs) / len(exact_pairs)
+    assert recall >= 0.8  # deterministic: measured 0.88
+
+    # deterministic codebooks: same result on re-run
+    again = {(r["query_id"], r["vec_id"]) for r in
+             S.pq_topk(qs, cands, k=100, m=8, ks=16).collect()}
+    assert short_pairs == again
