@@ -829,17 +829,28 @@ FROM events GROUP BY 1, 2
 
 
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction: pull a typed field out of the JSON
-    ``props`` column (native get_json_object — no UDF)."""
+    """Semi-structured extraction, both engines' paths: the classic
+    ``get_json_object`` string walk, and the Spark 4 VARIANT route
+    (``parse_json`` → ``variant_get``) — parse once to a binary
+    semi-structured value, then typed-path extraction; the variant form
+    is the scale answer when several fields come out of one document
+    (one parse amortized across extractions instead of one string walk
+    per field). The oracle computes both columns from the same JSON so
+    the two Spark paths are cross-checked against DuckDB ANSI JSON."""
     events = _events(spark, sf_dir)
+    v = F.parse_json("props")
     return events.select(
         "event_id",
         F.get_json_object("props", "$.k").try_cast("int").alias("prop_k"),
+        F.variant_get(v, "$.k", "int").alias("prop_k_variant"),
     )
 
 
 SQL_EVENTS_JSON_EXTRACT = """
-SELECT event_id, CAST(props::JSON->>'k' AS INT) AS prop_k FROM events
+SELECT event_id,
+       CAST(props::JSON->>'k' AS INT) AS prop_k,
+       CAST(props::JSON->>'k' AS INT) AS prop_k_variant
+FROM events
 """
 
 
