@@ -200,3 +200,51 @@ def test_zorder_value_matches_python_interleave(spark, pts):
         for x, y in pts
     ]
     assert got == want
+
+
+def _py_ffd(tokens: list[tuple[int, int]], max_len: int):
+    """Local reference of pack_sequences' per-shard FFD: input (id, tok),
+    sort by (tok desc, id), first-fit; oversized → singleton."""
+    order = sorted(tokens, key=lambda t: (-t[1], t[0]))
+    room, assign = [], {}
+    for i, tok in order:
+        if tok > max_len:
+            room.append(0)
+            assign[i] = (len(room) - 1, True)
+            continue
+        for b, cap in enumerate(room):
+            if cap >= tok:
+                room[b] = cap - tok
+                assign[i] = (b, False)
+                break
+        else:
+            room.append(max_len - tok)
+            assign[i] = (len(room) - 1, False)
+    return assign
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=40),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=30),
+)
+@SETTINGS
+def test_pack_sequences_matches_python_ffd(spark, toks, max_len):
+    from datawarehouse_vehicule_insurance_spark.operators import mlprep as MP
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    # one shard: the distributed result IS the reference FFD
+    got = {
+        r["doc_id"]: (r["seq_id"], r["overflow"])
+        for r in MP.pack_sequences(
+            df, token_col="n_tokens", max_len=max_len, num_shards=1
+        ).collect()
+    }
+    want = _py_ffd(rows, max_len)
+    assert set(got) == set(want)
+    for i, (bin_idx, ovf) in want.items():
+        assert got[i] == (bin_idx, ovf), (i, got[i], want[i])
