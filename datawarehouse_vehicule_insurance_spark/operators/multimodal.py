@@ -114,6 +114,43 @@ def decode_png(data: bytes) -> tuple[int, int, float]:
     return w, h, float(luma.mean() / 255.0)
 
 
+def decode_bmp(data: bytes) -> tuple[int, int, float]:
+    """Minimal real BMP decoder (pure struct + numpy): uncompressed
+    (BI_RGB) 24/32-bit BITMAPINFOHEADER files — the common case for the
+    format. Rows are bottom-up and 4-byte padded per the spec; luma is
+    the same BT.601 combination as :func:`decode_png`."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BMP: BITMAPCOREHEADER not supported")
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP subset: uncompressed 24/32bpp only (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    h = abs(h_raw)
+    nch = bpp // 8
+    stride = ((w * nch) + 3) & ~3
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=pix_off
+    ).reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if h_raw > 0:  # bottom-up storage
+        rows = rows[::-1]
+    px = rows.astype(np.float64)
+    # BMP channel order is BGR(A)
+    luma = 0.299 * px[:, :, 2] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 0]
+    return w, h, float(luma.mean() / 255.0)
+
+
 def decode_wav(data: bytes) -> tuple[int, float]:
     """Real PCM WAV decoder (stdlib ``wave`` + numpy): returns
     (duration_ms, rms_level in [0,1] relative to full scale)."""
@@ -161,9 +198,10 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
 
 
 def _decode_image_bytes(payload: bytes, fake: bool) -> tuple[int, int, float]:
-    """Real decode for PNG payloads (:func:`decode_png`); other formats
-    (JPEG/WebP/...) need codec libraries absent in this environment and
-    raise ``NotImplementedError``. ``fake=True`` derives deterministic
+    """Real decode for PNG (:func:`decode_png`) and BMP
+    (:func:`decode_bmp`) payloads; other formats (JPEG/WebP/...) need
+    codec libraries absent in this environment and raise
+    ``NotImplementedError``. ``fake=True`` derives deterministic
     pseudo-features from the raw bytes for any payload so the
     distributed plumbing is testable format-independently."""
     if fake:
@@ -174,8 +212,10 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> tuple[int, int, float]:
         return width, height, mean_luma
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "real decode supports PNG only in this environment; "
+        "real decode supports PNG and BMP only in this environment; "
         "other formats need an image codec library "
         "(run with fake=True for the deterministic stub)"
     )

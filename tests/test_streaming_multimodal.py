@@ -706,3 +706,62 @@ def test_transform_with_state_context_window(spark, event_files):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def _encode_bmp(rgb, bottom_up=True, bpp=24):
+    """Reference BMP encoder for the decode test: BITMAPINFOHEADER,
+    BI_RGB, BGR(A) channel order, 4-byte row padding."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    nch = bpp // 8
+    stride = ((w * nch) + 3) & ~3
+    rows = rgb[..., ::-1]  # RGB → BGR
+    if nch == 4:
+        alpha = np.full((h, w, 1), 255, dtype=np.uint8)
+        rows = np.concatenate([rows, alpha], axis=2)
+    body = bytearray()
+    order = range(h - 1, -1, -1) if bottom_up else range(h)
+    for y in order:
+        line = rows[y].tobytes()
+        body += line + b"\x00" * (stride - len(line))
+    h_field = h if bottom_up else -h
+    info = struct.pack("<IiiHHIIiiII", 40, w, h_field, 1, bpp, 0,
+                       len(body), 2835, 2835, 0, 0)
+    off = 14 + len(info)
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return bytes(header + info + body)
+
+
+def test_real_bmp_decode(spark):
+    """fake=False really decodes BMP: 24bpp bottom-up with row padding
+    and 32bpp top-down both reproduce exact BT.601 mean luma."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)  # stride pad
+    b = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_encode_bmp(a, bottom_up=True, bpp=24)),
+             "image/bmp", None, None, None),
+            (2, "image", bytearray(_encode_bmp(b, bottom_up=False, bpp=32)),
+             "image/bmp", None, None, None),
+        ],
+        MM.ASSET_SCHEMA,
+    )
+    out = {r["asset_id"]: r.asDict()
+           for r in MM.extract_image_features(df, fake=False).collect()}
+
+    for aid, img in ((1, a), (2, b)):
+        px = img.astype(np.float64)
+        want = float(
+            (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+             + 0.114 * px[:, :, 2]).mean() / 255.0
+        )
+        assert (out[aid]["width"], out[aid]["height"]) == (
+            img.shape[1], img.shape[0]
+        )
+        assert abs(out[aid]["mean_luma"] - want) < 1e-12
