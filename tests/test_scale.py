@@ -570,3 +570,23 @@ def test_round2_rewrite_plan_shapes(spark, sf_dir):
     assert "Window" not in ver_plan
     assert "InPandas" not in ver_plan
     assert "LeftSemi" in ver_plan
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    out_dir = str(tmp_path / "curated")
+    rc = main([
+        "curate",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_dir,
+        "--min-tokens", "5",
+    ])
+    assert rc == 0
+    import json as _json
+
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    curated = spark.read.parquet(out_dir)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert curated.columns == docs.columns
+    assert 0 < curated.count() == stats["kept"] <= stats["input"] == docs.count()
