@@ -224,3 +224,45 @@ def _gram_hashes(
     return df.select(
         F.col(id_col).alias("__id"), F.explode(gram_hashes).alias("__gh")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with optional
+    overlap — the preprocessing step that feeds embedding / ANN /
+    context-window pipelines. Emits one row per chunk: (id, chunk_id,
+    chunk_text, n_tokens), ``chunk_id`` 0-based in document order;
+    stride = ``chunk_tokens − overlap``; the final chunk may be short,
+    and a short document yields exactly one chunk.
+
+    Pure JVM column pipeline: tokenize once, build the start-position
+    ladder with ``sequence``, slice/join per chunk, ONE posexplode of
+    the chunk array — no UDF, no shuffle (narrow, parallel by input
+    partition; chunking at 100 TB is embarrassingly parallel)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # last start = the largest multiple of stride still inside the doc
+    # and still starting a NEW span: start <= n - overlap - 1
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.array_join(F.slice(toks, s + 1, chunk_tokens), " "),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    ).withColumn(
+        "n_tokens",
+        F.size(F.split(F.col("chunk_text"), " ")),
+    )

@@ -370,3 +370,40 @@ def test_pq_topk_shortlist_recall_vs_exact(spark):
     again = {(r["query_id"], r["vec_id"]) for r in
              S.pq_topk(qs, cands, k=100, m=8, ks=16).collect()}
     assert short_pairs == again
+
+
+def test_chunk_documents_reconstruction_and_overlap(spark):
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(10))),
+        (1, "short doc"),
+        (2, "exactly four tokens here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # overlap=0: chunks partition the tokens; rejoining reconstructs
+    out = TA.chunk_documents(docs, chunk_tokens=4, overlap=0)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        )
+    for did, text in rows:
+        parts = sorted(got[did])
+        assert [c for c, _, _ in parts] == list(range(len(parts)))
+        assert " ".join(t for _, t, _ in parts) == text
+        assert all(n <= 4 for _, _, n in parts)
+    assert len(got[0]) == 3 and len(got[1]) == 1 and len(got[2]) == 1
+
+    # overlap=2: consecutive chunks share exactly 2 tokens; all covered
+    out2 = TA.chunk_documents(docs, chunk_tokens=4, overlap=2)
+    ch0 = [r["chunk_text"].split() for r in sorted(
+        out2.filter(F.col("doc_id") == 0).collect(),
+        key=lambda r: r["chunk_id"])]
+    for a, b in zip(ch0, ch0[1:]):
+        assert a[-2:] == b[:2]
+    flat = ch0[0] + [t for c in ch0[1:] for t in c[2:]]
+    assert flat == rows[0][1].split()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        TA.chunk_documents(docs, chunk_tokens=4, overlap=4)
