@@ -407,3 +407,43 @@ def test_chunk_documents_reconstruction_and_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         TA.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_strip_boilerplate(spark):
+    rows = [
+        ("see https://ex.com/a?b=1 and www.foo.org/x now", "see and now"),
+        ("<p class='x'>hello</p> <br/> world", "hello world"),
+        ("a < b and c > d stays", "a < b and c > d stays"),
+        ("plain text", "plain text"),
+    ]
+    df = spark.createDataFrame(rows, "text string, want string")
+    for r in df.select(
+        "want", TA.strip_boilerplate(F.col("text")).alias("got")
+    ).collect():
+        assert r["got"] == r["want"], (r["got"], r["want"])
+
+
+def test_rolling_fingerprints_unchanged_by_rewrite(spark):
+    """ngrams-based spans hash identically to the per-position slice
+    form (join-by-space strings are equal by construction)."""
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",), ("tiny",)],
+        "text string",
+    )
+    def old_form(text, window=8):
+        toks = TA.tokens(text)
+        idx = F.sequence(
+            F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))
+        )
+        return F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                F.array_join(F.slice(toks, i + 1, window), " ")
+            ),
+        )
+    out = df.select(
+        TA.rolling_fingerprints(F.col("text")).alias("new"),
+        old_form(F.col("text")).alias("old"),
+    ).collect()
+    for r in out:
+        assert r["new"] == r["old"]
