@@ -287,3 +287,27 @@ def strip_boilerplate(text: Column, replace_with: str = " ") -> Column:
     for pat in BOILERPLATE_PATTERNS.values():
         out = F.regexp_replace(out, pat, replace_with)
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def winnow_sketch(
+    text: Column, window: int = 8, w_select: int = 4
+) -> Column:
+    """Winnowing document sketch (the MOSS plagiarism-detection
+    selection rule): over the :func:`rolling_fingerprints` sequence,
+    keep the minimum of every ``w_select`` consecutive fingerprints,
+    deduplicated — guarantees any shared run of ``window + w_select − 1``
+    tokens between two documents shares a sketch fingerprint, at
+    ~1/w_select the storage of the full fingerprint stream.
+
+    The sliding min is the :func:`ngrams` shifted-slice trick with
+    ``least`` instead of concat — w_select−1 linear zip passes, no
+    per-position slicing (``least`` ignores the NULL tail-padding).
+    Returns array<long>, sorted for deterministic output."""
+    fp = rolling_fingerprints(text, window)
+    width = F.greatest(F.size(fp) - (w_select - 1), F.lit(1))
+    acc = F.slice(fp, 1, width)
+    for j in range(1, w_select):
+        acc = F.zip_with(
+            acc, F.slice(fp, 1 + j, width), lambda a, b: F.least(a, b)
+        )
+    return F.array_sort(F.array_distinct(acc))

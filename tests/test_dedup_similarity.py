@@ -447,3 +447,30 @@ def test_rolling_fingerprints_unchanged_by_rewrite(spark):
     ).collect()
     for r in out:
         assert r["new"] == r["old"]
+
+
+def test_winnow_sketch_matches_python_reference(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    window, w_sel = 8, 4
+    got = {r["doc_id"]: r["sk"] for r in docs.select(
+        "doc_id",
+        TA.winnow_sketch(F.col("text"), window, w_sel).alias("sk"),
+    ).collect()}
+    fps = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id",
+        TA.rolling_fingerprints(F.col("text"), window).alias("fp"),
+    ).collect()}
+    for did, fp in fps.items():
+        n = len(fp)
+        width = max(n - (w_sel - 1), 1)
+        want = sorted({min(fp[i:i + w_sel]) for i in range(width)})
+        assert got[did] == want, did
+    # shared-run guarantee: two docs sharing a long token run share a
+    # sketch fingerprint
+    a = "zz " * 3 + " ".join(f"s{i}" for i in range(window + w_sel - 1))
+    b = " ".join(f"s{i}" for i in range(window + w_sel - 1)) + " qq rr"
+    df2 = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    sk = {r["doc_id"]: set(r["sk"]) for r in df2.select(
+        "doc_id", TA.winnow_sketch(F.col("text"), window, w_sel).alias("sk")
+    ).collect()}
+    assert sk[0] & sk[1]
