@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datawarehouse_vehicule_insurance_spark.functions import text as TX
 from datawarehouse_vehicule_insurance_spark.functions import validate as V
@@ -41,10 +42,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
     Spark's vectorized reader rejects; read nanos as long and convert to a
     microsecond timestamp (exact integer div — a double division would
-    lose precision at the 1e18-ns scale)."""
+    lose precision at the 1e18-ns scale).
+
+    Type-adaptive: NANOS files written with ``isAdjustedToUTC=false``
+    (e.g. by DuckDB) surface through ``nanosAsLong`` as TIMESTAMP_NTZ
+    rather than long — those (and plain µs files) are already usable
+    timestamps, so only a LongType ``ts`` goes through the div-1000
+    conversion."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _dsum(col: F.Column, scale: int = 2) -> F.Column:
