@@ -1660,59 +1660,117 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 
 def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates, made oracle-checkable: per-segment DataSketches
-    HLL distinct-customer sketches, plus the union of all segment
-    sketches as an '__ALL__' row. Sketch estimates are engine-specific,
-    so the gate output carries (a) the EXACT distinct counts and (b) a
-    Spark-side bounded-error boolean ``hll_within_5pct`` (HLL lgK=12 has
-    ~1.6% relative standard error — 5% is a conservative bound); the
-    DuckDB oracle computes the exact counts and literal ``true``.
+    HLL distinct-customer sketches plus a Greenwald-Khanna quantile
+    sketch (``percentile_approx``) of order totals, and the union of all
+    segment HLL sketches as an '__ALL__' row. Sketch estimates are
+    engine-specific, so the gate output carries (a) the EXACT answers
+    and (b) Spark-side bounded-error booleans — ``hll_within_5pct`` (HLL
+    lgK=12 has ~1.6% relative standard error; 5% is conservative) and
+    ``p50_within_1pct`` (accuracy=10000 bounds rank error at 1e-4 of the
+    group size; near the median of a dense price distribution that is
+    far inside 1% of value). The DuckDB oracle computes the exact
+    answers and literal ``true`` for both booleans.
 
-    The mergeability is the point — partial sketches combine
-    associatively across partitions and across groups, which is how
-    distinct-counting scales to 100 TB without a global shuffle of raw
-    keys (the exact countDistinct columns exist for the oracle; the
-    production path is the sketch)."""
+    The mergeability is the point — HLL and quantile-summary partials
+    combine associatively across partitions (and, for HLL, across groups
+    via ``hll_union_agg``), which is how distinct-counting and
+    quantiles scale to 100 TB without a global shuffle of raw keys. The
+    exact columns (countDistinct, ``weighted_exact_percentile``) exist
+    only so the oracle can check the sketches; the production path is
+    the sketch."""
+    from datawarehouse_vehicule_insurance_spark.operators.scale import (
+        weighted_exact_percentile,
+    )
+
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
-    joined = orders.join(
-        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
-        orders.o_custkey == customer.c_custkey,
+    # localCheckpoint pins the joined projection once; the sketch
+    # aggregate and the exact-verification branches (per-segment +
+    # global percentile) all read the materialized 3-column frame
+    # instead of each re-planning the scan + broadcast join.
+    joined = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_custkey",
+            "o_totalprice",
+        )
+        .localCheckpoint(eager=False)
     )
-    # ONE aggregate feeds everything: a customer belongs to exactly one
-    # segment, so the global exact distinct is the SUM of per-segment
-    # exact counts, and the global sketch is the union of per-segment
-    # sketches — no second pass over the fact table. localCheckpoint
-    # pins the 5-row aggregate so the two output branches don't re-plan
-    # the scan+aggregate.
+    # ONE sketch aggregate feeds both output branches: a customer
+    # belongs to exactly one segment, so the global exact distinct is
+    # the SUM of per-segment exact counts, and the global sketch is the
+    # union of per-segment sketches — no second pass over the fact
+    # table for the '__ALL__' HLL row.
     per_segment = (
-        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        joined.groupBy("segment")
         .agg(
             F.hll_sketch_agg("o_custkey").alias("cust_sketch"),
             F.countDistinct("o_custkey").alias("exact_customers"),
         )
         .localCheckpoint(eager=False)
     )
+    # The quantile sketch aggregates SEPARATELY from countDistinct: the
+    # distinct rewrite (Expand) combined with an object-state aggregate
+    # like percentile_approx forces a sort-based fallback (~9x slower
+    # measured at sf0.1); two hash aggregates over the pinned frame +
+    # a 5-row broadcast join is the fast shape.
+    p50_seg = joined.groupBy("segment").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("__p50_est")
+    )
 
-    def _within(est: F.Column, exact: F.Column) -> F.Column:
+    def _within(est: F.Column, exact: F.Column, tol: float) -> F.Column:
         return (
-            F.abs(est.cast("double") / exact.cast("double") - 1.0) < 0.05
+            F.abs(est.cast("double") / exact.cast("double") - 1.0) < tol
         )
 
-    seg_rows = per_segment.select(
+    exact_seg = weighted_exact_percentile(
+        joined, "segment", "o_totalprice", {"__p50_exact": 0.5}
+    )
+    seg_rows = per_segment.join(F.broadcast(p50_seg), "segment").join(
+        F.broadcast(exact_seg), "segment"
+    ).select(
         "segment",
         "exact_customers",
         _within(
-            F.hll_sketch_estimate("cust_sketch"), F.col("exact_customers")
+            F.hll_sketch_estimate("cust_sketch"),
+            F.col("exact_customers"),
+            0.05,
         ).alias("hll_within_5pct"),
+        F.round("__p50_exact", 4).alias("exact_p50_price"),
+        _within(F.col("__p50_est"), F.col("__p50_exact"), 0.01).alias(
+            "p50_within_1pct"
+        ),
     )
-    all_row = per_segment.agg(
+    # Global verification row: 1-row frames throughout (bounded
+    # crossJoins). The global median is NOT derivable from per-segment
+    # medians, so the exact branch makes one more pass over the pinned
+    # frame under a constant group key — verification-only cost.
+    all_hll = per_segment.agg(
         F.hll_sketch_estimate(F.hll_union_agg("cust_sketch")).alias("__est"),
         F.sum("exact_customers").alias("exact_customers"),
-    ).select(
+    )
+    all_p50_est = joined.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("__p50_est")
+    )
+    all_p50_exact = weighted_exact_percentile(
+        joined.withColumn("__g", F.lit("__ALL__")),
+        "__g",
+        "o_totalprice",
+        {"__p50_exact": 0.5},
+    ).drop("__g")
+    all_row = all_hll.crossJoin(all_p50_est).crossJoin(all_p50_exact).select(
         F.lit("__ALL__").alias("segment"),
         "exact_customers",
-        _within(F.col("__est"), F.col("exact_customers")).alias(
+        _within(F.col("__est"), F.col("exact_customers"), 0.05).alias(
             "hll_within_5pct"
+        ),
+        F.round("__p50_exact", 4).alias("exact_p50_price"),
+        _within(F.col("__p50_est"), F.col("__p50_exact"), 0.01).alias(
+            "p50_within_1pct"
         ),
     )
     return seg_rows.unionByName(all_row)
@@ -1721,13 +1779,17 @@ def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SKETCH_AGGREGATES = """
 SELECT c_mktsegment AS segment,
        count(DISTINCT o_custkey) AS exact_customers,
-       true AS hll_within_5pct
+       true AS hll_within_5pct,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50_price,
+       true AS p50_within_1pct
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1
 UNION ALL
 SELECT '__ALL__' AS segment,
        count(DISTINCT o_custkey) AS exact_customers,
-       true AS hll_within_5pct
+       true AS hll_within_5pct,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50_price,
+       true AS p50_within_1pct
 FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
