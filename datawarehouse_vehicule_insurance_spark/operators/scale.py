@@ -346,8 +346,15 @@ def zorder_value(
     dimension, so range-partitioning + sorting by this key gives files
     whose min/max spans are tight on ALL the clustered columns at once —
     the multi-column data-skipping layout (Delta/Iceberg OPTIMIZE
-    ZORDER) expressed as native bit arithmetic, fully codegen'd."""
+    ZORDER) expressed as native bit arithmetic, fully codegen'd.
+
+    ``bits`` is clamped so the interleaved key fits in the 63
+    non-sign bits of a long; otherwise the top bit of the last
+    column would land in the sign bit and invert the range order."""
     n = len(cols)
+    bits = min(bits, 63 // n)
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({n}): no bits left")
     quantized = []
     for c, lo, hi in zip(cols, mins, maxs):
         span = (hi - lo) or 1.0

@@ -118,8 +118,17 @@ def cosine_neardup_pairs(
         F.col("__blk").alias("__bi"), "__bj",
         F.lit(0).alias("__side"), "__id", "__vec",
     )
+    # block-0 rows have no blocks below them; an unguarded
+    # sequence(0, blk-1) would default to step -1 and fan them out to a
+    # phantom (-1, 0) task plus a duplicate diagonal copy.
     right = base.withColumn(
-        "__bi", F.explode(F.sequence(F.lit(0), F.col("__blk") - 1))
+        "__bi",
+        F.explode(
+            F.when(
+                F.col("__blk") > 0,
+                F.sequence(F.lit(0), F.col("__blk") - 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ),
     ).select(
         "__bi", F.col("__blk").alias("__bj"),
         F.lit(1).alias("__side"), "__id", "__vec",
@@ -414,8 +423,12 @@ def pq_topk(
         .limit(train_sample)
         .collect()
     )
-    X = np.array([r[1] for r in train_rows], dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    def _unit(M):
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return M / norms
+
+    X = _unit(np.array([r[1] for r in train_rows], dtype=np.float64))
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -441,7 +454,9 @@ def pq_topk(
         B = b_books.value
         for pdf in batches:
             M = np.array(list(pdf[cand_vec]), dtype=np.float64)
-            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            M /= norms
             codes = np.empty((len(M), m), dtype=np.int32)
             for j, C in enumerate(B):
                 Mj = M[:, j * sub:(j + 1) * sub]
@@ -462,8 +477,7 @@ def pq_topk(
 
     q_rows = queries.select(query_id, query_vec).collect()
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = _unit(np.array([r[1] for r in q_rows], dtype=np.float64))
     # LUT[q, j, c] = dot(query_j, codebook_j[c]): pq_sim = sum_j LUT
     lut = np.stack(
         [Q[:, j * sub:(j + 1) * sub] @ books[j].T for j in range(m)],

@@ -1258,7 +1258,7 @@ FROM lineitem GROUP BY l_returnflag
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate detection: banded LSH
-    candidate pairs (k=32, bands=8 → r=4, s-curve threshold ≈ 0.35)
+    candidate pairs (k=64, bands=16 → r=4, s-curve threshold ≈ 0.35)
     followed by the exact n-gram Jaccard verify at 0.8.
 
     Oracled: the final output is the set of pairs with shingle-set
@@ -1266,10 +1266,12 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force (explode distinct shingles, self-join on shingle for
     intersection counts). The LSH stage is probabilistic in general but
     deterministic for fixed data + seeds; recall on the ≥ 0.8 pairs is
-    empirically 100% at sf0.01 AND sf0.1 (miss probability per pair at
-    s=0.8 is (1-0.8^4)^8 ≈ 1.5% only right at the threshold; planted
-    near-dups sit well above it). The signatures themselves stay
-    covered by tests/test_dedup_similarity.py planted-dup tests."""
+    empirically 100% at sf0.01 AND sf0.1. Bands sized so the gate is
+    sound even for a pair landing right AT the 0.8 threshold: miss
+    probability (1-0.8^4)^16 ≈ 2e-4 (vs 1.5% at the b=8 default) —
+    ~0.4s warm cost at sf0.1 for a 68x flakiness reduction. The
+    signatures themselves stay covered by
+    tests/test_dedup_similarity.py planted-dup tests."""
     from datawarehouse_vehicule_insurance_spark.operators.dedup import (
         minhash_lsh_candidates,
         ngram_jaccard,
@@ -1279,7 +1281,7 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the verify references the candidate table three times (pair join +
     # both sides of its id-universe union); checkpoint so the LSH
     # pipeline runs once, not three times
-    cand = minhash_lsh_candidates(docs, k=32, bands=8).localCheckpoint(
+    cand = minhash_lsh_candidates(docs, k=64, bands=16).localCheckpoint(
         eager=False
     )
     return ngram_jaccard(cand, docs, threshold=0.8)
