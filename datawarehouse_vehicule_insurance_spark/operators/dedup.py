@@ -352,27 +352,53 @@ def minhash_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(text: Column, bits: int = 64, seed: int = 42) -> Column:
+def simhash(
+    text: Column, bits: int = 64, seed: int = 42, portable: bool = False
+) -> Column:
     """64-bit SimHash of whitespace tokens: per bit, sum ±1 over token
     hashes' bit values; bit set iff the sum is positive. Expressed as
-    native aggregate over the token array."""
+    native aggregate over the token array.
+
+    Classic bit-extraction voting: bit b's vote is the literal bit b of
+    the token hash, read via ``bitwiseAND`` with a powers-of-two literal
+    array (``shiftright`` needs a literal shift amount and so cannot sit
+    inside a lambda; ``&`` can). One AND per (token, bit) — no per-bit
+    rehash.
+
+    ``portable=True`` swaps the xxhash64 token hash for a 60-bit value
+    parsed from the first 15 hex chars of md5(token). md5 is
+    engine-portable (DuckDB: ``('0x' || substr(md5(t),1,15))::BIGINT``),
+    which makes the signature oracle-checkable; xxhash64 (default) is
+    the faster production path. ``bits`` must be ≤ 60 in portable mode
+    so every vote reads a real hash bit.
+    """
+    if portable and bits > 60:
+        raise ValueError("portable simhash supports at most 60 bits")
     tokens = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
-    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    if portable:
+        hashes = F.transform(
+            tokens,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
+    else:
+        hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
+    vote_powers = F.array(*[
+        F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+        for b in range(bits)
+    ])
 
     # one array-state aggregate (state = per-bit vote counts) instead of
-    # `bits` separate aggregates — keeps the codegen'd tree O(1) size.
-    # bit b's ±1 vote comes from the sign of an independently-seeded
-    # rehash (equivalent to classic bit-extraction simhash, and usable
-    # inside a lambda where shiftright(col, b) requires a literal b)
+    # `bits` separate aggregates — keeps the codegen'd tree O(1) size
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(
             acc,
             F.transform(
-                bit_idx,
-                lambda b: F.when(F.xxhash64(h, b) >= 0, 1).otherwise(-1),
+                vote_powers,
+                lambda p: F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
             ),
             lambda a, v: a + v,
         ),

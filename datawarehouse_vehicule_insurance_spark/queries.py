@@ -1314,13 +1314,46 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 32-bit signatures per document (rows-only: xxhash64-based)."""
+    """SimHash 32-bit signatures per document, hash-gated end-to-end:
+    portable mode derives each token hash from md5 (engine-portable),
+    so the DuckDB oracle recomputes the identical signature with an
+    unnest + 32 bit-vote sums. The production default (xxhash64 token
+    hash, same voting circuit) stays the fast path — only the token
+    hash function differs, so gating the portable path gates the
+    signature construction itself."""
     from datawarehouse_vehicule_insurance_spark.operators.dedup import simhash
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", simhash(F.col("text"), bits=32).alias("simhash")
+        "doc_id",
+        simhash(F.col("text"), bits=32, portable=True).alias("simhash"),
     )
+
+
+def _simhash_oracle_sql(bits: int = 32) -> str:
+    """DuckDB SQL computing the portable simhash: one unnest pass over
+    the per-token md5-derived hashes, `bits` ±1 vote sums, then fold
+    set bits into the signature."""
+    terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return rf"""
+WITH th AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        ' '),
+           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)) AS h
+  FROM documents
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash
+FROM th GROUP BY doc_id
+"""
+
+
+SQL_SIMHASH_SIGNATURES = _simhash_oracle_sql(32)
 
 
 def q_title_exact_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2243,8 +2276,8 @@ ORACLES: dict[str, str] = {
     "running_revenue": SQL_RUNNING_REVENUE,
     "pivot_linestatus": SQL_PIVOT_LINESTATUS,
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
-    # simhash_signatures / title_exact_normalize: intentionally no oracle
-    # (xxhash64 signatures / CPython str.title are not ANSI-SQL-expressible)
-    # → rows-only check; pinned instead by tests/test_dedup_similarity.py
-    # and tests/test_rules.py::test_title_exact_matches_python_str_title
+    "simhash_signatures": SQL_SIMHASH_SIGNATURES,
+    # title_exact_normalize: intentionally no oracle (CPython str.title
+    # is not ANSI-SQL-expressible) → rows-only check; pinned instead by
+    # tests/test_rules.py::test_title_exact_matches_python_str_title
 }

@@ -75,6 +75,42 @@ def test_simhash_dedup_catches_exact(spark, docs_with_dups):
     assert 0 in ids
 
 
+def _py_simhash_portable(text: str, bits: int = 32) -> int:
+    """Pure-Python reference of the portable simhash (md5 60-bit token
+    hash, ±1 bit votes, sign fold)."""
+    import hashlib
+    import re
+
+    toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    votes = [0] * bits
+    for t in toks:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        for b in range(bits):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    return sum(1 << b for b in range(bits) if votes[b] > 0)
+
+
+def test_simhash_portable_matches_python_reference(spark):
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(20)
+    )
+    rows = docs.collect()
+    out = docs.select(
+        "doc_id", D.simhash(F.col("text"), bits=32, portable=True).alias("s")
+    )
+    got = {r["doc_id"]: r["s"] for r in out.collect()}
+    for r in rows:
+        assert got[r["doc_id"]] == _py_simhash_portable(r["text"], 32)
+
+
+def test_simhash_portable_rejects_wide_bits(spark):
+    with pytest.raises(ValueError):
+        D.simhash(F.lit("x"), bits=64, portable=True)
+
+
 def test_fingerprint_normalizes_formatting(spark, docs_with_dups):
     fp = docs_with_dups.select(
         "doc_id", TA.fingerprint(F.col("text")).alias("fp")
