@@ -1357,13 +1357,33 @@ SQL_SIMHASH_SIGNATURES = _simhash_oracle_sql(32)
 
 
 def q_title_exact_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Python ``str.title()`` fidelity mode via Arrow pandas UDF
-    (rows-only: DuckDB has no equivalent; parity with CPython is asserted
-    in tests/test_rules.py::test_title_exact_matches_python_str_title)."""
+    """Exact Python ``str.title()`` fidelity mode via Arrow pandas UDF.
+
+    Oracled: on an ASCII corpus (the documents table is pure ASCII),
+    ``str.title()`` is exactly "split into maximal alpha runs; uppercase
+    the first char of each run, lowercase the rest", which DuckDB can
+    compute with regexp_extract_all + list_transform.  Unicode fidelity
+    (cased non-ASCII letters, which the SQL form does not model) stays
+    pinned by tests/test_rules.py::test_title_exact_matches_python_str_title
+    via Hypothesis against CPython itself."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", TX.title_exact(F.col("text")).alias("title_text")
     )
+
+
+SQL_TITLE_EXACT_NORMALIZE = r"""
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL ELSE coalesce(
+    list_aggregate(
+      list_transform(
+        regexp_extract_all(text, '[A-Za-z]+|[^A-Za-z]+'),
+        s -> CASE WHEN regexp_matches(s, '^[A-Za-z]')
+              THEN upper(substr(s, 1, 1)) || lower(substr(s, 2))
+              ELSE s END),
+      'string_agg', ''), '') END AS title_text
+FROM documents
+"""
 
 
 def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2277,7 +2297,5 @@ ORACLES: dict[str, str] = {
     "pivot_linestatus": SQL_PIVOT_LINESTATUS,
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
-    # title_exact_normalize: intentionally no oracle (CPython str.title
-    # is not ANSI-SQL-expressible) → rows-only check; pinned instead by
-    # tests/test_rules.py::test_title_exact_matches_python_str_title
+    "title_exact_normalize": SQL_TITLE_EXACT_NORMALIZE,
 }
