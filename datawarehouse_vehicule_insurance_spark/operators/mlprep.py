@@ -185,6 +185,69 @@ def pack_sequences(
     return slim.groupBy("__shard").applyInPandas(_pack, out_schema)
 
 
+def train_quality_classifier(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n_features: int = 4096,
+    reg_param: float = 0.0,
+    max_iter: int = 50,
+):
+    """Train a fasttext-style document-quality classifier: whitespace
+    tokens → hashing-trick bag-of-words (``HashingTF``) → logistic
+    regression. The curation pattern behind "classifier-filtered" web
+    corpora (train on a small labeled seed — e.g. wiki-vs-crawl — then
+    score the whole corpus).
+
+    Scale shape: the hashing trick is stateless and per-row (no
+    vocabulary build, no broadcast dictionary — a fixed ``n_features``-
+    dim sparse vector regardless of corpus size), and Spark ML's
+    logistic regression trains with L-BFGS over ``treeAggregate``
+    gradient passes — each iteration is one map-side partial-gradient
+    pass, no per-row state on the driver. Inference
+    (:func:`score_quality`) is a pure per-partition transform.
+
+    Returns the fitted ``pyspark.ml.PipelineModel``.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, RegexTokenizer
+
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="__toks", pattern=r"\s+",
+        toLowercase=True,
+    )
+    tf = HashingTF(
+        inputCol="__toks", outputCol="__features", numFeatures=n_features
+    )
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol=label_col,
+        regParam=reg_param,
+        maxIter=max_iter,
+    )
+    return Pipeline(stages=[tok, tf, lr]).fit(labeled)
+
+
+def score_quality(
+    model,
+    df: DataFrame,
+    text_col: str = "text",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Append P(label=1) from a :func:`train_quality_classifier` model —
+    the corpus-wide scoring pass (filter/threshold is the caller's
+    policy). Drops the intermediate token/feature/raw columns; one
+    narrow per-partition transform, no shuffle."""
+    from pyspark.ml.functions import vector_to_array
+
+    probs = model.transform(df)
+    p1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    return probs.withColumn(score_col, F.round(p1, 6)).drop(
+        "__toks", "__features", "rawPrediction", "probability", "prediction"
+    )
+
+
 def temperature_fractions(
     df: DataFrame,
     domain_col: str,

@@ -289,6 +289,63 @@ def strip_boilerplate(text: Column, replace_with: str = " ") -> Column:
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
+def bm25_scores(
+    corpus: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag-of-words
+    query — the retrieval baseline for RAG / data-mining over a corpus
+    (Robertson & Spärck Jones probabilistic relevance framework).
+
+    Scale shape: the query is a handful of terms, so per-term term
+    frequencies are per-row array filters (narrow, codegen) — no token
+    explode, no join. Corpus-level statistics (N, avgdl, per-term
+    document frequencies) reduce to ONE single-row aggregate that
+    Spark broadcasts into the scoring projection via a literal-free
+    cross join; the whole operator is two scans and zero wide
+    shuffles, so it parallelizes by input partition at any corpus
+    size. idf uses the standard ``ln(1 + (N − df + ½)/(df + ½))``
+    smoothing (never negative); documents containing no query term
+    score 0.0 and are retained (filter/top-k is the caller's choice).
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokens(F.col(text_col))
+    def _tf(term: str) -> Column:
+        # closure, NOT a defaulted lambda param (HOF lambdas bind every
+        # parameter as a lambda variable — see NOTES.md gotcha)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf = {t: _tf(t) for t in terms}
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg(F.size(toks)).alias("__avgdl"),
+        *[
+            F.sum((tf[t] > 0).cast("long")).alias(f"__df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    scored = corpus.crossJoin(F.broadcast(stats))
+    dl = F.size(toks)
+    n_docs = F.col("__n_docs")
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        df_t = F.col(f"__df_{i}")
+        idf = F.log(
+            F.lit(1.0) + (n_docs - df_t + 0.5) / (df_t + 0.5)
+        )
+        denom = tf[t] + k1 * (1 - b + b * dl / F.col("__avgdl"))
+        score = score + idf * (tf[t] * (k1 + 1)) / denom
+    return scored.select(
+        F.col(id_col), F.round(score, 6).alias("bm25")
+    )
+
+
 def winnow_sketch(
     text: Column, window: int = 8, w_select: int = 4
 ) -> Column:

@@ -183,6 +183,44 @@ def test_quality_features_and_langid(spark):
     assert preds <= {"en", "es", "de", "fr", "und"}
 
 
+def test_bm25_matches_reference_formula(spark):
+    """bm25_scores == a straightforward Python BM25 over the same corpus
+    (idf = ln(1 + (N−df+½)/(df+½)), tf saturation with k1/b defaults)."""
+    import math
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    terms = ["spark", "window", "zzz_absent"]
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in TA.bm25_scores(docs, terms).collect()
+    }
+
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    tok = {d: t.strip().lower().split() for d, t in rows}
+    n_docs = len(rows)
+    avgdl = sum(len(t) for t in tok.values()) / n_docs
+    k1, b = 1.2, 0.75
+    want = {}
+    for d, tk in tok.items():
+        s = 0.0
+        for t in set(t.lower() for t in terms):
+            df_t = sum(1 for tkk in tok.values() if t in tkk)
+            idf = math.log(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+            tf = tk.count(t)
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(tk) / avgdl)
+            )
+        want[d] = s
+    assert got.keys() == want.keys()
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-4
+    # a doc containing a query term must outrank one containing none
+    has = [d for d, tk in tok.items() if "spark" in tk]
+    none = [d for d, tk in tok.items() if not (set(tk) & {"spark", "window"})]
+    if has and none:
+        assert got[has[0]] > got[none[0]]
+
+
 def test_bpe_ish_token_count(spark):
     df = spark.createDataFrame(
         [("Hello, world! 42 times",)], "text string"

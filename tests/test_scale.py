@@ -543,6 +543,40 @@ def test_temperature_mix_flattens_skew(spark, sf_dir):
     assert all(abs(f - 1.0) < 1e-12 for f in fr1.values())
 
 
+def test_quality_classifier_learns_and_scores(spark, sf_dir):
+    """train_quality_classifier learns a token-separable label on a
+    train split and separates a held-out split (the fasttext-style
+    curation classifier); score_quality appends a clean probability
+    column without leaking ML intermediates."""
+    from datawarehouse_vehicule_insurance_spark.operators import mlprep as MP
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # label: does the document mention 'spark'? token-level signal a
+    # bag-of-words model must be able to learn near-perfectly
+    labeled = docs.withColumn(
+        "label",
+        F.array_contains(
+            F.split(F.lower(F.col("text")), r"\s+"), "spark"
+        ).cast("double"),
+    )
+    train = labeled.filter(F.col("doc_id") % 5 != 0)
+    test = labeled.filter(F.col("doc_id") % 5 == 0)
+    model = MP.train_quality_classifier(train, n_features=1024)
+
+    scored = MP.score_quality(model, test)
+    assert "quality_score" in scored.columns
+    for leaked in ("__toks", "__features", "probability", "prediction"):
+        assert leaked not in scored.columns
+    rows = scored.select("label", "quality_score").collect()
+    pos = [r["quality_score"] for r in rows if r["label"] == 1.0]
+    neg = [r["quality_score"] for r in rows if r["label"] == 0.0]
+    assert pos and neg
+    # held-out separation: mean positive score far above mean negative
+    assert sum(pos) / len(pos) > 0.8
+    assert sum(neg) / len(neg) < 0.2
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+
+
 def test_round2_rewrite_plan_shapes(spark, sf_dir):
     """Plan-probe guards for the late-round-2 rewrites:
 
