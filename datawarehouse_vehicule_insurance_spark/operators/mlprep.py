@@ -226,7 +226,32 @@ def train_quality_classifier(
         regParam=reg_param,
         maxIter=max_iter,
     )
-    return Pipeline(stages=[tok, tf, lr]).fit(labeled)
+    model = Pipeline(stages=[tok, tf, lr]).fit(labeled)
+    _strip_training_summary(model.stages[-1])
+    return model
+
+
+def _strip_training_summary(lr_model) -> None:
+    """Detach the training summary from a fitted LR model.
+
+    Spark 4.1's ``LogisticRegressionModel`` keeps its training summary
+    (→ the SparkSession) in a non-transient field, and the session's
+    ``observationManager`` lazy val is NOT serializable once any
+    ``Observation`` has been used on the session (e.g. the medallion
+    Pipeline's row counters). ``model.transform`` then dies with
+    ``NotSerializableException: ObservationManager`` when the predict
+    UDF closure — which captures the model — is shipped to executors.
+    ``setSummary`` is ``private[spark]`` (public at bytecode level);
+    dropping the summary cuts the model→session edge so the scoring
+    pass serializes in any session. Best-effort: if the internal API
+    moves, scoring still works in sessions that never observe()."""
+    try:
+        from pyspark.core.context import SparkContext
+
+        jvm = SparkContext._active_spark_context._jvm
+        lr_model._java_obj.setSummary(jvm.scala.Option.empty())
+    except Exception:  # pragma: no cover — internal-API drift fallback
+        pass
 
 
 def score_quality(
@@ -238,14 +263,34 @@ def score_quality(
     """Append P(label=1) from a :func:`train_quality_classifier` model —
     the corpus-wide scoring pass (filter/threshold is the caller's
     policy). Drops the intermediate token/feature/raw columns; one
-    narrow per-partition transform, no shuffle."""
+    narrow per-partition transform, no shuffle.
+
+    The model's intermediate column names (``__toks``, ``__features``,
+    ``rawPrediction``, ``probability``, ``prediction``) are shielded
+    from the input: any input column with one of those names is
+    temporarily renamed around the transform and restored afterwards,
+    so user data never collides with (or gets dropped by) the ML
+    intermediates. ``score_col`` replaces an existing column of the
+    same name (standard ``withColumn`` semantics)."""
     from pyspark.ml.functions import vector_to_array
 
-    probs = model.transform(df)
-    p1 = F.element_at(vector_to_array(F.col("probability")), 2)
-    return probs.withColumn(score_col, F.round(p1, 6)).drop(
+    reserved = (
         "__toks", "__features", "rawPrediction", "probability", "prediction"
     )
+    shield = {
+        c: f"__shielded_{c}"
+        for c in df.columns
+        if c in reserved and c != text_col
+    }
+    work = df
+    for orig, tmp in shield.items():
+        work = work.withColumnRenamed(orig, tmp)
+    probs = model.transform(work)
+    p1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    out = probs.withColumn(score_col, F.round(p1, 6)).drop(*reserved)
+    for orig, tmp in shield.items():
+        out = out.withColumnRenamed(tmp, orig)
+    return out
 
 
 def temperature_fractions(

@@ -315,7 +315,13 @@ def bm25_scores(
     terms = sorted(set(t.lower() for t in query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    toks = tokens(F.col(text_col))
+    # NULL text tokenizes to NULL (size -1) and empty text to [""]
+    # (size 1) — both would corrupt tf/dl/avgdl. Coalesce + drop empty
+    # tokens so NULL/empty docs have dl=0, tf=0 and score exactly 0.0.
+    toks = F.filter(
+        tokens(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda x: x != F.lit(""),
+    )
     def _tf(term: str) -> Column:
         # closure, NOT a defaulted lambda param (HOF lambdas bind every
         # parameter as a lambda variable — see NOTES.md gotcha)
@@ -339,7 +345,10 @@ def bm25_scores(
         idf = F.log(
             F.lit(1.0) + (n_docs - df_t + 0.5) / (df_t + 0.5)
         )
-        denom = tf[t] + k1 * (1 - b + b * dl / F.col("__avgdl"))
+        # all-empty corpus → avgdl 0 (or NULL): clamp so the dl/avgdl
+        # term stays finite and empty docs still score exactly 0.0
+        avgdl = F.greatest(F.col("__avgdl"), F.lit(1e-9))
+        denom = tf[t] + k1 * (1 - b + b * dl / avgdl)
         score = score + idf * (tf[t] * (k1 + 1)) / denom
     return scored.select(
         F.col(id_col), F.round(score, 6).alias("bm25")

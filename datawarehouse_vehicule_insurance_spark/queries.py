@@ -38,6 +38,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _parquet_num_rows(path: str) -> int | None:
+    """Exact row count from parquet footer metadata — a driver-side
+    footer read, NO Spark job (round-3 VERDICT #3: sizing the
+    cosine_neardup block grid with ``df.count()`` cost one extra full
+    scan per call). Local paths only; returns None (→ caller falls back
+    to counting) for object stores or unreadable footers."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for root, _, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
     Spark's vectorized reader rejects; read nanos as long and convert to a
@@ -874,7 +897,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, threshold=0.45)
+    return cosine_neardup_pairs(
+        emb, threshold=0.45, n_rows=_parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    )
 
 
 SQL_EMBEDDING_NEARDUP = """

@@ -221,6 +221,39 @@ def test_bm25_matches_reference_formula(spark):
         assert got[has[0]] > got[none[0]]
 
 
+def test_bm25_null_and_empty_text_score_zero(spark):
+    """ADVICE (round 3): NULL text must not poison tf/dl/avgdl (F.split
+    of NULL has size -1) and empty/whitespace text must count as dl=0,
+    not [""] with dl=1 — both score exactly 0.0 and real docs keep
+    finite positive scores."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across partitions"),
+            (2, None),
+            (3, ""),
+            (4, "   "),
+            (5, "no query terms here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in TA.bm25_scores(docs, ["spark", "partitions"]).collect()
+    }
+    assert got[2] == 0.0 and got[3] == 0.0 and got[4] == 0.0
+    assert got[5] == 0.0
+    assert got[1] > 0.0
+    # all-empty corpus: no NaN/NULL/Inf, everything 0.0
+    empty = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    got2 = {
+        r["doc_id"]: r["bm25"]
+        for r in TA.bm25_scores(empty, ["spark"]).collect()
+    }
+    assert got2 == {1: 0.0, 2: 0.0}
+
+
 def test_bpe_ish_token_count(spark):
     df = spark.createDataFrame(
         [("Hello, world! 42 times",)], "text string"

@@ -289,6 +289,37 @@ def test_profile_table_single_pass(spark, sf_dir):
     assert prof["text"]["min"] is None  # strings not min/max'd
 
 
+def test_embedding_neardup_builds_without_a_job(spark, sf_dir):
+    """Round-3 VERDICT #3: cosine_neardup_pairs used to run an eager
+    ``df.count()`` to size its block grid — one extra full scan per
+    call. The gate query now feeds ``n_rows`` from parquet footer
+    metadata, so BUILDING the plan must launch zero Spark jobs."""
+    from datawarehouse_vehicule_insurance_spark import queries as Q
+
+    sc = spark.sparkContext
+
+    def jobs_during(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            out = fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    # baseline: jobs a bare parquet read costs (schema inference may
+    # launch one); the full query build must add NOTHING on top
+    _, base_jobs = jobs_during(
+        "neardup_probe_read",
+        lambda: spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+    )
+    df, build_jobs = jobs_during(
+        "neardup_probe_build",
+        lambda: Q.QUERIES["embedding_neardup"](spark, sf_dir),
+    )
+    assert build_jobs <= base_jobs, (base_jobs, build_jobs)
+    assert df.count() > 0  # and the plan still executes
+
+
 def test_approx_heavy_hitters_matches_exact_topk(spark, sf_dir):
     """With adequate capacity the MG candidates contain every true heavy
     hitter, and the second pass makes the top-k counts exact."""
@@ -575,6 +606,72 @@ def test_quality_classifier_learns_and_scores(spark, sf_dir):
     assert sum(pos) / len(pos) > 0.8
     assert sum(neg) / len(neg) < 0.2
     assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+
+
+def test_classifier_scores_after_observation_use(spark):
+    """Regression (round-3 VERDICT #1): once any ``Observation`` is used
+    on a session, the session's ``ObservationManager`` lazy val is
+    initialized and is NOT serializable; a fitted LR model that still
+    carries its training summary (→ SparkSession) then kills
+    ``model.transform`` with ``NotSerializableException`` on the predict
+    UDF closure. train_quality_classifier strips the summary, so
+    pipeline-observe-then-train-then-score must work in ONE session —
+    this test replicates the exact poison (Observation use) inline, so
+    it pins the fix regardless of test ordering."""
+    from pyspark.sql.observation import Observation
+
+    from datawarehouse_vehicule_insurance_spark.operators import mlprep as MP
+
+    # poison: initialize the session's ObservationManager (what the
+    # medallion Pipeline's silver row counters do)
+    obs = Observation("obsmanager_poison_probe")
+    spark.range(10).observe(
+        obs, F.count(F.lit(1)).alias("rows")
+    ).collect()
+    assert obs.get["rows"] == 10
+
+    labeled = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("good clean prose text"))
+        .otherwise(F.lit("spam junk noise garbage"))
+        .alias("text"),
+        (F.col("id") % 2 == 0).cast("double").alias("label"),
+    )
+    model = MP.train_quality_classifier(labeled, n_features=64, max_iter=10)
+    scored = MP.score_quality(model, labeled)
+    rows = scored.select("label", "quality_score").collect()
+    assert len(rows) == 200
+    good = [r["quality_score"] for r in rows if r["label"] == 1.0]
+    bad = [r["quality_score"] for r in rows if r["label"] == 0.0]
+    assert min(good) > max(bad)
+
+
+def test_score_quality_shields_reserved_columns(spark):
+    """ADVICE (round 3): input columns named like the ML intermediates
+    (``probability``, ``prediction``, ``__toks``, …) must survive
+    scoring untouched instead of colliding with / being dropped by the
+    model's transform."""
+    from datawarehouse_vehicule_insurance_spark.operators import mlprep as MP
+
+    labeled = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("good clean prose text"))
+        .otherwise(F.lit("spam junk noise garbage"))
+        .alias("text"),
+        (F.col("id") % 2 == 0).cast("double").alias("label"),
+        F.lit(0.42).alias("probability"),
+        F.lit("user-owned").alias("prediction"),
+        F.lit(7).alias("__toks"),
+    )
+    train = labeled.select("doc_id", "text", "label")
+    model = MP.train_quality_classifier(train, n_features=64, max_iter=5)
+    scored = MP.score_quality(model, labeled)
+    assert "quality_score" in scored.columns
+    row = scored.filter(F.col("doc_id") == 0).collect()[0]
+    assert row["probability"] == pytest.approx(0.42)
+    assert row["prediction"] == "user-owned"
+    assert row["__toks"] == 7
+    assert scored.columns.count("probability") == 1
 
 
 def test_round2_rewrite_plan_shapes(spark, sf_dir):
