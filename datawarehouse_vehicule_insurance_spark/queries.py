@@ -147,8 +147,21 @@ def q_client_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
 
+    # ONE explicit repartition on the conformed key serves BOTH orders
+    # branches: hashpartitioning(o_custkey) satisfies the groupBy's
+    # clustering AND the bridge dedup's (o_orderkey, o_custkey)
+    # clustering (subset rule), so each branch runs scan→shuffle→
+    # single-stage aggregate with no ENSURE_REQUIREMENTS exchange on
+    # top — measured ~25% faster than the partial-agg-then-shuffle
+    # shape at sf0.1 (round-4 shuffle-reuse audit; volumes are
+    # equivalent because the dedup's pairs are already unique, so its
+    # partial aggregation reduced nothing). REPARTITION_BY_COL still
+    # lets AQE coalesce small post-shuffle partitions.
+    orders_part = orders.filter(F.col("o_custkey").isNotNull()).repartition(
+        F.col("o_custkey")
+    )
     orders_agg = (
-        orders.filter(F.col("o_custkey").isNotNull())
+        orders_part
         .groupBy(F.col("o_custkey").alias("client_id"))
         .agg(
             F.count("o_orderkey").alias("total_orders"),
@@ -158,7 +171,9 @@ def q_client_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # policy_id→client_id bridge analogue (reference: load_gold.py:112-113).
-    bridge = orders.select("o_orderkey", "o_custkey").dropDuplicates()
+    # NULL-custkey pairs are pre-pruned: the post-join filter discards
+    # them anyway, so they'd only bloat the broadcast.
+    bridge = orders_part.select("o_orderkey", "o_custkey").dropDuplicates()
 
     li_agg = (
         lineitem.join(
