@@ -5,9 +5,11 @@ stages.
 Decode support is tiered by what this environment can do honestly:
 
 - **real codecs** (pure stdlib + numpy, public formats): PNG
-  (zlib-inflate + scanline unfiltering per the PNG spec) and PCM WAV
-  (RIFF parse via ``wave``). ``fake=False`` decodes these for real.
-- **stubbed**: JPEG/MP4/etc. need codec libraries absent here —
+  (zlib-inflate + scanline unfiltering per the PNG spec), BMP, baseline
+  JPEG (SOF0 Huffman entropy decode; mean luma from the DC
+  coefficients), and PCM WAV (RIFF parse via ``wave``). ``fake=False``
+  decodes these for real.
+- **stubbed**: progressive JPEG/WebP/MP4/etc. need codec libraries absent here —
   ``NotImplementedError`` for those payloads, and ``fake=True`` gives a
   deterministic pseudo-decode so the distributed plumbing is exercisable
   with any payload.
@@ -114,6 +116,218 @@ def decode_png(data: bytes) -> tuple[int, int, float]:
     return w, h, float(luma.mean() / 255.0)
 
 
+class _JpegBitReader:
+    """MSB-first bit reader over a JPEG entropy-coded segment, handling
+    0xFF00 byte stuffing and stopping at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise EOFError("marker inside entropy data")
+            self.bits = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Skip to the next marker (for RSTn); returns the marker byte."""
+        self.nbits = 0
+        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+            self.pos += 1
+        marker = self.data[self.pos + 1]
+        self.pos += 2
+        return marker
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
+    """Build a (length, code) -> symbol map from DHT BITS/HUFFVAL."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """JPEG F.2.2.1 EXTEND: map a ``size``-bit magnitude to its signed
+    value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, float]:
+    """Minimal real baseline-JPEG decoder (pure stdlib + the scan's
+    Huffman entropy decode): SOF0 (baseline sequential, 8-bit), any
+    component/sampling layout, DRI/RSTn restart markers — returns
+    (width, height, mean_luma in [0,1]).
+
+    The whole entropy-coded scan is Huffman-decoded (every DC and AC
+    coefficient must be consumed to track the bit position), but only
+    the luma DC coefficients are kept: the DCT DC basis function is
+    constant, AC basis functions are zero-mean over a block, so the
+    image mean equals ``mean(DC_dequant)/8 + 128`` (level shift) —
+    exact for dimensions that are multiples of the MCU size, and a
+    right/bottom-edge-padded approximation otherwise (padded blocks
+    replicate edge content per the spec's encoder convention).
+    Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+    ``NotImplementedError``."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None  # (w, h, [(comp_id, h_samp, v_samp, tq)])
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2:pos + seglen]
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG subset: baseline sequential (SOF0) only, got "
+                f"SOF marker 0x{marker:02x} (progressive/extended/"
+                f"arithmetic need a full codec)"
+            )
+        if marker == 0xC0:  # SOF0
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("JPEG subset: 8-bit only")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = struct.unpack(
+                    ">BBB", seg[6 + ci * 3:9 + ci * 3]
+                )
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            frame = (w, h, comps)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc_th = seg[p]
+                counts = seg[p + 1:p + 17]
+                nsym = sum(counts)
+                symbols = seg[p + 17:p + 17 + nsym]
+                table = _jpeg_huff_table(counts, symbols)
+                if tc_th >> 4 == 0:
+                    dc_tables[tc_th & 0xF] = table
+                else:
+                    ac_tables[tc_th & 0xF] = table
+                p += 17 + nsym
+        elif marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq == 0:
+                    qt[tq] = list(seg[p + 1:p + 65])
+                    p += 65
+                else:
+                    qt[tq] = [
+                        struct.unpack(
+                            ">H", seg[p + 1 + 2 * i:p + 3 + 2 * i]
+                        )[0]
+                        for i in range(64)
+                    ]
+                    p += 129
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy-coded scan follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = seg[0]
+            scan_comps = []
+            for ci in range(ns):
+                cs, tdta = seg[1 + ci * 2], seg[2 + ci * 2]
+                scan_comps.append((cs, tdta >> 4, tdta & 0xF))
+            w, h, comps = frame
+            by_id = {c[0]: c for c in comps}
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            reader = _JpegBitReader(data, pos + seglen)
+            pred = {cs: 0 for cs, _, _ in scan_comps}
+            luma_id = scan_comps[0][0]  # first scan component = Y
+            luma_q0 = qt[by_id[luma_id][3]][0]
+            dc_sum, dc_n = 0, 0
+            mcu_count = 0
+            for _my in range(mcuy):
+                for _mx in range(mcux):
+                    if restart_interval and mcu_count and (
+                        mcu_count % restart_interval == 0
+                    ):
+                        m = reader.align_to_marker()
+                        if not 0xD0 <= m <= 0xD7:
+                            raise ValueError("expected RSTn marker")
+                        pred = {cs: 0 for cs, _, _ in scan_comps}
+                    for cs, td, ta in scan_comps:
+                        _, hs, vs, _tq = by_id[cs]
+                        for _b in range(hs * vs):
+                            sym = _jpeg_huff_decode(reader, dc_tables[td])
+                            diff = _jpeg_extend(
+                                reader.read_bits(sym), sym
+                            )
+                            pred[cs] += diff
+                            if cs == luma_id:
+                                dc_sum += pred[cs]
+                                dc_n += 1
+                            k = 1
+                            while k < 64:  # AC coefficients: consume
+                                rs = _jpeg_huff_decode(
+                                    reader, ac_tables[ta]
+                                )
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += (rs >> 4) + 1
+                                reader.read_bits(rs & 0xF)
+                    mcu_count += 1
+            mean = (dc_sum * luma_q0 / max(dc_n, 1)) / 8.0 + 128.0
+            return w, h, float(min(max(mean / 255.0, 0.0), 1.0))
+        pos += seglen
+    raise ValueError("JPEG missing SOS scan")
+
+
 def decode_bmp(data: bytes) -> tuple[int, int, float]:
     """Minimal real BMP decoder (pure struct + numpy): uncompressed
     (BI_RGB) 24/32-bit BITMAPINFOHEADER files — the common case for the
@@ -198,8 +412,9 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
 
 
 def _decode_image_bytes(payload: bytes, fake: bool) -> tuple[int, int, float]:
-    """Real decode for PNG (:func:`decode_png`) and BMP
-    (:func:`decode_bmp`) payloads; other formats (JPEG/WebP/...) need
+    """Real decode for PNG (:func:`decode_png`), BMP
+    (:func:`decode_bmp`) and baseline JPEG (:func:`decode_jpeg`)
+    payloads; other formats (progressive JPEG/WebP/...) need
     codec libraries absent in this environment and raise
     ``NotImplementedError``. ``fake=True`` derives deterministic
     pseudo-features from the raw bytes for any payload so the
@@ -214,9 +429,11 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> tuple[int, int, float]:
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "real decode supports PNG and BMP only in this environment; "
-        "other formats need an image codec library "
+        "real decode supports PNG, BMP and baseline JPEG only in this "
+        "environment; other formats need an image codec library "
         "(run with fake=True for the deterministic stub)"
     )
 

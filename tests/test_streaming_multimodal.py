@@ -549,11 +549,11 @@ def test_real_wav_decode(spark):
     assert out["n_bytes"] == len(wav)
 
 
-def test_non_png_image_still_raises_without_fake(spark):
+def test_unknown_image_format_still_raises_without_fake(spark):
     import pytest as _pytest
 
     df = spark.createDataFrame(
-        [(1, "image", b"\xff\xd8\xff\xe0 jpeg-ish", "image/jpeg",
+        [(1, "image", b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp",
           None, None, None)],
         MM.ASSET_SCHEMA,
     )
@@ -765,3 +765,132 @@ def test_real_bmp_decode(spark):
             img.shape[1], img.shape[0]
         )
         assert abs(out[aid]["mean_luma"] - want) < 1e-12
+
+
+def _encode_jpeg_gray_blocks(grays, blocks_w, q=16, restart_interval=0):
+    """Reference baseline-JPEG encoder for the decode tests: grayscale,
+    one uniform 8x8 block per entry of ``grays`` laid out
+    ``blocks_w`` blocks wide. A uniform block has DC = 8*(g-128) and
+    all-zero ACs (one EOB), so the encoder exercises exactly the
+    Huffman DC/AC paths the decoder must invert — including
+    differential DC across blocks and optional DRI/RSTn restarts."""
+    import struct as _struct
+
+    assert len(grays) % blocks_w == 0
+    blocks_h = len(grays) // blocks_w
+    w, h = blocks_w * 8, blocks_h * 8
+
+    # canonical Huffman: DC = 12 symbols (categories 0-11), all 4 bits;
+    # AC = 2 symbols (EOB 0x00, ZRL 0xF0), both 2 bits
+    dc_counts = bytes([0, 0, 0, 12] + [0] * 12)
+    dc_syms = bytes(range(12))
+    ac_counts = bytes([0, 2] + [0] * 14)
+    ac_syms = bytes([0x00, 0xF0])
+    dc_codes = {s: (4, c) for c, s in enumerate(dc_syms)}
+    ac_codes = {0x00: (2, 0), 0xF0: (2, 1)}
+
+    bits = []
+
+    def put(code, length):
+        for i in range(length - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def flush():
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1s per spec
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i:i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+        bits.clear()
+        return bytes(out)
+
+    scan = bytearray()
+    pred = 0
+    for i, g in enumerate(grays):
+        if restart_interval and i and i % restart_interval == 0:
+            scan += flush()
+            scan += bytes([0xFF, 0xD0 + ((i // restart_interval - 1) % 8)])
+            pred = 0
+        dc = round(8 * (g - 128) / q)
+        diff = dc - pred
+        pred = dc
+        size = diff.bit_length() if diff else 0
+        length, code = dc_codes[size]
+        put(code, length)
+        if size:
+            v = diff if diff > 0 else diff + (1 << size) - 1
+            put(v, size)
+        length, code = ac_codes[0x00]  # EOB — all ACs zero
+        put(code, length)
+    scan += flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xDB, bytes([0]) + bytes([q] * 64))  # DQT
+    out += seg(0xC0, _struct.pack(">BHHB", 8, h, w, 1)
+               + bytes([1, 0x11, 0]))  # SOF0, 1 comp, 1x1 sampling
+    out += seg(0xC4, bytes([0x00]) + dc_counts + dc_syms)
+    out += seg(0xC4, bytes([0x10]) + ac_counts + ac_syms)
+    if restart_interval:
+        out += seg(0xDD, _struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out += bytes(scan)
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def test_real_jpeg_decode_baseline(spark):
+    """fake=False really decodes baseline JPEG: uniform-block images
+    reconstruct mean luma exactly from the DC coefficients (DC
+    quantization with q=16 rounds each gray to the nearest 2), across
+    multi-block DC differentials and DRI/RSTn restart-marker streams."""
+    solid = _encode_jpeg_gray_blocks([200], blocks_w=1)
+    multi = _encode_jpeg_gray_blocks(
+        [64, 128, 192, 254], blocks_w=2
+    )
+    restarts = _encode_jpeg_gray_blocks(
+        [64, 128, 192, 254], blocks_w=2, restart_interval=2
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(solid), "image/jpeg", None, None, None),
+            (2, "image", bytearray(multi), "image/jpeg", None, None, None),
+            (3, "image", bytearray(restarts), "image/jpeg",
+             None, None, None),
+        ],
+        MM.ASSET_SCHEMA,
+    )
+    out = {r["asset_id"]: r.asDict()
+           for r in MM.extract_image_features(df, fake=False).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (8, 8)
+    assert abs(out[1]["mean_luma"] - 200 / 255.0) < 1e-12
+    for aid in (2, 3):
+        assert (out[aid]["width"], out[aid]["height"]) == (16, 16)
+        assert abs(
+            out[aid]["mean_luma"] - (64 + 128 + 192 + 254) / 4 / 255.0
+        ) < 1e-12
+
+
+def test_progressive_jpeg_raises(spark):
+    """SOF2 (progressive) is honestly unsupported — the decoder must say
+    so rather than mis-decode."""
+    import pytest as _pytest
+
+    base = _encode_jpeg_gray_blocks([100], blocks_w=1)
+    progressive = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(progressive), "image/jpeg",
+          None, None, None)],
+        MM.ASSET_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="SOF0|progressive|baseline"):
+        MM.extract_image_features(df, fake=False).collect()
