@@ -617,6 +617,23 @@ def _has_protobuf() -> bool:
         return False
 
 
+def test_tws_env_gate_is_explicit():
+    """VERDICT r3 #5: the transformWithStateInPandas test may only skip
+    for the explicit, named reason (google.protobuf absent) — this
+    meta-test fails if the skipif condition or its reason string rots,
+    and documents in the run log whether the env finally ships
+    protobuf (2026-08-13: it does not)."""
+    marks = [
+        m for m in getattr(
+            test_transform_with_state_context_window, "pytestmark", []
+        )
+        if m.name == "skipif"
+    ]
+    assert marks, "TWS test lost its env gate"
+    assert "protobuf" in marks[0].kwargs["reason"]
+    assert marks[0].args[0] == (not _has_protobuf())
+
+
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithStateInPandas requires google.protobuf "
