@@ -145,6 +145,41 @@ def minhash_signatures_df(
     )
 
 
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    bands: int,
+    shingle_n: int,
+    seed: int,
+) -> DataFrame:
+    """(id, band_id, band_hash) rows: MinHash signatures sliced into
+    ``bands`` bands, each band hashed to one 64-bit bucket key — the
+    shared LSH banding for the self-join (:func:`minhash_lsh_candidates`)
+    and cross-corpus (:func:`cross_corpus_lsh_candidates`) paths. Band
+    hashes are ordinary codegen'd columns over signature slices."""
+    r = k // bands
+    sigs = minhash_signatures_df(df, text_col, id_col, k, shingle_n, seed)
+    band_hashes = F.array(*[
+        F.xxhash64(
+            F.array_join(
+                F.transform(
+                    F.slice("__sig", b * r + 1, r),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ),
+            F.lit(b),
+        )
+        for b in range(bands)
+    ])
+    return sigs.select(
+        id_col,
+        F.posexplode(band_hashes).alias("band_id", "band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -164,25 +199,8 @@ def minhash_lsh_candidates(
 
     Returns (id_a, id_b, n_shared_bands) with id_a < id_b.
     """
-    r = k // bands
-    sigs = minhash_signatures_df(df, text_col, id_col, k, shingle_n, seed)
-    # band hashes as ordinary (codegen'd) columns over signature slices
-    band_hashes = F.array(*[
-        F.xxhash64(
-            F.array_join(
-                F.transform(
-                    F.slice("__sig", b * r + 1, r),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ),
-            F.lit(b),
-        )
-        for b in range(bands)
-    ])
-    banded = sigs.select(
-        id_col,
-        F.posexplode(band_hashes).alias("band_id", "band_hash"),
+    banded = _banded_signatures(
+        df, text_col, id_col, k, bands, shingle_n, seed
     )
     left = banded.alias("a")
     right = banded.alias("b")
@@ -199,6 +217,97 @@ def minhash_lsh_candidates(
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def cross_corpus_lsh_candidates(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs BETWEEN two corpora (new batch vs
+    existing corpus) via the same banded MinHash-LSH as
+    :func:`minhash_lsh_candidates` — the recurring-crawl shape: each
+    incoming batch is checked against what the corpus already holds,
+    never all-pairs and never batch×corpus.
+
+    Scale shape: both sides reduce to (id, band_id, band_hash) rows and
+    meet in a band-bucket equi-join, so the shuffle key-space is the
+    band buckets regardless of corpus size; a production pipeline
+    persists the corpus side's banded table once (it is append-only)
+    and each batch only computes its own signatures. Doc ids must be
+    unique ACROSS the two corpora (standard for batch-prefixed or
+    content-addressed ids).
+
+    Returns (id_a = new-batch id, id_b = corpus id, n_shared_bands).
+    """
+    new_banded = _banded_signatures(
+        new_docs, text_col, id_col, k, bands, shingle_n, seed
+    ).alias("a")
+    corpus_banded = _banded_signatures(
+        corpus_docs, text_col, id_col, k, bands, shingle_n, seed
+    ).alias("b")
+    return (
+        new_banded.join(
+            corpus_banded,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Survivors of a new batch against an existing corpus: drop rows
+    that are exact duplicates (within the batch or of the corpus) or
+    near-duplicates of a corpus document (LSH candidates verified by
+    exact n-gram Jaccard ≥ ``jaccard_threshold``). The incremental form
+    of the full-corpus dedup pass — what a recurring ingest runs per
+    batch instead of re-deduplicating the whole corpus.
+
+    Cost order mirrors :mod:`.curate`: the cheap exact stage (16-byte
+    hash anti-join) shrinks the batch before the LSH + verify stage.
+    Doc ids must be unique across batch and corpus.
+    """
+    # exact, within-batch: keep min-id representative per content hash
+    batch = exact_dedup_by_content(new_docs, text_col, id_col)
+    # exact, vs corpus: anti-join on content digest — only hashes shuffle
+    h = F.md5(F.col(text_col)).alias("__content_hash")
+    batch_h = batch.withColumn("__content_hash", F.md5(F.col(text_col)))
+    corpus_h = corpus_docs.select(h).distinct()
+    batch = batch_h.join(
+        corpus_h, "__content_hash", "left_anti"
+    ).drop("__content_hash")
+    # near-dup vs corpus: banded LSH candidates, Jaccard-verified
+    cand = cross_corpus_lsh_candidates(
+        batch, corpus_docs, text_col, id_col, k, bands, shingle_n, seed
+    ).localCheckpoint(eager=False)
+    union_docs = batch.select(id_col, text_col).unionByName(
+        corpus_docs.select(id_col, text_col)
+    )
+    neardup = ngram_jaccard(
+        cand, union_docs, id_col, text_col, shingle_n, jaccard_threshold
+    )
+    drop_ids = neardup.select(F.col("id_a").alias(id_col)).distinct()
+    return batch.join(drop_ids, id_col, "left_anti")
 
 
 def ngram_jaccard(

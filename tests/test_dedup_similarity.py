@@ -581,3 +581,49 @@ def test_winnow_sketch_matches_python_reference(spark):
         "doc_id", TA.winnow_sketch(F.col("text"), window, w_sel).alias("sk")
     ).collect()}
     assert sk[0] & sk[1]
+
+
+def test_incremental_dedup_against_corpus(spark):
+    """Cross-corpus (recurring-ingest) dedup: a new batch is checked
+    against an existing corpus — exact clones die on the hash anti-join,
+    near-duplicates die on LSH + Jaccard verify, fresh documents and
+    within-batch-only near-dups survive (within-batch near-dup is the
+    self-join operator's job, documented)."""
+    words = [f"tok{i}" for i in range(60)]
+    corpus_text = " ".join(words)
+    near_words = list(words)
+    near_words[30] = "CHANGED"
+    near_text = " ".join(near_words)  # J = 55/61 ≈ 0.90 vs corpus_text
+    fresh_text = " ".join(f"other{i}" for i in range(60))
+
+    corpus = spark.createDataFrame(
+        [(1000, corpus_text),
+         (1001, " ".join(f"held{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, corpus_text),     # exact clone of corpus -> drop
+            (2, near_text),       # near-dup of corpus    -> drop
+            (3, fresh_text),      # fresh                 -> keep
+            (4, fresh_text),      # within-batch exact dup -> drop (min id kept)
+        ],
+        "doc_id long, text string",
+    )
+    out = D.incremental_dedup(batch, corpus, jaccard_threshold=0.8)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [3]
+
+    # candidates expose the cross-corpus pairing (new id, corpus id)
+    cand = D.cross_corpus_lsh_candidates(batch, corpus).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in cand}
+    assert (1, 1000) in pairs and (2, 1000) in pairs
+    assert all(a < 1000 <= b for a, b in pairs)
+
+    # an empty corpus drops nothing beyond within-batch exact dedup
+    empty = corpus.filter(F.lit(False))
+    kept2 = sorted(
+        r["doc_id"]
+        for r in D.incremental_dedup(batch, empty).collect()
+    )
+    assert kept2 == [1, 2, 3]
