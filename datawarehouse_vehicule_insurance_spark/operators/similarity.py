@@ -189,6 +189,94 @@ def cosine_neardup_pairs(
     return tasks.groupBy("__bi", "__bj").applyInPandas(_pairs, out_schema)
 
 
+def cross_corpus_cosine_pairs(
+    new_vecs: DataFrame,
+    corpus_vecs: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 2048,
+    n_rows: tuple[int | None, int | None] = (None, None),
+) -> DataFrame:
+    """EXACT cosine near-duplicate pairs BETWEEN two corpora — the
+    embedding-space analogue of :func:`..dedup.cross_corpus_lsh_candidates`:
+    check an incoming batch against an existing corpus (or a training
+    corpus against benchmark embeddings for decontamination) without a
+    batch×corpus cross join.
+
+    Same block-pair partitioning as :func:`cosine_neardup_pairs`, but
+    the grid is the full A×B rectangle (every batch block meets every
+    corpus block exactly once — no diagonal/orientation logic since the
+    sides are distinct). Each of the Ba·Bb tasks BLAS-multiplies two
+    bounded blocks; per-task memory is 2×``block_rows`` vectors
+    regardless of either corpus size. ``n_rows`` optionally supplies
+    (batch_rows, corpus_rows) to size the grid without counting jobs.
+
+    Returns (id_a = batch id, id_b = corpus id, cosine_sim ≥ threshold).
+    """
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+
+    na = n_rows[0] if n_rows[0] is not None else new_vecs.count()
+    nb = n_rows[1] if n_rows[1] is not None else corpus_vecs.count()
+    ba = max(1, _math.ceil(na / block_rows))
+    bb = max(1, _math.ceil(nb / block_rows))
+
+    def blocked(df, n_blocks):
+        return df.select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+            .cast("int")
+            .alias("__blk"),
+        )
+
+    # batch block i fans out to tasks (i, 0..bb-1); corpus block j to
+    # tasks (0..ba-1, j) — every (i, j) pair meets in exactly one task
+    left = blocked(new_vecs, ba).withColumn(
+        "__bj", F.explode(F.sequence(F.lit(0), F.lit(bb - 1)))
+    ).select(
+        F.col("__blk").alias("__bi"), "__bj",
+        F.lit(0).alias("__side"), "__id", "__vec",
+    )
+    right = blocked(corpus_vecs, bb).withColumn(
+        "__bi", F.explode(F.sequence(F.lit(0), F.lit(ba - 1)))
+    ).select(
+        "__bi", F.col("__blk").alias("__bj"),
+        F.lit(1).alias("__side"), "__id", "__vec",
+    )
+    tasks = left.unionByName(right)
+    out_schema = "id_a long, id_b long, cosine_sim double"
+
+    def _pairs(key, pdf):
+        a_pdf = pdf[pdf["__side"] == 0]
+        b_pdf = pdf[pdf["__side"] == 1]
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame({
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine_sim": pd.Series(dtype="float64"),
+            })
+
+        def _mat(p):
+            m = np.array(list(p["__vec"]), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            return m / norms
+
+        sims = _mat(a_pdf) @ _mat(b_pdf).T
+        ia, ib = np.nonzero(sims >= threshold)
+        return pd.DataFrame({
+            "id_a": a_pdf["__id"].to_numpy(dtype=np.int64)[ia],
+            "id_b": b_pdf["__id"].to_numpy(dtype=np.int64)[ib],
+            "cosine_sim": np.round(sims[ia, ib], 6),
+        })
+
+    return tasks.groupBy("__bi", "__bj").applyInPandas(_pairs, out_schema)
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,

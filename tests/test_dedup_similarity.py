@@ -627,3 +627,43 @@ def test_incremental_dedup_against_corpus(spark):
         for r in D.incremental_dedup(batch, empty).collect()
     )
     assert kept2 == [1, 2, 3]
+
+
+def test_cross_corpus_cosine_pairs_equals_bruteforce(spark):
+    """Cross-corpus block-pair matmul == brute-force cosine over the
+    batch x corpus rectangle, exercised on a multi-block grid (small
+    block_rows forces several blocks per side)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch = emb.filter(F.col("vec_id") < 80)
+    corpus = emb.filter(F.col("vec_id") >= 80)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in S.cross_corpus_cosine_pairs(
+            batch, corpus, threshold=0.2, block_rows=32
+        ).collect()
+    }
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    want = {}
+    for a in vecs:
+        if a >= 80:
+            continue
+        for b in vecs:
+            if b < 80:
+                continue
+            c = cos(vecs[a], vecs[b])
+            if c >= 0.2:
+                want[(a, b)] = c
+    assert set(got) == set(want)
+    for k_, v in want.items():
+        assert got[k_] == pytest.approx(v, abs=1e-5)
+    # orientation: id_a always from the batch side, id_b from the corpus
+    assert all(a < 80 <= b for a, b in got)
