@@ -15,6 +15,7 @@ over a documents parquet table —
     python -m datawarehouse_vehicule_insurance_spark curate \\
         --input <docs.parquet> --output <dir> [--benchmark <bench.parquet>]
         [--langs en,es] [--min-tokens 8] [--jaccard 0.8]
+        [--existing-corpus <corpus.parquet>]   # incremental ingest mode
 """
 
 from __future__ import annotations
@@ -41,6 +42,10 @@ def _run_curate(args: argparse.Namespace) -> int:
     benchmark = (
         spark.read.parquet(args.benchmark) if args.benchmark else None
     )
+    existing = (
+        spark.read.parquet(args.existing_corpus)
+        if args.existing_corpus else None
+    )
     langs = tuple(args.langs.split(",")) if args.langs else None
     out = curate_corpus(
         docs,
@@ -48,6 +53,7 @@ def _run_curate(args: argparse.Namespace) -> int:
         lang_allow=langs,
         min_tokens=args.min_tokens,
         jaccard_threshold=args.jaccard,
+        existing_corpus=existing,
     )
     out.write.mode("overwrite").parquet(args.output)
     kept = spark.read.parquet(args.output).count()
@@ -70,6 +76,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", help="curate: documents parquet path")
     p.add_argument("--output", help="curate: output parquet dir")
     p.add_argument("--benchmark", help="curate: benchmark parquet path")
+    p.add_argument(
+        "--existing-corpus",
+        help="curate: parquet of the corpus already ingested — makes the "
+        "run incremental (batch deduped against it)",
+    )
     p.add_argument("--langs", help="curate: comma-separated lang allowlist")
     p.add_argument("--min-tokens", type=int, default=8)
     p.add_argument("--jaccard", type=float, default=0.8)

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import exact_dedup_by_content, minhash_dedup
+from .dedup import exact_dedup_by_content, incremental_dedup, minhash_dedup
 from .text_analysis import contamination_overlap, lang_id, quality_features
 
 
@@ -41,11 +41,15 @@ def curate_corpus(
     jaccard_threshold: float = 0.8,
     contamination_n: int = 8,
     transitive: bool = True,
+    existing_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Curate ``docs`` for training; returns surviving rows with the
     input schema. ``benchmark`` (optional) enables the decontamination
     stage; ``lang_allow`` (optional) keeps only the listed
-    :func:`~.text_analysis.lang_id` predictions.
+    :func:`~.text_analysis.lang_id` predictions; ``existing_corpus``
+    (optional) makes the run INCREMENTAL — survivors are additionally
+    deduped against what the corpus already holds
+    (:func:`~.dedup.incremental_dedup`), the recurring-ingest shape.
 
     Thresholds are the Gopher-style defaults scaled down for the test
     corpus; every one is a parameter because curation policy is a
@@ -85,5 +89,17 @@ def curate_corpus(
             id_col=id_col, text_col=text_col,
         ).select(F.col(id_col)).distinct()
         out = out.join(hits, id_col, "left_anti")
+
+    # 5. incremental mode: dedup the (already small) survivor set
+    #    against the existing corpus — exact hash anti-join, then
+    #    banded LSH batch-vs-corpus candidates + Jaccard verify
+    if existing_corpus is not None:
+        out = incremental_dedup(
+            out,
+            existing_corpus,
+            text_col=text_col,
+            id_col=id_col,
+            jaccard_threshold=jaccard_threshold,
+        )
 
     return out

@@ -447,6 +447,26 @@ def test_curate_corpus_end_to_end(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [0, 7]
 
+    # incremental mode: an existing corpus already holding `base`
+    # (exactly) and a near-dup of `clean2` shrinks the survivors to none
+    existing = spark.createDataFrame(
+        [(900, base), (901, clean2 + " zzz")],  # exact + near (J≈0.96)
+        "doc_id long, text string",
+    )
+    out2 = curate_corpus(
+        docs, benchmark, lang_allow=("en",), existing_corpus=existing
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == []
+    # a disjoint existing corpus changes nothing
+    disjoint = spark.createDataFrame(
+        [(900, "totally unrelated corpus text about other things entirely")],
+        "doc_id long, text string",
+    )
+    out3 = curate_corpus(
+        docs, benchmark, lang_allow=("en",), existing_corpus=disjoint
+    )
+    assert sorted(r["doc_id"] for r in out3.collect()) == [0, 7]
+
 
 def test_pq_topk_shortlist_recall_vs_exact(spark):
     """PQ ranks by quantized similarity, so on near-isotropic synthetic

@@ -747,3 +747,18 @@ def test_cli_curate(spark, tmp_path, capsys):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert curated.columns == docs.columns
     assert 0 < curated.count() == stats["kept"] <= stats["input"] == docs.count()
+
+    # incremental invariant: re-ingesting the same batch against the
+    # just-curated corpus keeps nothing (every survivor is an exact
+    # clone of a corpus doc)
+    out2 = str(tmp_path / "curated_incr")
+    rc2 = main([
+        "curate",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out2,
+        "--min-tokens", "5",
+        "--existing-corpus", out_dir,
+    ])
+    assert rc2 == 0
+    stats2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["kept"] == 0
