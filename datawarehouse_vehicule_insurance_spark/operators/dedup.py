@@ -219,15 +219,38 @@ def minhash_lsh_candidates(
     )
 
 
-def cross_corpus_lsh_candidates(
-    new_docs: DataFrame,
-    corpus_docs: DataFrame,
+def band_table(
+    docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+) -> DataFrame:
+    """The persistable LSH index of a corpus: (id, band_id, band_hash)
+    rows, ~``bands`` rows per document. An ingest pipeline writes this
+    ONCE per corpus (partitioned/bucketed by band_hash if desired) and
+    appends each accepted batch's rows — subsequent
+    :func:`cross_corpus_lsh_candidates` calls pass it as
+    ``corpus_bands`` so only the new batch pays signature computation.
+    Parameters must match between index build and probe (same k/bands/
+    shingle_n/seed, or the band hashes are meaningless)."""
+    return _banded_signatures(
+        docs, text_col, id_col, k, bands, shingle_n, seed
+    )
+
+
+def cross_corpus_lsh_candidates(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs BETWEEN two corpora (new batch vs
     existing corpus) via the same banded MinHash-LSH as
@@ -237,19 +260,28 @@ def cross_corpus_lsh_candidates(
 
     Scale shape: both sides reduce to (id, band_id, band_hash) rows and
     meet in a band-bucket equi-join, so the shuffle key-space is the
-    band buckets regardless of corpus size; a production pipeline
-    persists the corpus side's banded table once (it is append-only)
-    and each batch only computes its own signatures. Doc ids must be
-    unique ACROSS the two corpora (standard for batch-prefixed or
-    content-addressed ids).
+    band buckets regardless of corpus size. Pass ``corpus_bands`` (a
+    persisted :func:`band_table`, built with the SAME parameters) to
+    skip recomputing the corpus side — the production shape for an
+    append-only corpus; otherwise ``corpus_docs`` is banded on the fly.
+    Doc ids must be unique ACROSS the two corpora (standard for
+    batch-prefixed or content-addressed ids).
 
     Returns (id_a = new-batch id, id_b = corpus id, n_shared_bands).
     """
+    if (corpus_docs is None) == (corpus_bands is None):
+        raise ValueError(
+            "pass exactly one of corpus_docs or corpus_bands"
+        )
     new_banded = _banded_signatures(
         new_docs, text_col, id_col, k, bands, shingle_n, seed
     ).alias("a")
-    corpus_banded = _banded_signatures(
-        corpus_docs, text_col, id_col, k, bands, shingle_n, seed
+    corpus_banded = (
+        corpus_bands
+        if corpus_bands is not None
+        else _banded_signatures(
+            corpus_docs, text_col, id_col, k, bands, shingle_n, seed
+        )
     ).alias("b")
     return (
         new_banded.join(

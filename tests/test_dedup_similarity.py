@@ -687,3 +687,37 @@ def test_cross_corpus_cosine_pairs_equals_bruteforce(spark):
         assert got[k_] == pytest.approx(v, abs=1e-5)
     # orientation: id_a always from the batch side, id_b from the corpus
     assert all(a < 80 <= b for a, b in got)
+
+
+def test_band_table_persisted_index_equals_on_the_fly(spark, tmp_path):
+    """A persisted band_table probed via corpus_bands yields exactly the
+    candidates of on-the-fly corpus banding (same params), and the
+    exactly-one-of guard rejects ambiguous calls."""
+    emb_docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = emb_docs.filter(F.col("doc_id") % 2 == 0)
+    batch = emb_docs.filter(F.col("doc_id") % 2 == 1).limit(50)
+
+    idx_path = str(tmp_path / "band_index")
+    D.band_table(corpus, k=32, bands=8).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    live = {
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in D.cross_corpus_lsh_candidates(
+            batch, corpus, k=32, bands=8
+        ).collect()
+    }
+    from_index = {
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in D.cross_corpus_lsh_candidates(
+            batch, corpus_bands=idx, k=32, bands=8
+        ).collect()
+    }
+    assert from_index == live
+
+    with pytest.raises(ValueError, match="exactly one"):
+        D.cross_corpus_lsh_candidates(batch, corpus, corpus_bands=idx)
+    with pytest.raises(ValueError, match="exactly one"):
+        D.cross_corpus_lsh_candidates(batch)
