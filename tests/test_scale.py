@@ -700,6 +700,35 @@ def test_score_quality_shields_reserved_columns(spark):
     assert scored.columns.count("probability") == 1
 
 
+def test_quality_classifier_save_load_roundtrip(spark, tmp_path):
+    """A persisted classifier reloads and scores identically — curation
+    jobs load the trained model per batch instead of retraining, so the
+    save/load path must preserve scoring bit-for-bit (summaries are not
+    persisted, which also keeps the reloaded model free of the
+    session-capturing training summary)."""
+    from pyspark.ml import PipelineModel
+
+    from datawarehouse_vehicule_insurance_spark.operators import mlprep as MP
+
+    labeled = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("good clean prose text"))
+        .otherwise(F.lit("spam junk noise garbage"))
+        .alias("text"),
+        (F.col("id") % 2 == 0).cast("double").alias("label"),
+    )
+    model = MP.train_quality_classifier(labeled, n_features=64, max_iter=10)
+    path = str(tmp_path / "quality_model")
+    model.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+
+    want = {r["doc_id"]: r["quality_score"]
+            for r in MP.score_quality(model, labeled).collect()}
+    got = {r["doc_id"]: r["quality_score"]
+           for r in MP.score_quality(loaded, labeled).collect()}
+    assert got == want
+
+
 def test_round2_rewrite_plan_shapes(spark, sf_dir):
     """Plan-probe guards for the late-round-2 rewrites:
 
