@@ -42,6 +42,8 @@ def curate_corpus(
     contamination_n: int = 8,
     transitive: bool = True,
     existing_corpus: DataFrame | None = None,
+    existing_bands: DataFrame | None = None,
+    existing_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Curate ``docs`` for training; returns surviving rows with the
     input schema. ``benchmark`` (optional) enables the decontamination
@@ -50,6 +52,11 @@ def curate_corpus(
     (optional) makes the run INCREMENTAL — survivors are additionally
     deduped against what the corpus already holds
     (:func:`~.dedup.incremental_dedup`), the recurring-ingest shape.
+    ``existing_bands`` / ``existing_hashes`` (optional, with
+    ``existing_corpus``) are the corpus's persisted
+    :func:`~.dedup.band_table` / :func:`~.dedup.content_hash_table`
+    indexes — with them the incremental stage recomputes nothing on the
+    corpus side.
 
     Thresholds are the Gopher-style defaults scaled down for the test
     corpus; every one is a parameter because curation policy is a
@@ -100,6 +107,8 @@ def curate_corpus(
             text_col=text_col,
             id_col=id_col,
             jaccard_threshold=jaccard_threshold,
+            corpus_bands=existing_bands,
+            corpus_hashes=existing_hashes,
         )
 
     return out

@@ -219,6 +219,49 @@ def minhash_lsh_candidates(
     )
 
 
+LSH_PARAMS_COL = "__lsh_params"
+
+
+def lsh_fingerprint(
+    k: int, bands: int, shingle_n: int, seed: int
+) -> str:
+    """Canonical fingerprint of the banding parameters. Stored as a
+    constant column in every :func:`band_table` (parquet RLE encodes it
+    to nothing) so a probe with mismatched parameters fails LOUDLY
+    instead of silently joining meaningless band hashes."""
+    return f"minhash-lsh/k={k}/bands={bands}/shingle_n={shingle_n}/seed={seed}"
+
+
+def validate_band_params(
+    corpus_bands: DataFrame,
+    k: int,
+    bands: int,
+    shingle_n: int,
+    seed: int,
+) -> None:
+    """Assert a persisted :func:`band_table`'s stamped parameters match
+    the probe's. Reads ONE row (a limit-1 scan — one parquet footer +
+    one dictionary page, cheap at any corpus size); uniformity across
+    appends is the writer's contract — every append goes through
+    :func:`band_table`, which stamps the same fingerprint, and
+    :func:`compact_band_table` re-checks the whole index. Tables
+    written before the fingerprint column existed skip validation (the
+    docstring-only contract they were built under)."""
+    if LSH_PARAMS_COL not in corpus_bands.columns:
+        return  # pre-fingerprint index: caller keeps the old contract
+    expected = lsh_fingerprint(k, bands, shingle_n, seed)
+    row = corpus_bands.select(LSH_PARAMS_COL).first()
+    if row is None:
+        return  # empty index matches anything
+    found = row[0]
+    if found != expected:
+        raise ValueError(
+            f"LSH band-table parameter mismatch: index was built with "
+            f"{found!r} but the probe uses {expected!r} — candidates "
+            f"from mismatched banding are meaningless"
+        )
+
+
 def band_table(
     docs: DataFrame,
     text_col: str = "text",
@@ -228,17 +271,69 @@ def band_table(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """The persistable LSH index of a corpus: (id, band_id, band_hash)
-    rows, ~``bands`` rows per document. An ingest pipeline writes this
-    ONCE per corpus (partitioned/bucketed by band_hash if desired) and
-    appends each accepted batch's rows — subsequent
+    """The persistable LSH index of a corpus: (id, band_id, band_hash,
+    __lsh_params) rows, ~``bands`` rows per document. An ingest pipeline
+    writes this ONCE per corpus (partitioned/bucketed by band_hash if
+    desired) and appends each accepted batch's rows — subsequent
     :func:`cross_corpus_lsh_candidates` calls pass it as
     ``corpus_bands`` so only the new batch pays signature computation.
-    Parameters must match between index build and probe (same k/bands/
-    shingle_n/seed, or the band hashes are meaningless)."""
+
+    The banding parameters are stamped into the constant
+    ``__lsh_params`` column and verified by the probe
+    (:func:`validate_band_params`), so a k/bands/shingle_n/seed drift
+    between index build and probe raises instead of silently returning
+    garbage candidates."""
     return _banded_signatures(
         docs, text_col, id_col, k, bands, shingle_n, seed
+    ).withColumn(
+        LSH_PARAMS_COL, F.lit(lsh_fingerprint(k, bands, shingle_n, seed))
     )
+
+
+def band_table_remove(
+    corpus_bands: DataFrame,
+    retracted_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Delete semantics for the persisted LSH index: drop the band rows
+    of retracted documents (takedowns, re-crawled URLs, quality
+    retractions). ``retracted_ids`` is a one-column DataFrame of ids.
+    Returns the surviving index rows for rewrite — a hash anti-join on
+    the id (16-byte keys shuffle, never band payloads); pair with
+    :func:`compact_band_table` to fold the rewrite into a compaction."""
+    ids = retracted_ids.select(
+        F.col(retracted_ids.columns[0]).alias(id_col)
+    ).distinct()
+    return corpus_bands.join(ids, id_col, "left_anti")
+
+
+def compact_band_table(
+    corpus_bands: DataFrame,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Maintenance rewrite of a persisted LSH index: drop duplicate
+    rows (re-ingested batches), verify the parameter stamp is uniform
+    across all appends (mixed fingerprints mean some appends were built
+    with different banding — raises, because their band hashes cannot
+    match each other), and cluster output by ``band_hash`` so the
+    probe-side equi-join reads co-located buckets. Run it the way you
+    would any table compaction: periodically, as a full rewrite."""
+    if LSH_PARAMS_COL in corpus_bands.columns:
+        stamps = [
+            r[0]
+            for r in corpus_bands.select(LSH_PARAMS_COL).distinct().collect()
+        ]
+        if len(stamps) > 1:
+            raise ValueError(
+                f"band table holds appends with mixed LSH parameters "
+                f"{sorted(stamps)} — rebuild the divergent appends with "
+                f"one fingerprint before compacting"
+            )
+    out = corpus_bands.distinct()
+    n = num_partitions or corpus_bands.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    return out.repartition(int(n), "band_hash")
 
 
 def cross_corpus_lsh_candidates(
@@ -261,11 +356,13 @@ def cross_corpus_lsh_candidates(
     Scale shape: both sides reduce to (id, band_id, band_hash) rows and
     meet in a band-bucket equi-join, so the shuffle key-space is the
     band buckets regardless of corpus size. Pass ``corpus_bands`` (a
-    persisted :func:`band_table`, built with the SAME parameters) to
-    skip recomputing the corpus side — the production shape for an
-    append-only corpus; otherwise ``corpus_docs`` is banded on the fly.
-    Doc ids must be unique ACROSS the two corpora (standard for
-    batch-prefixed or content-addressed ids).
+    persisted :func:`band_table`) to skip recomputing the corpus side —
+    the production shape for an append-only corpus; its stamped
+    ``__lsh_params`` fingerprint is validated against this call's
+    k/bands/shingle_n/seed (limit-1 read; mismatch raises — see
+    :func:`validate_band_params`); otherwise ``corpus_docs`` is banded
+    on the fly. Doc ids must be unique ACROSS the two corpora (standard
+    for batch-prefixed or content-addressed ids).
 
     Returns (id_a = new-batch id, id_b = corpus id, n_shared_bands).
     """
@@ -273,6 +370,10 @@ def cross_corpus_lsh_candidates(
         raise ValueError(
             "pass exactly one of corpus_docs or corpus_bands"
         )
+    if corpus_bands is not None:
+        validate_band_params(corpus_bands, k, bands, shingle_n, seed)
+        if LSH_PARAMS_COL in corpus_bands.columns:
+            corpus_bands = corpus_bands.drop(LSH_PARAMS_COL)
     new_banded = _banded_signatures(
         new_docs, text_col, id_col, k, bands, shingle_n, seed
     ).alias("a")
@@ -297,6 +398,19 @@ def cross_corpus_lsh_candidates(
     )
 
 
+def content_hash_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The persistable exact-dedup index of a corpus: (id, content_hash)
+    rows — the companion of :func:`band_table` for the exact stage. An
+    ingest pipeline appends each accepted batch's rows so
+    :func:`incremental_dedup` (``corpus_hashes=``) never re-hashes
+    corpus text."""
+    return docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -307,6 +421,8 @@ def incremental_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    corpus_bands: DataFrame | None = None,
+    corpus_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Survivors of a new batch against an existing corpus: drop rows
     that are exact duplicates (within the batch or of the corpus) or
@@ -318,19 +434,36 @@ def incremental_dedup(
     Cost order mirrors :mod:`.curate`: the cheap exact stage (16-byte
     hash anti-join) shrinks the batch before the LSH + verify stage.
     Doc ids must be unique across batch and corpus.
-    """
+
+    With persisted indexes (the production recurring-crawl shape) pass
+    ``corpus_bands`` (:func:`band_table`, parameter-validated) and
+    ``corpus_hashes`` (:func:`content_hash_table`): the corpus then
+    pays NO per-batch signature or digest recompute — corpus text is
+    touched only by the Jaccard verify stage, which reads just the
+    candidate-pair documents (a left-semi restriction that is orders of
+    magnitude smaller than the corpus)."""
     # exact, within-batch: keep min-id representative per content hash
     batch = exact_dedup_by_content(new_docs, text_col, id_col)
     # exact, vs corpus: anti-join on content digest — only hashes shuffle
-    h = F.md5(F.col(text_col)).alias("__content_hash")
     batch_h = batch.withColumn("__content_hash", F.md5(F.col(text_col)))
-    corpus_h = corpus_docs.select(h).distinct()
+    corpus_h = (
+        corpus_hashes.select(
+            F.col("content_hash").alias("__content_hash")
+        ).distinct()
+        if corpus_hashes is not None
+        else corpus_docs.select(
+            F.md5(F.col(text_col)).alias("__content_hash")
+        ).distinct()
+    )
     batch = batch_h.join(
         corpus_h, "__content_hash", "left_anti"
     ).drop("__content_hash")
     # near-dup vs corpus: banded LSH candidates, Jaccard-verified
     cand = cross_corpus_lsh_candidates(
-        batch, corpus_docs, text_col, id_col, k, bands, shingle_n, seed
+        batch,
+        corpus_docs if corpus_bands is None else None,
+        text_col, id_col, k, bands, shingle_n, seed,
+        corpus_bands=corpus_bands,
     ).localCheckpoint(eager=False)
     union_docs = batch.select(id_col, text_col).unionByName(
         corpus_docs.select(id_col, text_col)
@@ -478,7 +611,10 @@ def minhash_dedup(
     cand = minhash_lsh_candidates(
         df, text_col, id_col, **lsh_kwargs
     ).localCheckpoint(eager=False)
-    confirmed = ngram_jaccard(cand, df, id_col, text_col, threshold=threshold)
+    confirmed = ngram_jaccard(
+        cand, df, id_col, text_col,
+        n=lsh_kwargs.get("shingle_n", 3), threshold=threshold,
+    )
     if transitive:
         comp = connected_components(confirmed.localCheckpoint(eager=False))
         losers = comp.filter(F.col("id") != F.col("component")).select(

@@ -271,12 +271,19 @@ def score_quality(
     temporarily renamed around the transform and restored afterwards,
     so user data never collides with (or gets dropped by) the ML
     intermediates. ``score_col`` replaces an existing column of the
-    same name (standard ``withColumn`` semantics)."""
+    same name (standard ``withColumn`` semantics), but may not be one
+    of the reserved intermediate names — the score would be dropped or
+    clobbered by the shield/restore dance, so that raises."""
     from pyspark.ml.functions import vector_to_array
 
     reserved = (
         "__toks", "__features", "rawPrediction", "probability", "prediction"
     )
+    if score_col in reserved:
+        raise ValueError(
+            f"score_col {score_col!r} collides with a reserved ML "
+            f"intermediate column name {reserved}; choose another name"
+        )
     shield = {
         c: f"__shielded_{c}"
         for c in df.columns

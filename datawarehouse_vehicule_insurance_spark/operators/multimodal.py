@@ -148,12 +148,19 @@ class _JpegBitReader:
         return v
 
     def align_to_marker(self) -> int:
-        """Skip to the next marker (for RSTn); returns the marker byte."""
+        """Skip to the next marker (for RSTn); returns the marker byte.
+
+        The spec (B.1.1.2) permits any number of 0xFF fill bytes before
+        the marker byte, so consecutive 0xFF are skipped — only the
+        first non-0xFF byte after the run is the marker."""
         self.nbits = 0
         while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
             self.pos += 1
-        marker = self.data[self.pos + 1]
-        self.pos += 2
+        self.pos += 1
+        while self.data[self.pos] == 0xFF:  # fill bytes
+            self.pos += 1
+        marker = self.data[self.pos]
+        self.pos += 1
         return marker
 
 
@@ -217,8 +224,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
             raise ValueError("bad JPEG marker alignment")
         marker = data[pos + 1]
         pos += 2
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            continue  # parameterless
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless (incl. EOI — no length field)
         seglen = struct.unpack(">H", data[pos:pos + 2])[0]
         seg = data[pos + 2:pos + seglen]
         if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
@@ -278,6 +285,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                 cs, tdta = seg[1 + ci * 2], seg[2 + ci * 2]
                 scan_comps.append((cs, tdta >> 4, tdta & 0xF))
             w, h, comps = frame
+            if ns < len(comps):
+                # Spec-legal baseline can split components across
+                # multiple SOS scans; the MCU walk below assumes one
+                # interleaved scan covering every component.
+                raise NotImplementedError(
+                    "JPEG subset: non-interleaved (multi-scan) "
+                    f"baseline unsupported (scan has {ns} of "
+                    f"{len(comps)} components)"
+                )
             by_id = {c[0]: c for c in comps}
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)

@@ -1,0 +1,204 @@
+"""Streaming incremental corpus curation — the recurring-crawl loop.
+
+Additive scope beyond the reference (its loads are batch-only full
+rebuilds, reference: load_bronze.py:88-101): each ``availableNow`` run
+picks up exactly the document files that arrived since the last run
+(the file-source checkpoint is the ledger), dedups the batch against
+the GROWING accepted corpus via the persisted LSH/band and content-hash
+indexes, and appends survivors plus their index rows — so per-run cost
+is proportional to the new batch, and the corpus never pays a
+re-signature.
+
+Scale shape (the 100-TB argument):
+
+- corpus side of the near-dup check is the persisted
+  :func:`~..operators.dedup.band_table` — ~``bands`` 16-byte rows per
+  document, met in a band-bucket equi-join; corpus TEXT is read only
+  for candidate-pair verification (a left-semi restriction);
+- corpus side of the exact check is the persisted
+  :func:`~..operators.dedup.content_hash_table` — a 16-byte-key hash
+  anti-join;
+- every batch's writes land in a ``__batch_id`` partition via dynamic
+  partition overwrite, so a replayed micro-batch (at-least-once
+  ``foreachBatch``) rewrites its own partition with identical content:
+  exactly-once per batch without a table format. On Delta/Iceberg the
+  three appends become transactional appends and the replay guard is
+  the (txnAppId, txnVersion) idempotent-writer contract instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    band_table,
+    content_hash_table,
+    exact_dedup_by_content,
+    incremental_dedup,
+    minhash_dedup,
+)
+
+BATCH_COL = "__batch_id"
+
+
+def _try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet table that may not exist yet (first run) or may be
+    an empty directory (a batch with zero survivors) — both mean 'no
+    corpus yet'."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # AnalysisException, pre-classified messages
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Unable to infer schema" in msg
+        ):
+            return None
+        raise
+
+
+def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame | None:
+    """The accepted corpus as written by :func:`run_incremental_curation`
+    (drops the internal batch partition column)."""
+    df = _try_read_parquet(spark, corpus_path)
+    return None if df is None else df.drop(BATCH_COL)
+
+
+def curate_batch_incremental(
+    batch: DataFrame,
+    corpus: DataFrame | None,
+    corpus_bands: DataFrame | None,
+    corpus_hashes: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    within_batch_neardup: bool = True,
+) -> DataFrame:
+    """One batch's survivors: within-batch exact dedup (+ optional
+    within-batch near-dup), then — when a corpus exists — the
+    index-fed batch-vs-corpus :func:`~..operators.dedup.incremental_dedup`.
+    Pure plan construction (shared by the streaming loop and its batch
+    oracle in tests)."""
+    out = exact_dedup_by_content(batch, text_col=text_col, id_col=id_col)
+    if within_batch_neardup:
+        out = minhash_dedup(
+            out, text_col=text_col, id_col=id_col,
+            threshold=jaccard_threshold,
+            k=k, bands=bands, shingle_n=shingle_n, seed=seed,
+        )
+    if corpus is None:
+        return out
+    return incremental_dedup(
+        out, corpus,
+        text_col=text_col, id_col=id_col,
+        jaccard_threshold=jaccard_threshold,
+        k=k, bands=bands, shingle_n=shingle_n, seed=seed,
+        corpus_bands=corpus_bands, corpus_hashes=corpus_hashes,
+    )
+
+
+def run_incremental_curation(
+    spark: SparkSession,
+    src_path: str,
+    corpus_path: str,
+    index_path: str,
+    hash_path: str,
+    checkpoint_path: str,
+    schema=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    within_batch_neardup: bool = True,
+    max_files_per_trigger: int = 1,
+    transform=None,
+):
+    """One incremental curation run: stream the document directory with
+    ``availableNow`` (process exactly the files the checkpoint hasn't
+    seen, then stop), and per micro-batch:
+
+    1. curate the batch against the current corpus + persisted indexes
+       (:func:`curate_batch_incremental` — no corpus-side signature or
+       digest recompute, parameter-fingerprint validated);
+    2. append survivors to ``corpus_path``;
+    3. append the survivors' band rows to ``index_path`` and content
+       hashes to ``hash_path`` — the next batch (or run) dedups against
+       the grown corpus for free.
+
+    ``transform`` (optional) maps the raw batch DataFrame first (e.g. a
+    quality-gate filter). Returns the started query; callers
+    ``awaitTermination()``. Re-running with the same checkpoint after
+    new files arrive processes ONLY the new files; replayed batches
+    rewrite their own ``__batch_id`` partitions (idempotent).
+    """
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(src_path)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        batch = transform(batch_df) if transform is not None else batch_df
+        corpus = read_corpus(sess, corpus_path)
+        corpus_bands = (
+            _try_read_parquet(sess, index_path) if corpus is not None else None
+        )
+        corpus_hashes = (
+            _try_read_parquet(sess, hash_path) if corpus is not None else None
+        )
+        if corpus_bands is not None:
+            corpus_bands = corpus_bands.drop(BATCH_COL)
+        if corpus_hashes is not None:
+            corpus_hashes = corpus_hashes.drop(BATCH_COL)
+        survivors = curate_batch_incremental(
+            batch, corpus, corpus_bands, corpus_hashes,
+            text_col=text_col, id_col=id_col,
+            jaccard_threshold=jaccard_threshold,
+            k=k, bands=bands, shingle_n=shingle_n, seed=seed,
+            within_batch_neardup=within_batch_neardup,
+        )
+        # One computation serving three writes: checkpoint the (small)
+        # survivor set so corpus/index/hash appends don't re-run the
+        # LSH + verify plan three times.
+        survivors = survivors.localCheckpoint(eager=True)
+
+        def _append(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn(BATCH_COL, F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(BATCH_COL)
+                .parquet(path)
+            )
+
+        _append(survivors, corpus_path)
+        _append(
+            band_table(
+                survivors, text_col, id_col, k, bands, shingle_n, seed
+            ),
+            index_path,
+        )
+        _append(content_hash_table(survivors, text_col, id_col), hash_path)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,337 @@
+"""Round-5 surface: persisted-index maintenance (parameter fingerprint,
+delete, compaction), index-fed incremental dedup, and the streaming
+incremental curation loop (availableNow batches vs a growing corpus).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_vehicule_insurance_spark.operators import dedup as D
+from datawarehouse_vehicule_insurance_spark.streaming import curation as SC
+
+WORDS = [f"tok{i}" for i in range(60)]
+BASE = " ".join(WORDS)
+
+
+def _near(i: int, repl: str = "CHANGED", base: list[str] | None = None) -> str:
+    words = list(base or WORDS)
+    words[i] = repl
+    return " ".join(words)
+
+
+def _fresh(tag: str) -> str:
+    return " ".join(f"{tag}{i}" for i in range(60))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# band-table parameter fingerprint
+# ---------------------------------------------------------------------------
+
+def test_band_table_param_mismatch_raises(spark, tmp_path):
+    """A persisted band_table stamps its banding parameters; probing it
+    with different k/bands/shingle_n/seed raises instead of silently
+    joining meaningless band hashes (r4 advice #3)."""
+    corpus = _docs(spark, [(1000, BASE), (1001, _fresh("held"))])
+    batch = _docs(spark, [(1, _near(30))])
+
+    idx_path = str(tmp_path / "idx")
+    D.band_table(corpus, k=32, bands=8).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    assert D.LSH_PARAMS_COL in idx.columns
+
+    # matching params: validation passes, candidates flow
+    ok = D.cross_corpus_lsh_candidates(
+        batch, corpus_bands=idx, k=32, bands=8
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in ok} == {(1, 1000)}
+
+    # each mismatched parameter raises loudly
+    for kwargs in (
+        dict(k=64, bands=8),
+        dict(k=32, bands=4),
+        dict(k=32, bands=8, shingle_n=5),
+        dict(k=32, bands=8, seed=99),
+    ):
+        with pytest.raises(ValueError, match="parameter mismatch"):
+            D.cross_corpus_lsh_candidates(batch, corpus_bands=idx, **kwargs)
+
+    # a pre-fingerprint (legacy) index skips validation — old contract
+    legacy = idx.drop(D.LSH_PARAMS_COL)
+    got = D.cross_corpus_lsh_candidates(
+        batch, corpus_bands=legacy, k=32, bands=8
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 1000)}
+
+
+def test_band_table_remove_then_probe(spark):
+    """Delete semantics: after removing a retracted document's band rows
+    the probe no longer pairs against it, while other corpus docs keep
+    matching."""
+    corpus = _docs(
+        spark, [(1000, BASE), (1001, _fresh("held"))]
+    )
+    idx = D.band_table(corpus, k=32, bands=8)
+    batch = _docs(
+        spark,
+        [(1, _near(30)),                               # near-dup of 1000
+         (2, _near(30, base=_fresh("held").split()))]  # near-dup of 1001
+    )
+
+    before = {
+        (r["id_a"], r["id_b"])
+        for r in D.cross_corpus_lsh_candidates(
+            batch, corpus_bands=idx, k=32, bands=8
+        ).collect()
+    }
+    assert before == {(1, 1000), (2, 1001)}
+
+    retracted = spark.createDataFrame([(1000,)], "doc_id long")
+    pruned = D.band_table_remove(idx, retracted)
+    assert pruned.filter(F.col("doc_id") == 1000).count() == 0
+    after = {
+        (r["id_a"], r["id_b"])
+        for r in D.cross_corpus_lsh_candidates(
+            batch, corpus_bands=pruned, k=32, bands=8
+        ).collect()
+    }
+    assert after == {(2, 1001)}
+
+
+def test_compact_band_table(spark):
+    """Compaction drops duplicate rows from re-ingested appends and
+    refuses an index whose appends were stamped with different
+    parameters (their band hashes cannot match each other)."""
+    corpus = _docs(spark, [(1000, BASE), (1001, _fresh("held"))])
+    idx = D.band_table(corpus, k=32, bands=8)
+    doubled = idx.union(idx)
+    compacted = D.compact_band_table(doubled, num_partitions=4)
+    assert compacted.count() == idx.count()
+    assert sorted(compacted.columns) == sorted(idx.columns)
+
+    mixed = idx.union(D.band_table(corpus, k=32, bands=8, seed=99))
+    with pytest.raises(ValueError, match="mixed LSH parameters"):
+        D.compact_band_table(mixed)
+
+
+# ---------------------------------------------------------------------------
+# index-fed incremental dedup
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_with_persisted_indexes(spark, tmp_path):
+    """incremental_dedup fed from persisted band/content-hash indexes
+    gives exactly the direct (corpus-recompute) answer, and the corpus
+    side pays no signature computation — every _banded_signatures call
+    sees only new-batch documents."""
+    corpus = _docs(
+        spark, [(1000, BASE), (1001, _fresh("held"))]
+    )
+    batch = _docs(
+        spark,
+        [
+            (1, BASE),           # exact clone of corpus -> drop
+            (2, _near(30)),      # near-dup of corpus    -> drop
+            (3, _fresh("new")),  # fresh                 -> keep
+            (4, _fresh("new")),  # within-batch exact    -> drop
+        ],
+    )
+    idx_path = str(tmp_path / "bands")
+    hash_path = str(tmp_path / "hashes")
+    D.band_table(corpus).write.parquet(idx_path)
+    D.content_hash_table(corpus).write.parquet(hash_path)
+    idx = spark.read.parquet(idx_path)
+    hashes = spark.read.parquet(hash_path)
+
+    seen_ids: list[set] = []
+    real = D._banded_signatures
+
+    def spy(df, text_col, id_col, *a, **kw):
+        seen_ids.append(
+            {r[0] for r in df.select(id_col).distinct().collect()}
+        )
+        return real(df, text_col, id_col, *a, **kw)
+
+    try:
+        D._banded_signatures = spy
+        kept = sorted(
+            r["doc_id"]
+            for r in D.incremental_dedup(
+                batch, corpus, corpus_bands=idx, corpus_hashes=hashes
+            ).collect()
+        )
+    finally:
+        D._banded_signatures = real
+    assert kept == [3]
+    # the probe: signatures were computed, but never over corpus ids
+    assert seen_ids, "banding never ran"
+    for ids in seen_ids:
+        assert ids <= {1, 2, 3, 4}, f"corpus-side recompute: {ids}"
+
+
+def test_curate_corpus_accepts_persisted_indexes(spark):
+    """curate_corpus(existing_corpus=..., existing_bands=...,
+    existing_hashes=...) matches the recompute path."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    corpus = _docs(spark, [(1000, BASE)])
+    batch = _docs(
+        spark,
+        [(1, BASE), (2, _near(30)), (3, _fresh("new"))],
+    )
+    direct = sorted(
+        r["doc_id"]
+        for r in curate_corpus(batch, existing_corpus=corpus).collect()
+    )
+    indexed = sorted(
+        r["doc_id"]
+        for r in curate_corpus(
+            batch,
+            existing_corpus=corpus,
+            existing_bands=D.band_table(corpus),
+            existing_hashes=D.content_hash_table(corpus),
+        ).collect()
+    )
+    assert indexed == direct == [3]
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental curation loop
+# ---------------------------------------------------------------------------
+
+BETA = _fresh("beta")
+
+BATCH_1 = [
+    (1, BASE),            # keep (first seen)
+    (2, _fresh("alpha")), # keep
+    (3, BASE),            # within-batch exact dup of 1 -> drop
+]
+BATCH_2 = [
+    (11, BASE),           # exact clone of corpus        -> drop
+    (12, _near(30)),      # near-dup of corpus BASE      -> drop
+    (13, BETA),           # fresh                        -> keep
+]
+BATCH_3 = [
+    (21, _near(5, base=BETA.split())),  # near-dup of batch-2 survivor -> drop
+    (22, _fresh("gamma")),              # fresh                        -> keep
+    (23, _fresh("alpha")),              # exact clone of batch-1 doc   -> drop
+]
+
+
+def _paths(tmp_path):
+    return (
+        str(tmp_path / "src"),
+        str(tmp_path / "corpus"),
+        str(tmp_path / "bands"),
+        str(tmp_path / "hashes"),
+        str(tmp_path / "ckpt"),
+    )
+
+
+def _run(spark, tmp_path, **kw):
+    src, corpus, bands, hashes, ckpt = _paths(tmp_path)
+    q = SC.run_incremental_curation(
+        spark, src, corpus, bands, hashes, ckpt, **kw
+    )
+    q.awaitTermination()
+
+
+def _corpus_ids(spark, tmp_path):
+    df = SC.read_corpus(spark, _paths(tmp_path)[1])
+    return sorted(r["doc_id"] for r in df.collect()) if df is not None else []
+
+
+def test_streaming_incremental_curation_grows_corpus(spark, tmp_path):
+    """The recurring-crawl loop: three planted batches arrive across
+    three availableNow runs sharing one checkpoint. Each batch is
+    deduped against the corpus grown so far (exact clones and
+    near-duplicates die, fresh docs survive); the persisted band/hash
+    indexes track the corpus exactly; a no-new-files run is a no-op;
+    and the final corpus equals the batch-mode oracle (chained
+    curate_batch_incremental calls)."""
+    src, corpus_path, bands_path, hashes_path, _ = _paths(tmp_path)
+    b1 = _docs(spark, BATCH_1)
+    b2 = _docs(spark, BATCH_2)
+    b3 = _docs(spark, BATCH_3)
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path)
+    assert _corpus_ids(spark, tmp_path) == [1, 2]
+
+    # stop/append/restart: only the new file is processed
+    b2.coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path)
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 13]
+
+    b3.coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path)
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 13, 22]
+
+    # the indexes track the corpus exactly, fingerprint stamped
+    idx = spark.read.parquet(bands_path)
+    assert D.LSH_PARAMS_COL in idx.columns
+    assert sorted(
+        r["doc_id"] for r in idx.select("doc_id").distinct().collect()
+    ) == [1, 2, 13, 22]
+    hashes = spark.read.parquet(hashes_path)
+    assert sorted(r["doc_id"] for r in hashes.select("doc_id").collect()) \
+        == [1, 2, 13, 22]
+
+    # nothing new -> nothing changes
+    _run(spark, tmp_path)
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 13, 22]
+
+    # batch-mode oracle: the same three batches chained through
+    # curate_batch_incremental give the same corpus
+    acc = None
+    for b in (b1, b2, b3):
+        surv = SC.curate_batch_incremental(
+            b, acc,
+            None if acc is None else D.band_table(acc),
+            None if acc is None else D.content_hash_table(acc),
+        )
+        acc = surv if acc is None else acc.unionByName(surv)
+    oracle = sorted(r["doc_id"] for r in acc.collect())
+    assert oracle == [1, 2, 13, 22]
+
+
+def test_streaming_curation_no_corpus_side_recompute(spark, tmp_path):
+    """Job probe for the production contract: once the corpus exists,
+    a new batch's run computes MinHash signatures ONLY over new-batch
+    documents — the corpus side is served entirely by the persisted
+    band table (and the exact stage by the persisted hash table)."""
+    src, *_ = _paths(tmp_path)
+    _docs(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path)
+    assert _corpus_ids(spark, tmp_path) == [1, 2]
+
+    seen_ids: list[set] = []
+    real = D._banded_signatures
+
+    def spy(df, text_col, id_col, *a, **kw):
+        seen_ids.append(
+            {r[0] for r in df.select(id_col).distinct().collect()}
+        )
+        return real(df, text_col, id_col, *a, **kw)
+
+    _docs(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+    try:
+        D._banded_signatures = spy
+        _run(spark, tmp_path)
+    finally:
+        D._banded_signatures = real
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 13]
+
+    batch2_ids = {i for i, _ in BATCH_2}
+    survivor_ids = {13}
+    assert seen_ids, "banding never ran"
+    for ids in seen_ids:
+        # batch banding + survivor index append only — never {1, 2}
+        assert ids <= batch2_ids | survivor_ids, \
+            f"corpus-side recompute: {ids}"

@@ -791,3 +791,21 @@ def test_cli_curate(spark, tmp_path, capsys):
     assert rc2 == 0
     stats2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats2["kept"] == 0
+
+
+def test_score_quality_rejects_reserved_score_col(spark):
+    """ADVICE (round 4): score_col equal to a reserved ML intermediate
+    name would be dropped/clobbered by the shield-restore dance — it
+    must raise up front."""
+    from datawarehouse_vehicule_insurance_spark.operators import mlprep as MP
+
+    labeled = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.lit("some text").alias("text"),
+        (F.col("id") % 2 == 0).cast("double").alias("label"),
+    )
+    model = MP.train_quality_classifier(labeled, n_features=64, max_iter=2)
+    for bad in ("probability", "prediction", "__toks", "__features",
+                "rawPrediction"):
+        with pytest.raises(ValueError, match="reserved"):
+            MP.score_quality(model, labeled, score_col=bad)

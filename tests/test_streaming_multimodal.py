@@ -911,3 +911,51 @@ def test_progressive_jpeg_raises(spark):
     )
     with _pytest.raises(Exception, match="SOF0|progressive|baseline"):
         MM.extract_image_features(df, fake=False).collect()
+
+
+def test_jpeg_fill_bytes_before_rstn():
+    """Spec B.1.1.2 permits 0xFF fill bytes before a marker; a restart
+    stream padded that way must still decode to the exact mean (r4
+    advice #2)."""
+    restarts = _encode_jpeg_gray_blocks(
+        [64, 128, 192, 254], blocks_w=2, restart_interval=2
+    )
+    assert b"\xff\xd0" in restarts
+    padded = restarts.replace(b"\xff\xd0", b"\xff\xff\xd0")
+    w, h, mean = MM.decode_jpeg(padded)
+    assert (w, h) == (16, 16)
+    assert abs(mean - (64 + 128 + 192 + 254) / 4 / 255.0) < 1e-12
+
+
+def test_jpeg_non_interleaved_scan_raises():
+    """A spec-legal multi-scan baseline JPEG (SOS covering fewer
+    components than the frame) must raise NotImplementedError instead
+    of mis-walking the MCU grid (r4 advice #1)."""
+    import struct as _struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    data = b"\xff\xd8"
+    data += seg(0xDB, bytes([0]) + bytes([16] * 64))
+    data += seg(
+        0xC0,
+        _struct.pack(">BHHB", 8, 8, 8, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )  # 3-component frame
+    data += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # scan: 1 component
+    data += b"\x00" * 8 + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        MM.decode_jpeg(data)
+
+
+def test_jpeg_eoi_in_marker_loop_is_parameterless():
+    """EOI hit in the pre-scan marker loop has no length field; before
+    the r4 advice fix it was parsed as a length-prefixed segment (a
+    0-length read -> infinite loop on trailing garbage). Now the loop
+    steps over it and fails cleanly on the garbage."""
+    data = b"\xff\xd8" + b"\xff\xd9" + b"\x00" * 4
+    with pytest.raises(ValueError):
+        MM.decode_jpeg(data)

@@ -13,7 +13,10 @@ clones:
   bijections) — token structure and lengths preserved, cross-copy
   shingle Jaccard ≈ 0;
 - embeddings: a per-copy sign mask flipping ~half the dimensions
-  (flip where popcount(dim & (i+1)) is odd) — cross-copy cosine ≈ 0;
+  (flip where popcount((dim-1) & i) is odd; DuckDB list_transform's
+  index lambda arg is 1-based, so dim-1 is the 0-based dimension) —
+  copy 0 is the identity (original vectors preserved), copies i and j
+  differ by the XOR mask i^j so cross-copy cosine ≈ 0;
 - events.ts is written as TIMESTAMP_NS to preserve the NANOS-adaptive
   reader path the real testdata exercises.
 
@@ -107,8 +110,8 @@ gen("documents", doc_sql)
 gen("embeddings", lambda i:
     f"SELECT vec_id + {i*OFF_V} AS vec_id, "
     f"list_transform(embedding, (x, d) -> CASE WHEN "
-    f"bit_count((d & {i+1})::BIGINT) % 2 = 1 THEN -x ELSE x END)::FLOAT[] "
-    f"AS embedding, label FROM '{SRC}/embeddings.parquet'")
+    f"bit_count(((d - 1) & {i})::BIGINT) % 2 = 1 THEN -x ELSE x END)"
+    f"::FLOAT[] AS embedding, label FROM '{SRC}/embeddings.parquet'")
 for t in ("nation", "region"):
     con.sql(
         f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
