@@ -277,39 +277,62 @@ def cross_corpus_cosine_pairs(
     return tasks.groupBy("__bi", "__bj").applyInPandas(_pairs, out_schema)
 
 
-def ivf_topk(
-    queries: DataFrame,
+ANN_PARAMS_COL = "__ann_params"
+
+
+def ivf_fingerprint(
+    n_cells: int, kmeans_iters: int, kmeans_sample: int, seed: int
+) -> str:
+    """Canonical fingerprint of IVF training parameters — stamped into
+    persisted centroid/assignment tables and validated at probe time
+    (same contract as :func:`~.dedup.lsh_fingerprint`)."""
+    return (
+        f"ivf/n_cells={n_cells}/kmeans_iters={kmeans_iters}"
+        f"/kmeans_sample={kmeans_sample}/seed={seed}"
+    )
+
+
+def pq_fingerprint(
+    m: int, ks: int, train_sample: int, kmeans_iters: int, seed: int
+) -> str:
+    """Canonical fingerprint of PQ training parameters."""
+    return (
+        f"pq/m={m}/ks={ks}/train_sample={train_sample}"
+        f"/kmeans_iters={kmeans_iters}/seed={seed}"
+    )
+
+
+def _validate_ann_params(table: DataFrame, expected: str, what: str) -> None:
+    """Raise if a persisted ANN artifact was built with different
+    parameters than the probe's (limit-1 read; tables without the stamp
+    column skip validation)."""
+    if ANN_PARAMS_COL not in table.columns:
+        return
+    row = table.select(ANN_PARAMS_COL).first()
+    if row is None:
+        return
+    if row[0] != expected:
+        raise ValueError(
+            f"ANN {what} parameter mismatch: table was built with "
+            f"{row[0]!r} but the probe uses {expected!r}"
+        )
+
+
+def _train_ivf(
     candidates: DataFrame,
-    k: int = 10,
-    n_cells: int = 16,
-    n_probe: int = 4,
-    kmeans_iters: int = 0,
-    kmeans_sample: int = 2048,
-    seed: int = 42,
-    query_id: str = "query_id",
-    query_vec: str = "qvec",
-    cand_id: str = "vec_id",
-    cand_vec: str = "embedding",
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: candidates are assigned to
-    their nearest of ``n_cells`` centroids; each query probes its
-    ``n_probe`` closest cells and ranks only those members.
-
-    Centroids bootstrap from a deterministic sample of the candidate
-    set; ``kmeans_iters`` > 0 refines them with spherical-Lloyd
-    iterations over a driver-side sample (``kmeans_sample`` vectors) —
-    the standard IVF training recipe, cheap because training sees a
-    sample while assignment sees everything. Assignment is an
-    Arrow-batched numpy matmul; the probe join is an equi-join on cell
-    id — the shuffle is bucketed by cell, which is the property that
-    survives scale-out. Expected recall with n_probe/n_cells = 1/4 on
-    isotropic data ≈ 60-80%.
-    """
+    n_cells: int,
+    kmeans_iters: int,
+    kmeans_sample: int,
+    seed: int,
+    cand_id: str,
+    cand_vec: str,
+):
+    """Driver-side IVF training: bootstrap centroids from a deterministic
+    sample of the candidate set (lowest ids — testdata ids are random),
+    optionally refined with spherical-Lloyd iterations over a bounded
+    sample. Returns the (n_cells, dim) unit-norm centroid matrix."""
     import numpy as np
-    import pandas as pd
 
-    spark = candidates.sparkSession
-    # deterministic centroid sample: lowest ids (testdata ids are random)
     cent_rows = (
         candidates.select(cand_id, cand_vec)
         .orderBy(cand_id)
@@ -335,6 +358,154 @@ def ivf_topk(
                 if len(members):
                     m = members.mean(axis=0)
                     cents[c] = m / np.linalg.norm(m)
+    return cents
+
+
+def ivf_centroids_table(
+    candidates: DataFrame,
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+    kmeans_sample: int = 2048,
+    seed: int = 42,
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """The persistable IVF index, part 1: (cell, centroid, __ann_params)
+    rows — train ONCE, write as parquet, probe many times
+    (:func:`ivf_topk` ``centroids=``). Mirrors the
+    :func:`~.dedup.band_table` build-once/probe-many contract: training
+    parameters are stamped and validated so a drifted probe raises."""
+    cents = _train_ivf(
+        candidates, n_cells, kmeans_iters, kmeans_sample, seed,
+        cand_id, cand_vec,
+    )
+    spark = candidates.sparkSession
+    rows = [
+        (int(c), [float(x) for x in cents[c]]) for c in range(len(cents))
+    ]
+    return spark.createDataFrame(
+        rows, "cell int, centroid array<double>"
+    ).withColumn(
+        ANN_PARAMS_COL,
+        F.lit(ivf_fingerprint(n_cells, kmeans_iters, kmeans_sample, seed)),
+    )
+
+
+def _load_ivf_centroids(centroids: DataFrame):
+    """Persisted centroids table → (n_cells, dim) numpy matrix. Bounded
+    collect: n_cells rows regardless of corpus size."""
+    import numpy as np
+
+    rows = centroids.select("cell", "centroid").collect()
+    rows.sort(key=lambda r: r[0])
+    if [r[0] for r in rows] != list(range(len(rows))):
+        raise ValueError("centroids table must hold cells 0..n_cells-1")
+    return np.array([r[1] for r in rows], dtype=np.float64)
+
+
+def ivf_assign_table(
+    candidates: DataFrame,
+    centroids: DataFrame,
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+    kmeans_sample: int = 2048,
+    seed: int = 42,
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """The persistable IVF index, part 2: the inverted file itself —
+    (vec_id, cell, __ann_params) rows assigning every candidate to its
+    nearest centroid. An ingest pipeline appends each accepted batch's
+    assignments so :func:`ivf_topk` (``assignments=``) probes cells
+    straight off parquet with no per-call assignment pass over the
+    corpus."""
+    fp = ivf_fingerprint(n_cells, kmeans_iters, kmeans_sample, seed)
+    _validate_ann_params(centroids, fp, "IVF centroids")
+    cents = _load_ivf_centroids(centroids)
+    assigned = _ivf_assign(candidates, cents, cand_id, cand_vec)
+    return assigned.select(
+        F.col(cand_id), F.col("__cell").alias("cell")
+    ).withColumn(ANN_PARAMS_COL, F.lit(fp))
+
+
+def _ivf_assign(
+    df: DataFrame, cents, id_name: str, vec_name: str
+) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment → (id, __cell)."""
+    import numpy as np
+    import pandas as pd
+
+    b = df.sparkSession.sparkContext.broadcast(cents)
+
+    def _fn(batches):
+        C = b.value
+        for pdf in batches:
+            M = np.array(list(pdf[vec_name]), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                id_name: pdf[id_name].to_numpy(dtype=np.int64),
+                "__cell": (M @ C.T).argmax(axis=1),
+            })
+
+    return df.select(id_name, vec_name).mapInPandas(
+        _fn, f"{id_name} long, __cell int"
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 0,
+    kmeans_sample: int = 2048,
+    seed: int = 42,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+    centroids: DataFrame | None = None,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: candidates are assigned to
+    their nearest of ``n_cells`` centroids; each query probes its
+    ``n_probe`` closest cells and ranks only those members.
+
+    Centroids bootstrap from a deterministic sample of the candidate
+    set; ``kmeans_iters`` > 0 refines them with spherical-Lloyd
+    iterations over a driver-side sample (``kmeans_sample`` vectors) —
+    the standard IVF training recipe, cheap because training sees a
+    sample while assignment sees everything. Assignment is an
+    Arrow-batched numpy matmul; the probe join is an equi-join on cell
+    id — the shuffle is bucketed by cell, which is the property that
+    survives scale-out. Expected recall with n_probe/n_cells = 1/4 on
+    isotropic data ≈ 60-80%.
+
+    ``centroids`` / ``assignments`` (optional): persisted
+    :func:`ivf_centroids_table` / :func:`ivf_assign_table` — with both,
+    the probe runs NO training jobs and NO corpus assignment pass (the
+    n_cells-row centroid read and the query-side assignment only);
+    stamped parameters are validated against this call's.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = candidates.sparkSession
+    fp = ivf_fingerprint(n_cells, kmeans_iters, kmeans_sample, seed)
+    if assignments is not None and centroids is None:
+        raise ValueError(
+            "assignments= requires centroids= (queries are assigned "
+            "against the same centroids)"
+        )
+    if centroids is not None:
+        _validate_ann_params(centroids, fp, "IVF centroids")
+        cents = _load_ivf_centroids(centroids)
+    else:
+        cents = _train_ivf(
+            candidates, n_cells, kmeans_iters, kmeans_sample, seed,
+            cand_id, cand_vec,
+        )
 
     b_cents = spark.sparkContext.broadcast(cents)
 
@@ -361,10 +532,16 @@ def ivf_topk(
 
         return _fn, schema
 
-    fn_c, schema_c = _assign(cand_id, cand_vec, 1)
-    cand_cells = candidates.select(cand_id, cand_vec).mapInPandas(
-        fn_c, schema_c
-    ).join(candidates.select(cand_id, cand_vec), cand_id)
+    if assignments is not None:
+        _validate_ann_params(assignments, fp, "IVF assignments")
+        cand_cells = assignments.select(
+            F.col(cand_id), F.col("cell").alias("__cell")
+        ).join(candidates.select(cand_id, cand_vec), cand_id)
+    else:
+        fn_c, schema_c = _assign(cand_id, cand_vec, 1)
+        cand_cells = candidates.select(cand_id, cand_vec).mapInPandas(
+            fn_c, schema_c
+        ).join(candidates.select(cand_id, cand_vec), cand_id)
 
     fn_q, schema_q = _assign(query_id, query_vec, n_probe)
     q_cells = queries.select(query_id, query_vec).mapInPandas(
@@ -471,47 +648,21 @@ def lsh_topk(
     )
 
 
-def pq_topk(
-    queries: DataFrame,
+def _train_pq(
     candidates: DataFrame,
-    k: int = 10,
-    m: int = 8,
-    ks: int = 16,
-    train_sample: int = 2048,
-    kmeans_iters: int = 5,
-    seed: int = 42,
-    query_id: str = "query_id",
-    query_vec: str = "qvec",
-    cand_id: str = "vec_id",
-    cand_vec: str = "embedding",
-) -> DataFrame:
-    """Product-quantization approximate top-k — the compression tier of
-    the ANN ladder (brute → LSH buckets → IVF cells → PQ codes): every
-    candidate vector is stored as ``m`` sub-space codebook indices
-    (``m`` bytes at ``ks`` ≤ 256), and query-candidate similarity is the
-    asymmetric-distance sum of per-subspace lookup-table entries — a
-    full scan like brute force, but over codes ~dim·4/m× smaller than
-    the raw vectors with O(m) adds per candidate instead of O(dim)
-    multiplies. The memory-bound regime's answer (IVF bounds candidates
-    per query; PQ bounds bytes per candidate; real systems compose
-    both).
-
-    Codebooks train driver-side on a deterministic bounded sample
-    (lowest ids — same recipe as :func:`ivf_topk`), per-subspace Lloyd
-    iterations; encoding and scanning are Arrow-batched numpy over
-    executor partitions, queries' lookup tables broadcast. Each
-    partition emits only its local per-query top-k, so the final
-    exact-rank shuffle carries Q·k rows per partition, never the scan.
-
-    Returns (query_id, cand_id, pq_sim, rank) — ``pq_sim`` is the
-    quantized cosine (vectors are normalized before training/encoding),
-    so ranks are approximate; verify/re-rank with exact
-    :func:`cosine_sim` downstream if exact order matters.
-    """
+    m: int,
+    ks: int,
+    train_sample: int,
+    kmeans_iters: int,
+    seed: int,
+    cand_id: str,
+    cand_vec: str,
+):
+    """Driver-side PQ codebook training on a deterministic bounded
+    sample (lowest ids — same recipe as :func:`_train_ivf`): per
+    subspace, ``ks``-centroid Lloyd iterations. Returns a list of m
+    (ks, dim/m) arrays."""
     import numpy as np
-    import pandas as pd
-
-    spark = candidates.sparkSession
 
     train_rows = (
         candidates.select(cand_id, cand_vec)
@@ -519,6 +670,7 @@ def pq_topk(
         .limit(train_sample)
         .collect()
     )
+
     def _unit(M):
         norms = np.linalg.norm(M, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
@@ -544,6 +696,108 @@ def pq_topk(
                 if len(members):
                     C[c] = members.mean(axis=0)
         books.append(C)
+    return books
+
+
+def pq_codebooks_table(
+    candidates: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    train_sample: int = 2048,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """The persistable PQ index, part 1: (subspace, code, centroid,
+    __ann_params) rows — m·ks rows total. Train ONCE, write as parquet,
+    probe many times (:func:`pq_topk` ``codebooks=``); parameters are
+    stamped and validated like :func:`ivf_centroids_table`."""
+    books = _train_pq(
+        candidates, m, ks, train_sample, kmeans_iters, seed,
+        cand_id, cand_vec,
+    )
+    spark = candidates.sparkSession
+    rows = [
+        (j, c, [float(x) for x in books[j][c]])
+        for j in range(len(books))
+        for c in range(len(books[j]))
+    ]
+    return spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).withColumn(
+        ANN_PARAMS_COL,
+        F.lit(pq_fingerprint(m, ks, train_sample, kmeans_iters, seed)),
+    )
+
+
+def _load_pq_codebooks(codebooks: DataFrame):
+    """Persisted codebooks table → list of m (ks, sub) numpy arrays.
+    Bounded collect: m·ks rows regardless of corpus size."""
+    import numpy as np
+
+    rows = codebooks.select("subspace", "code", "centroid").collect()
+    by_sub: dict[int, dict[int, list]] = {}
+    for j, c, v in rows:
+        by_sub.setdefault(j, {})[c] = v
+    if sorted(by_sub) != list(range(len(by_sub))):
+        raise ValueError("codebooks table must hold subspaces 0..m-1")
+    books = []
+    for j in range(len(by_sub)):
+        codes = by_sub[j]
+        if sorted(codes) != list(range(len(codes))):
+            raise ValueError(
+                f"codebooks table subspace {j} must hold codes 0..ks-1"
+            )
+        books.append(
+            np.array([codes[c] for c in range(len(codes))],
+                     dtype=np.float64)
+        )
+    return books
+
+
+def pq_encode_table(
+    candidates: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    train_sample: int = 2048,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """The persistable PQ index, part 2: the encoded corpus —
+    (vec_id, code array<int>, __ann_params) at m·4 bytes per vector.
+    An ingest pipeline appends each accepted batch's codes so
+    :func:`pq_topk` (``codes=``) scans codes straight off parquet with
+    no per-call encode of the corpus."""
+    _validate_ann_params(
+        codebooks,
+        pq_fingerprint(m, ks, train_sample, kmeans_iters, seed),
+        "PQ codebooks",
+    )
+    books = _load_pq_codebooks(codebooks)
+    codes = _pq_encode(candidates, books, cand_id, cand_vec)
+    return codes.select(
+        F.col(cand_id), F.col("__code").alias("code")
+    ).withColumn(
+        ANN_PARAMS_COL,
+        F.lit(pq_fingerprint(m, ks, train_sample, kmeans_iters, seed)),
+    )
+
+
+def _pq_encode(
+    candidates: DataFrame, books, cand_id: str, cand_vec: str
+) -> DataFrame:
+    """Arrow-batched numpy PQ encoding of a vector table against
+    driver-held codebooks → (id, __code array<int>)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = candidates.sparkSession
+    m = len(books)
+    sub = books[0].shape[1]
     b_books = spark.sparkContext.broadcast(books)
 
     def _encode(batches):
@@ -567,9 +821,88 @@ def pq_topk(
                 "__code": list(codes),
             })
 
-    codes_df = candidates.select(cand_id, cand_vec).mapInPandas(
+    return candidates.select(cand_id, cand_vec).mapInPandas(
         _encode, f"{cand_id} long, __code array<int>"
     )
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    train_sample: int = 2048,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k — the compression tier of
+    the ANN ladder (brute → LSH buckets → IVF cells → PQ codes): every
+    candidate vector is stored as ``m`` sub-space codebook indices
+    (``m`` bytes at ``ks`` ≤ 256), and query-candidate similarity is the
+    asymmetric-distance sum of per-subspace lookup-table entries — a
+    full scan like brute force, but over codes ~dim·4/m× smaller than
+    the raw vectors with O(m) adds per candidate instead of O(dim)
+    multiplies. The memory-bound regime's answer (IVF bounds candidates
+    per query; PQ bounds bytes per candidate; real systems compose
+    both).
+
+    Codebooks train driver-side on a deterministic bounded sample
+    (lowest ids — same recipe as :func:`ivf_topk`), per-subspace Lloyd
+    iterations; encoding and scanning are Arrow-batched numpy over
+    executor partitions, queries' lookup tables broadcast. Each
+    partition emits only its local per-query top-k, so the final
+    exact-rank shuffle carries Q·k rows per partition, never the scan.
+
+    Returns (query_id, cand_id, pq_sim, rank) — ``pq_sim`` is the
+    quantized cosine (vectors are normalized before training/encoding),
+    so ranks are approximate; verify/re-rank with exact
+    :func:`cosine_sim` downstream if exact order matters.
+
+    ``codebooks`` / ``codes`` (optional): persisted
+    :func:`pq_codebooks_table` / :func:`pq_encode_table` — with both,
+    the probe runs NO training or corpus-encode jobs (the m·ks-row
+    codebook read and the code scan only); stamped parameters are
+    validated against this call's.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = candidates.sparkSession
+    fp = pq_fingerprint(m, ks, train_sample, kmeans_iters, seed)
+    if codes is not None and codebooks is None:
+        raise ValueError(
+            "codes= requires codebooks= (the query lookup tables are "
+            "built from the codebooks)"
+        )
+    if codebooks is not None:
+        _validate_ann_params(codebooks, fp, "PQ codebooks")
+        books = _load_pq_codebooks(codebooks)
+    else:
+        books = _train_pq(
+            candidates, m, ks, train_sample, kmeans_iters, seed,
+            cand_id, cand_vec,
+        )
+    sub = books[0].shape[1]
+
+    def _unit(M):
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return M / norms
+
+    if codes is not None:
+        _validate_ann_params(codes, fp, "PQ codes")
+        codes_df = codes.select(
+            F.col(cand_id), F.col("code").alias("__code")
+        )
+    else:
+        codes_df = _pq_encode(candidates, books, cand_id, cand_vec)
 
     q_rows = queries.select(query_id, query_vec).collect()
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
