@@ -57,6 +57,7 @@ def build_fact_client_summary(
     policies: DataFrame,
     payments: DataFrame,
     claims: DataFrame,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """One row per distinct client: policy/payment/claim aggregates + ratios
     (reference: load_gold.py:94-140).
@@ -66,6 +67,12 @@ def build_fact_client_summary(
     broadcast), then three left joins onto the distinct-client universe.
     The aggregated sides are per-client (small) → broadcast into the final
     joins, leaving a single shuffle per source aggregation.
+
+    ``pre_partitioned=True`` declares that ``policies`` is already
+    clustered by ``client_id`` (bucketed table, or an upstream
+    repartition the caller wants reused) and skips the explicit
+    repartition below — otherwise that repartition would force a
+    redundant exchange on input that is already laid out correctly.
     """
     # One explicit repartition on client_id serves both policies
     # branches: it satisfies the A1 groupBy's clustering AND the bridge
@@ -73,9 +80,9 @@ def build_fact_client_summary(
     # branch is scan→shuffle→single-stage aggregate — no second
     # ENSURE_REQUIREMENTS exchange (round-4 shuffle-reuse audit, ~25%
     # faster on the TPC-H gate replica of this shape).
-    policies_part = policies.filter(F.col("client_id").isNotNull()).repartition(
-        F.col("client_id")
-    )
+    policies_part = policies.filter(F.col("client_id").isNotNull())
+    if not pre_partitioned:
+        policies_part = policies_part.repartition(F.col("client_id"))
 
     # A1: policies per client (reference: load_gold.py:105-109).
     policies_agg = (

@@ -187,3 +187,58 @@ def test_scd2_apply_versions(spark):
                         ["client_type", "risk_level"], dt.date(2025, 3, 1))
     assert dim3.count() == 4
     assert dim3.filter(F.col("is_current")).count() == 3
+
+
+def test_client_summary_pre_partitioned_skips_exchange(
+    spark, raw_tables, tmp_path
+):
+    """VERDICT r4 #6: pre_partitioned=True must not re-shuffle policies
+    that are already clustered by client_id. The case where the
+    explicit repartition genuinely costs a shuffle is a bucketed layout
+    whose bucket count differs from spark.sql.shuffle.partitions (the
+    common production case — when they match, Catalyst already removes
+    the redundant repartition): here 4 buckets vs 8 shuffle partitions
+    makes the default path pay 3 extra hash exchanges that the escape
+    hatch removes, while the results stay identical."""
+    import re
+
+    spark.sql("DROP TABLE IF EXISTS policies_bucketed")
+    (
+        raw_tables["policies"].write.mode("overwrite")
+        .bucketBy(4, "client_id").sortBy("client_id")
+        .option("path", str(tmp_path / "policies_bucketed"))
+        .saveAsTable("policies_bucketed")
+    )
+    bucketed = spark.table("policies_bucketed")
+
+    base = G.build_fact_client_summary(
+        raw_tables["clients"], bucketed,
+        raw_tables["payments"], raw_tables["claims"],
+    )
+    opt = G.build_fact_client_summary(
+        raw_tables["clients"], bucketed,
+        raw_tables["payments"], raw_tables["claims"],
+        pre_partitioned=True,
+    )
+
+    def n_shuffles(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"Exchange hashpartitioning", plan))
+
+    # the policies branches read the bucketed layout directly: no
+    # repartition exchange and no ENSURE_REQUIREMENTS on either branch
+    assert n_shuffles(opt) < n_shuffles(base)
+
+    key = lambda r: r["client_id"]
+    got_b = sorted([r.asDict() for r in base.collect()], key=key)
+    got_o = sorted([r.asDict() for r in opt.collect()], key=key)
+    assert len(got_b) == len(got_o)
+    for rb, ro in zip(got_b, got_o):
+        for col_ in rb:
+            # different partitioning -> different double-sum add order
+            # (NOTES.md correctness rule #1); values equal to 1e-9 rel
+            if isinstance(rb[col_], float):
+                assert ro[col_] == pytest.approx(rb[col_], rel=1e-9), col_
+            else:
+                assert ro[col_] == rb[col_], col_
+    spark.sql("DROP TABLE IF EXISTS policies_bucketed")
