@@ -429,9 +429,10 @@ def ivf_assign_table(
 
 
 def _ivf_assign(
-    df: DataFrame, cents, id_name: str, vec_name: str
+    df: DataFrame, cents, id_name: str, vec_name: str, top: int = 1
 ) -> DataFrame:
-    """Arrow-batched nearest-centroid assignment → (id, __cell)."""
+    """Arrow-batched nearest-centroid assignment → (id, __cell); with
+    ``top`` > 1 emits the ``top`` closest cells per row (multi-probe)."""
     import numpy as np
     import pandas as pd
 
@@ -441,14 +442,96 @@ def _ivf_assign(
         C = b.value
         for pdf in batches:
             M = np.array(list(pdf[vec_name]), dtype=np.float64)
-            M /= np.linalg.norm(M, axis=1, keepdims=True)
-            yield pd.DataFrame({
-                id_name: pdf[id_name].to_numpy(dtype=np.int64),
-                "__cell": (M @ C.T).argmax(axis=1),
-            })
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            M /= norms
+            sims = M @ C.T
+            ids = pdf[id_name].to_numpy(dtype=np.int64)
+            if top == 1:
+                yield pd.DataFrame({
+                    id_name: ids, "__cell": sims.argmax(axis=1)
+                })
+            else:
+                t = min(top, sims.shape[1])
+                cells = np.argsort(-sims, axis=1)[:, :t]
+                yield pd.DataFrame({
+                    id_name: np.repeat(ids, t),
+                    "__cell": cells.ravel(),
+                })
 
     return df.select(id_name, vec_name).mapInPandas(
         _fn, f"{id_name} long, __cell int"
+    )
+
+
+def ivf_neardup_candidates(
+    batch: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    threshold: float = 0.95,
+    n_probe: int = 4,
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+    kmeans_sample: int = 2048,
+    seed: int = 42,
+    batch_id_col: str = "vec_id",
+    batch_vec: str = "embedding",
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicates of a new batch AGAINST an existing
+    corpus, probing a PERSISTED IVF index — the ANN-tier analogue of
+    :func:`~.dedup.cross_corpus_lsh_candidates`: the corpus side is its
+    stored (vec_id, cell) assignment table, so per batch only the
+    (small) batch pays an assignment pass, and batch×corpus cosines are
+    computed only inside the batch's ``n_probe`` probed cells — never
+    the full rectangle.
+
+    Approximate by construction (a near-dup hiding in an unprobed cell
+    is missed — with ``n_probe = n_cells`` the candidate set is
+    exhaustive and equals the brute-force rectangle, the oracle the
+    tests pin). Parameters are validated against both persisted
+    artifacts' stamps. Returns (id_a = batch id, id_b = corpus id,
+    cosine_sim) with cosine ≥ ``threshold``.
+    """
+    fp = ivf_fingerprint(n_cells, kmeans_iters, kmeans_sample, seed)
+    _validate_ann_params(centroids, fp, "IVF centroids")
+    _validate_ann_params(assignments, fp, "IVF assignments")
+    cents = _load_ivf_centroids(centroids)
+
+    probe = _ivf_assign(
+        batch, cents, batch_id_col, batch_vec, top=n_probe
+    ).withColumnRenamed(batch_id_col, "__probe_id")
+    batch_side = probe.join(
+        batch.select(
+            F.col(batch_id_col).alias("__probe_id"),
+            F.col(batch_vec).alias("__probe_vec"),
+        ),
+        "__probe_id",
+    )
+    corpus_side = assignments.select(
+        F.col(cand_id).alias("__cand_id"), F.col("cell").alias("__cell")
+    ).join(
+        corpus.select(
+            F.col(cand_id).alias("__cand_id"),
+            F.col(cand_vec).alias("__cand_vec"),
+        ),
+        "__cand_id",
+    )
+    sim = cosine_sim(F.col("__probe_vec"), F.col("__cand_vec"))
+    return (
+        batch_side.join(corpus_side, "__cell")
+        .withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") >= threshold)
+        # multi-probe can pair the same (batch, corpus) ids via several
+        # cells; keep one row
+        .dropDuplicates(["__probe_id", "__cand_id"])
+        .select(
+            F.col("__probe_id").alias("id_a"),
+            F.col("__cand_id").alias("id_b"),
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
     )
 
 

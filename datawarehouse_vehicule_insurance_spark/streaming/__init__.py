@@ -3,6 +3,7 @@ batch-only, SURVEY.md §1.5/§7.2 step 6)."""
 
 from datawarehouse_vehicule_insurance_spark.streaming.curation import (
     run_incremental_curation,
+    run_incremental_embedding_ingest,
 )
 from datawarehouse_vehicule_insurance_spark.streaming.events import (
     hourly_rollup,
@@ -15,4 +16,5 @@ __all__ = [
     "hourly_rollup",
     "sessionize",
     "run_incremental_curation",
+    "run_incremental_embedding_ingest",
 ]

@@ -202,3 +202,116 @@ def run_incremental_curation(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_incremental_embedding_ingest(
+    spark: SparkSession,
+    src_path: str,
+    corpus_path: str,
+    centroids_path: str,
+    assignments_path: str,
+    checkpoint_path: str,
+    schema=None,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    neardup_threshold: float = 0.95,
+    n_probe: int = 4,
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+    kmeans_sample: int = 2048,
+    seed: int = 42,
+    max_files_per_trigger: int = 1,
+    transform=None,
+):
+    """The embedding-corpus twin of :func:`run_incremental_curation`:
+    each ``availableNow`` run streams newly arrived vector files, drops
+    batch vectors that are near-duplicates (cosine ≥
+    ``neardup_threshold``) of the corpus by probing the PERSISTED IVF
+    index (:func:`~..operators.similarity.ivf_neardup_candidates` — the
+    corpus side is its stored cell assignments, so only the batch pays
+    an assignment pass), and appends survivors plus their assignments.
+
+    The first batch trains the centroids once
+    (:func:`~..operators.similarity.ivf_centroids_table`); every later
+    run loads them — centroids are an index-lifetime artifact, retrain
+    by rebuilding the index. Within-batch handling is id-dedup only
+    (near-dup inside one batch is
+    :func:`~..operators.similarity.cosine_neardup_pairs`' job upstream
+    if needed). Batch writes land in ``__batch_id`` partitions via
+    dynamic partition overwrite — idempotent replays, same as the
+    document loop."""
+    from ..operators.similarity import (
+        ivf_assign_table,
+        ivf_centroids_table,
+        ivf_neardup_candidates,
+    )
+
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(src_path)
+    )
+    ivf_kw = dict(
+        n_cells=n_cells, kmeans_iters=kmeans_iters,
+        kmeans_sample=kmeans_sample, seed=seed,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        batch = transform(batch_df) if transform is not None else batch_df
+        batch = batch.dropDuplicates([vec_id])
+        cents = _try_read_parquet(sess, centroids_path)
+        if cents is None:
+            ivf_centroids_table(
+                batch, cand_id=vec_id, cand_vec=vec_col, **ivf_kw
+            ).write.mode("overwrite").parquet(centroids_path)
+            cents = sess.read.parquet(centroids_path)
+            survivors = batch
+        else:
+            corpus = _try_read_parquet(sess, corpus_path)
+            asg = _try_read_parquet(sess, assignments_path)
+            if corpus is None or asg is None:
+                survivors = batch
+            else:
+                dup = ivf_neardup_candidates(
+                    batch, corpus.drop(BATCH_COL), cents,
+                    asg.drop(BATCH_COL),
+                    threshold=neardup_threshold, n_probe=n_probe,
+                    batch_id_col=vec_id, batch_vec=vec_col,
+                    cand_id=vec_id, cand_vec=vec_col, **ivf_kw,
+                )
+                drop_ids = dup.select(
+                    F.col("id_a").alias(vec_id)
+                ).distinct()
+                survivors = batch.join(drop_ids, vec_id, "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+
+        def _append(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn(BATCH_COL, F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(BATCH_COL)
+                .parquet(path)
+            )
+
+        _append(survivors, corpus_path)
+        _append(
+            ivf_assign_table(
+                survivors, cents, cand_id=vec_id, cand_vec=vec_col,
+                **ivf_kw,
+            ),
+            assignments_path,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -814,3 +814,51 @@ def test_pq_index_persistence_round_trip(spark, tmp_path):
                   codebooks=books)
     with pytest.raises(ValueError, match="requires codebooks"):
         S.pq_topk(qs, cands, codes=codes, **kw)
+
+
+def test_ivf_neardup_candidates_full_probe_equals_bruteforce(spark, tmp_path):
+    """Probing a persisted IVF index with n_probe = n_cells is
+    exhaustive: the batch-vs-corpus near-dup candidates equal the
+    brute-force cosine rectangle; a partial probe returns a subset."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch = emb.filter(F.col("vec_id") < 60)
+    corpus = emb.filter(F.col("vec_id") >= 60)
+
+    cent_path = str(tmp_path / "cents")
+    asg_path = str(tmp_path / "asg")
+    S.ivf_centroids_table(corpus, n_cells=8).write.parquet(cent_path)
+    cents = spark.read.parquet(cent_path)
+    S.ivf_assign_table(corpus, cents, n_cells=8).write.parquet(asg_path)
+    asg = spark.read.parquet(asg_path)
+
+    full = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in S.ivf_neardup_candidates(
+            batch, corpus, cents, asg,
+            threshold=0.2, n_probe=8, n_cells=8,
+        ).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in S.cross_corpus_cosine_pairs(
+            batch, corpus, threshold=0.2, block_rows=64
+        ).collect()
+    }
+    assert set(full) == set(brute)
+    for pair, sim in brute.items():
+        assert full[pair] == pytest.approx(sim, abs=1e-5)
+    assert all(a < 60 <= b for a, b in full)
+
+    partial = {
+        (r["id_a"], r["id_b"])
+        for r in S.ivf_neardup_candidates(
+            batch, corpus, cents, asg,
+            threshold=0.2, n_probe=2, n_cells=8,
+        ).collect()
+    }
+    assert partial <= set(brute)
+
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        S.ivf_neardup_candidates(
+            batch, corpus, cents, asg, n_probe=2, n_cells=16
+        )

@@ -335,3 +335,92 @@ def test_streaming_curation_no_corpus_side_recompute(spark, tmp_path):
         # batch banding + survivor index append only — never {1, 2}
         assert ids <= batch2_ids | survivor_ids, \
             f"corpus-side recompute: {ids}"
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental embedding ingest (ANN-tier probe loop)
+# ---------------------------------------------------------------------------
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _unit_row(base_axis: int, dim: int = 8, eps_axis: int | None = None,
+              eps: float = 0.0):
+    v = [0.0] * dim
+    v[base_axis] = 1.0
+    if eps_axis is not None:
+        v[eps_axis] = eps
+    return v
+
+
+def test_streaming_embedding_ingest_grows_corpus(spark, tmp_path):
+    """Three planted vector batches through the IVF-probe ingest loop:
+    near-duplicates of corpus vectors (cosine ~0.999) die against the
+    persisted index, fresh directions survive, centroids train exactly
+    once (training is poisoned after the first run), and assignments
+    track the corpus."""
+    from datawarehouse_vehicule_insurance_spark.operators import (
+        similarity as S,
+    )
+    from datawarehouse_vehicule_insurance_spark.streaming import (
+        curation as SC,
+    )
+
+    src = str(tmp_path / "src")
+    corpus_path = str(tmp_path / "corpus")
+    cent_path = str(tmp_path / "centroids")
+    asg_path = str(tmp_path / "assignments")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = SC.run_incremental_embedding_ingest(
+            spark, src, corpus_path, cent_path, asg_path, ckpt,
+            neardup_threshold=0.95, n_probe=4, n_cells=4,
+        )
+        q.awaitTermination()
+
+    def corpus_ids():
+        df = SC._try_read_parquet(spark, corpus_path)
+        return sorted(r["vec_id"] for r in df.collect()) if df is not None \
+            else []
+
+    b1 = _vecs(spark, [
+        (1, _unit_row(0)),                      # keep
+        (2, _unit_row(1)),                      # keep
+    ])
+    b2 = _vecs(spark, [
+        (11, _unit_row(0, eps_axis=3, eps=0.02)),  # near-dup of 1 -> drop
+        (12, _unit_row(2)),                        # fresh axis    -> keep
+    ])
+    b3 = _vecs(spark, [
+        (21, _unit_row(2, eps_axis=4, eps=0.02)),  # near-dup of 12 -> drop
+        (22, _unit_row(3)),                        # fresh axis     -> keep
+    ])
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert corpus_ids() == [1, 2]
+    assert spark.read.parquet(cent_path).count() > 0
+
+    real = S._train_ivf
+
+    def _poisoned(*a, **k):
+        raise AssertionError("centroids retrained after first batch")
+
+    try:
+        S._train_ivf = _poisoned
+        b2.coalesce(1).write.mode("append").parquet(src)
+        run()
+        assert corpus_ids() == [1, 2, 12]
+        b3.coalesce(1).write.mode("append").parquet(src)
+        run()
+        assert corpus_ids() == [1, 2, 12, 22]
+        run()  # nothing new -> no-op
+        assert corpus_ids() == [1, 2, 12, 22]
+    finally:
+        S._train_ivf = real
+
+    asg = spark.read.parquet(asg_path)
+    assert sorted(r["vec_id"] for r in asg.collect()) == [1, 2, 12, 22]
+    assert S.ANN_PARAMS_COL in asg.columns
