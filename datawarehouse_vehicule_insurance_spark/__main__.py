@@ -16,6 +16,19 @@ over a documents parquet table —
         --input <docs.parquet> --output <dir> [--benchmark <bench.parquet>]
         [--langs en,es] [--min-tokens 8] [--jaccard 0.8]
         [--existing-corpus <corpus.parquet>]   # incremental ingest mode
+
+the recurring-crawl loop (availableNow; processes only files the
+checkpoint hasn't seen, dedups against the growing corpus via its
+persisted indexes, appends survivors + index rows) —
+
+    python -m datawarehouse_vehicule_insurance_spark curate-stream \\
+        --src <crawl-dir> --corpus <dir> --bands <dir> --hashes <dir> \\
+        --checkpoint <dir> [--langs en] [--min-tokens 8] [--jaccard 0.8]
+
+and LSH-index maintenance (retraction + compaction rewrite) —
+
+    python -m datawarehouse_vehicule_insurance_spark index-maintain \\
+        --bands <dir> --out <dir> [--remove <ids.parquet>] [--compact]
 """
 
 from __future__ import annotations
@@ -61,10 +74,75 @@ def _run_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _run_curate_stream(args: argparse.Namespace) -> int:
+    """One incremental curation run over a document directory: the
+    availableNow loop from :mod:`.streaming.curation`, with the same
+    quality/language gates the batch ``curate`` verb applies (as the
+    per-batch transform). Prints one JSON line with the corpus size."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        lang_id,
+        quality_features,
+    )
+    from datawarehouse_vehicule_insurance_spark.streaming.curation import (
+        read_corpus,
+        run_incremental_curation,
+    )
+
+    spark = get_spark(app_name="insurance_curate_stream")
+    langs = tuple(args.langs.split(",")) if args.langs else None
+
+    def transform(df):
+        cols = df.columns
+        gate = F.col("n_tokens") >= args.min_tokens
+        if langs is not None:
+            gate = gate & lang_id(F.col("text")).isin(*langs)
+        return quality_features(df, text_col="text").filter(gate).select(*cols)
+
+    q = run_incremental_curation(
+        spark, args.src, args.corpus, args.bands, args.hashes,
+        args.checkpoint, jaccard_threshold=args.jaccard,
+        transform=transform,
+    )
+    q.awaitTermination()
+    corpus = read_corpus(spark, args.corpus)
+    print(json.dumps(
+        {"corpus_rows": 0 if corpus is None else corpus.count()}
+    ))
+    return 0
+
+
+def _run_index_maintain(args: argparse.Namespace) -> int:
+    """Maintenance rewrite of a persisted LSH band table: drop retracted
+    documents' rows (``--remove`` = parquet of ids, first column) and/or
+    compact (dup-row drop + uniform-fingerprint check + band_hash
+    clustering). Writes to ``--out`` (a rewrite target, not in-place —
+    the input is being read while writing)."""
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        band_table_remove,
+        compact_band_table,
+    )
+
+    spark = get_spark(app_name="insurance_index_maintain")
+    idx = spark.read.parquet(args.bands)
+    before = idx.count()
+    if args.remove:
+        idx = band_table_remove(idx, spark.read.parquet(args.remove))
+    if args.compact:
+        idx = compact_band_table(idx)
+    idx.write.mode("overwrite").parquet(args.out)
+    after = spark.read.parquet(args.out).count()
+    print(json.dumps({"rows_before": before, "rows_after": after}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datawarehouse_vehicule_insurance_spark")
     p.add_argument(
-        "layer", choices=["bronze", "silver", "gold", "all", "curate"]
+        "layer",
+        choices=["bronze", "silver", "gold", "all", "curate",
+                 "curate-stream", "index-maintain"],
     )
     p.add_argument("--root", help="lake root (path or s3a://)")
     p.add_argument("--csv-root", help="raw CSV dir (bronze only)")
@@ -84,12 +162,41 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--langs", help="curate: comma-separated lang allowlist")
     p.add_argument("--min-tokens", type=int, default=8)
     p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--src", help="curate-stream: incoming document dir")
+    p.add_argument("--corpus", help="curate-stream: accepted-corpus dir")
+    p.add_argument(
+        "--bands", help="curate-stream/index-maintain: band_table dir"
+    )
+    p.add_argument("--hashes", help="curate-stream: content_hash_table dir")
+    p.add_argument("--checkpoint", help="curate-stream: checkpoint dir")
+    p.add_argument(
+        "--remove", help="index-maintain: parquet of retracted doc ids"
+    )
+    p.add_argument(
+        "--compact", action="store_true",
+        help="index-maintain: dedup rows + cluster by band_hash",
+    )
+    p.add_argument("--out", help="index-maintain: rewrite target dir")
     args = p.parse_args(argv)
 
     if args.layer == "curate":
         if not (args.input and args.output):
             p.error("curate requires --input and --output")
         return _run_curate(args)
+    if args.layer == "curate-stream":
+        if not (args.src and args.corpus and args.bands and args.hashes
+                and args.checkpoint):
+            p.error(
+                "curate-stream requires --src --corpus --bands --hashes "
+                "--checkpoint"
+            )
+        return _run_curate_stream(args)
+    if args.layer == "index-maintain":
+        if not (args.bands and args.out):
+            p.error("index-maintain requires --bands and --out")
+        if not (args.remove or args.compact):
+            p.error("index-maintain needs --remove and/or --compact")
+        return _run_index_maintain(args)
     if not args.root:
         p.error(f"{args.layer} requires --root")
 

@@ -424,3 +424,54 @@ def test_streaming_embedding_ingest_grows_corpus(spark, tmp_path):
     asg = spark.read.parquet(asg_path)
     assert sorted(r["vec_id"] for r in asg.collect()) == [1, 2, 12, 22]
     assert S.ANN_PARAMS_COL in asg.columns
+
+
+# ---------------------------------------------------------------------------
+# CLI verbs
+# ---------------------------------------------------------------------------
+
+def test_cli_curate_stream_and_index_maintain(spark, tmp_path, capsys):
+    """curate-stream runs the availableNow loop end-to-end (gates + vs-
+    corpus dedup, only new files per run); index-maintain rewrites the
+    band table (retraction + compaction)."""
+    import json as _json
+
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    hashes = str(tmp_path / "hashes")
+    ckpt = str(tmp_path / "ckpt")
+    cli = [
+        "curate-stream", "--src", src, "--corpus", corpus,
+        "--bands", bands, "--hashes", hashes, "--checkpoint", ckpt,
+        "--min-tokens", "5",
+    ]
+
+    _docs(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    assert main(cli) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["corpus_rows"] == 2  # ids 1, 2
+
+    _docs(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+    assert main(cli) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["corpus_rows"] == 3  # + id 13
+
+    # retraction via the maintenance verb: drop doc 1's band rows and
+    # compact; the rewritten index no longer references it
+    retract = str(tmp_path / "retract.parquet")
+    spark.createDataFrame([(1,)], "doc_id long").write.parquet(retract)
+    out = str(tmp_path / "bands_rewritten")
+    assert main([
+        "index-maintain", "--bands", bands, "--out", out,
+        "--remove", retract, "--compact",
+    ]) == 0
+    mstats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert mstats["rows_after"] < mstats["rows_before"]
+    rewritten = spark.read.parquet(out)
+    assert rewritten.filter(F.col("doc_id") == 1).count() == 0
+    assert sorted(
+        r["doc_id"] for r in rewritten.select("doc_id").distinct().collect()
+    ) == [2, 13]
