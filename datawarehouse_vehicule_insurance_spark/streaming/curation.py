@@ -140,6 +140,14 @@ def run_incremental_curation(
     ``awaitTermination()``. Re-running with the same checkpoint after
     new files arrive processes ONLY the new files; replayed batches
     rewrite their own ``__batch_id`` partitions (idempotent).
+
+    Index-loss degradation: if an index directory is missing entirely,
+    the batch falls back to recomputing that stage from corpus text
+    (correct, just slower). A PARTIALLY lost index (some batch
+    partitions deleted) would silently under-dedup — if an index is
+    suspect, delete its whole directory to force the recompute path,
+    then rebuild it with :func:`~..operators.dedup.band_table` /
+    :func:`~..operators.dedup.content_hash_table` over the corpus.
     """
     if schema is None:
         schema = spark.read.parquet(src_path).schema
@@ -222,6 +230,12 @@ def run_incremental_embedding_ingest(
     seed: int = 42,
     max_files_per_trigger: int = 1,
     transform=None,
+    codebooks_path: str | None = None,
+    codes_path: str | None = None,
+    pq_m: int = 8,
+    pq_ks: int = 16,
+    pq_train_sample: int = 2048,
+    pq_kmeans_iters: int = 5,
 ):
     """The embedding-corpus twin of :func:`run_incremental_curation`:
     each ``availableNow`` run streams newly arrived vector files, drops
@@ -239,12 +253,28 @@ def run_incremental_embedding_ingest(
     :func:`~..operators.similarity.cosine_neardup_pairs`' job upstream
     if needed). Batch writes land in ``__batch_id`` partitions via
     dynamic partition overwrite — idempotent replays, same as the
-    document loop."""
+    document loop.
+
+    ``codebooks_path`` + ``codes_path`` (optional, both or neither)
+    additionally maintain the PQ tier: the first batch trains the
+    codebooks (:func:`~..operators.similarity.pq_codebooks_table`) and
+    every batch appends its survivors' codes
+    (:func:`~..operators.similarity.pq_encode_table`) — consumers then
+    run ``pq_topk(codebooks=..., codes=...)`` straight off the
+    persisted artifacts with no training or corpus encode."""
     from ..operators.similarity import (
         ivf_assign_table,
         ivf_centroids_table,
         ivf_neardup_candidates,
+        pq_codebooks_table,
+        pq_encode_table,
     )
+
+    if (codebooks_path is None) != (codes_path is None):
+        raise ValueError(
+            "pass codebooks_path and codes_path together (codes are "
+            "meaningless without their codebooks)"
+        )
 
     if schema is None:
         schema = spark.read.parquet(src_path).schema
@@ -308,6 +338,24 @@ def run_incremental_embedding_ingest(
             ),
             assignments_path,
         )
+        if codebooks_path is not None:
+            pq_kw = dict(
+                m=pq_m, ks=pq_ks, train_sample=pq_train_sample,
+                kmeans_iters=pq_kmeans_iters, seed=seed,
+            )
+            books = _try_read_parquet(sess, codebooks_path)
+            if books is None:
+                pq_codebooks_table(
+                    survivors, cand_id=vec_id, cand_vec=vec_col, **pq_kw
+                ).write.mode("overwrite").parquet(codebooks_path)
+                books = sess.read.parquet(codebooks_path)
+            _append(
+                pq_encode_table(
+                    survivors, books, cand_id=vec_id, cand_vec=vec_col,
+                    **pq_kw,
+                ),
+                codes_path,
+            )
 
     return (
         stream.writeStream.foreachBatch(_process)

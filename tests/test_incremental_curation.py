@@ -475,3 +475,97 @@ def test_cli_curate_stream_and_index_maintain(spark, tmp_path, capsys):
     assert sorted(
         r["doc_id"] for r in rewritten.select("doc_id").distinct().collect()
     ) == [2, 13]
+
+
+def test_streaming_curation_real_documents_and_index_loss_fallback(
+    spark, tmp_path
+):
+    """Integration pin on real testdata: the loop over two halves of the
+    sf0.001 documents table (full document schema, real text) equals
+    the chained batch oracle; deleting the band index between runs
+    exercises the documented degradation path (fall back to corpus-text
+    recompute — same answer, no crash) and the index is reseeded from
+    the next batch."""
+    import shutil
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half1 = docs.filter(F.col("doc_id") < 250)
+    half2 = docs.filter(F.col("doc_id") >= 250)
+
+    src, corpus_path, bands_path, hashes_path, _ = _paths(tmp_path)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path)
+    got1 = set(_corpus_ids(spark, tmp_path))
+
+    # oracle for batch 1: within-batch curate only
+    s1 = SC.curate_batch_incremental(half1, None, None, None)
+    want1 = {r["doc_id"] for r in s1.collect()}
+    assert got1 == want1
+
+    # simulate index loss: the loop must fall back to recompute
+    shutil.rmtree(bands_path)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path)
+    got2 = set(_corpus_ids(spark, tmp_path))
+
+    s2 = SC.curate_batch_incremental(half2, s1, None, None)
+    want2 = want1 | {r["doc_id"] for r in s2.collect()}
+    assert got2 == want2
+
+    # the band index was reseeded from batch 2's survivors
+    idx = spark.read.parquet(bands_path)
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} \
+        == want2 - want1
+
+
+def test_streaming_embedding_ingest_pq_artifacts(spark, tmp_path):
+    """With codebooks/codes paths, the embedding loop also maintains the
+    PQ tier: consumers run pq_topk straight off the persisted artifacts
+    and get exactly the encode-on-the-fly answer."""
+    from datawarehouse_vehicule_insurance_spark.operators import (
+        similarity as S,
+    )
+    from datawarehouse_vehicule_insurance_spark.streaming import (
+        curation as SC,
+    )
+
+    src = str(tmp_path / "src")
+    paths = {
+        k: str(tmp_path / k)
+        for k in ("corpus", "cents", "asg", "books", "codes", "ckpt")
+    }
+
+    def run():
+        q = SC.run_incremental_embedding_ingest(
+            spark, src, paths["corpus"], paths["cents"], paths["asg"],
+            paths["ckpt"], neardup_threshold=0.95, n_probe=4, n_cells=4,
+            codebooks_path=paths["books"], codes_path=paths["codes"],
+        )
+        q.awaitTermination()
+
+    emb = spark.read.parquet(f"/root/testdata/sf0.001/embeddings.parquet")
+    emb.filter(F.col("vec_id") < 60).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    emb.filter(F.col("vec_id") >= 60).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    corpus = spark.read.parquet(paths["corpus"]).drop(SC.BATCH_COL)
+    books = spark.read.parquet(paths["books"])
+    codes = spark.read.parquet(paths["codes"]).drop(SC.BATCH_COL)
+    assert codes.count() == corpus.count()
+
+    qs = corpus.limit(5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    direct = {(r["query_id"], r["vec_id"], r["pq_sim"], r["rank"])
+              for r in S.pq_topk(qs, corpus, codebooks=books).collect()}
+    loaded = {(r["query_id"], r["vec_id"], r["pq_sim"], r["rank"])
+              for r in S.pq_topk(
+                  qs, corpus, codebooks=books, codes=codes
+              ).collect()}
+    assert loaded == direct
