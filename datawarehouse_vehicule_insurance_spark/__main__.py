@@ -103,7 +103,7 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
     q = run_incremental_curation(
         spark, args.src, args.corpus, args.bands, args.hashes,
         args.checkpoint, jaccard_threshold=args.jaccard,
-        transform=transform,
+        transform=transform, shingles_path=args.shingles,
     )
     q.awaitTermination()
     corpus = read_corpus(spark, args.corpus)
@@ -168,6 +168,11 @@ def main(argv: list[str] | None = None) -> int:
         "--bands", help="curate-stream/index-maintain: band_table dir"
     )
     p.add_argument("--hashes", help="curate-stream: content_hash_table dir")
+    p.add_argument(
+        "--shingles",
+        help="curate-stream: shingle_table dir (optional third index — "
+        "with it the loop never reads corpus text)",
+    )
     p.add_argument("--checkpoint", help="curate-stream: checkpoint dir")
     p.add_argument(
         "--remove", help="index-maintain: parquet of retracted doc ids"

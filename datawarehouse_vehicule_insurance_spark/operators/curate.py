@@ -44,6 +44,7 @@ def curate_corpus(
     existing_corpus: DataFrame | None = None,
     existing_bands: DataFrame | None = None,
     existing_hashes: DataFrame | None = None,
+    existing_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Curate ``docs`` for training; returns surviving rows with the
     input schema. ``benchmark`` (optional) enables the decontamination
@@ -52,11 +53,12 @@ def curate_corpus(
     (optional) makes the run INCREMENTAL — survivors are additionally
     deduped against what the corpus already holds
     (:func:`~.dedup.incremental_dedup`), the recurring-ingest shape.
-    ``existing_bands`` / ``existing_hashes`` (optional, with
-    ``existing_corpus``) are the corpus's persisted
-    :func:`~.dedup.band_table` / :func:`~.dedup.content_hash_table`
-    indexes — with them the incremental stage recomputes nothing on the
-    corpus side.
+    ``existing_bands`` / ``existing_hashes`` / ``existing_shingles``
+    (optional, with ``existing_corpus``) are the corpus's persisted
+    :func:`~.dedup.band_table` / :func:`~.dedup.content_hash_table` /
+    :func:`~.dedup.shingle_table` indexes — with them the incremental
+    stage recomputes nothing on the corpus side (and with all three,
+    never reads corpus text at all).
 
     Thresholds are the Gopher-style defaults scaled down for the test
     corpus; every one is a parameter because curation policy is a
@@ -109,6 +111,7 @@ def curate_corpus(
             jaccard_threshold=jaccard_threshold,
             corpus_bands=existing_bands,
             corpus_hashes=existing_hashes,
+            corpus_shingles=existing_shingles,
         )
 
     return out

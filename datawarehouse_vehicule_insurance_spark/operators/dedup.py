@@ -431,6 +431,45 @@ def content_hash_table(
     )
 
 
+SHINGLE_PARAMS_COL = "__shingle_params"
+
+
+def shingle_fingerprint(n: int) -> str:
+    """Canonical fingerprint of the shingle hashing parameters (gram
+    width + hash layout version), stamped into :func:`shingle_table`
+    and validated when a probe supplies a persisted table."""
+    return f"ngram-shingles/v1/n={n}"
+
+
+def _hashed_shingles(text: Column, n: int) -> Column:
+    """Hashed shingle set of a text column: xxhash64 over each distinct
+    word n-gram string — the ONE definition shared by the on-the-fly
+    verify path and :func:`shingle_table`, so persisted sets and live
+    sets live in the same hash space."""
+    return F.transform(shingles(text, n), lambda g: F.xxhash64(g))
+
+
+def shingle_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """The persistable verify-stage index of a corpus: (id, sh
+    array<long>, __shingle_params) — each document's hashed shingle set,
+    the third artifact next to :func:`band_table` and
+    :func:`content_hash_table`. With it, :func:`ngram_jaccard`
+    (``precomputed=``) fetches corpus shingle sets from the index
+    instead of re-tokenizing corpus TEXT, which removes the last
+    per-batch corpus scan from the incremental-dedup plan (the batch
+    side is still computed live). ~8 bytes per distinct shingle —
+    comparable to the text itself; it buys no-text verification, not
+    compression."""
+    return docs.select(
+        F.col(id_col), _hashed_shingles(F.col(text_col), n).alias("sh")
+    ).withColumn(SHINGLE_PARAMS_COL, F.lit(shingle_fingerprint(n)))
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -443,6 +482,7 @@ def incremental_dedup(
     seed: int = 42,
     corpus_bands: DataFrame | None = None,
     corpus_hashes: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Survivors of a new batch against an existing corpus: drop rows
     that are exact duplicates (within the batch or of the corpus) or
@@ -456,12 +496,22 @@ def incremental_dedup(
     Doc ids must be unique across batch and corpus.
 
     With persisted indexes (the production recurring-crawl shape) pass
-    ``corpus_bands`` (:func:`band_table`, parameter-validated) and
-    ``corpus_hashes`` (:func:`content_hash_table`): the corpus then
-    pays NO per-batch signature or digest recompute — corpus text is
-    touched only by the Jaccard verify stage, which reads just the
-    candidate-pair documents (a left-semi restriction that is orders of
-    magnitude smaller than the corpus)."""
+    ``corpus_bands`` (:func:`band_table`), ``corpus_hashes``
+    (:func:`content_hash_table`) and ``corpus_shingles``
+    (:func:`shingle_table`) — all parameter-validated. With the first
+    two, the corpus pays no per-batch signature or digest recompute
+    (text is touched only by the candidate-restricted verify); with all
+    THREE, the plan references corpus text NOWHERE — ``corpus_docs``
+    may then be None, and per-batch corpus IO is just the three index
+    reads."""
+    if corpus_docs is None and (
+        corpus_bands is None or corpus_hashes is None
+        or corpus_shingles is None
+    ):
+        raise ValueError(
+            "corpus_docs=None requires all three persisted indexes "
+            "(corpus_bands, corpus_hashes, corpus_shingles)"
+        )
     # exact, within-batch: keep min-id representative per content hash
     batch = exact_dedup_by_content(new_docs, text_col, id_col)
     # exact, vs corpus: anti-join on content digest — only hashes shuffle
@@ -485,11 +535,16 @@ def incremental_dedup(
         text_col, id_col, k, bands, shingle_n, seed,
         corpus_bands=corpus_bands,
     ).localCheckpoint(eager=False)
-    union_docs = batch.select(id_col, text_col).unionByName(
-        corpus_docs.select(id_col, text_col)
+    union_docs = (
+        batch.select(id_col, text_col)
+        if corpus_shingles is not None
+        else batch.select(id_col, text_col).unionByName(
+            corpus_docs.select(id_col, text_col)
+        )
     )
     neardup = ngram_jaccard(
-        cand, union_docs, id_col, text_col, shingle_n, jaccard_threshold
+        cand, union_docs, id_col, text_col, shingle_n, jaccard_threshold,
+        precomputed=corpus_shingles,
     )
     drop_ids = neardup.select(F.col("id_a").alias(id_col)).distinct()
     return batch.join(drop_ids, id_col, "left_anti")
@@ -502,6 +557,7 @@ def ngram_jaccard(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    precomputed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification over candidate pairs (the precise
     pass after LSH recall). Joins the candidate pair list back to the two
@@ -514,18 +570,46 @@ def ngram_jaccard(
     the pair join, so ``array_intersect`` compares longs, not shingle
     strings, and the join never carries text. Jaccard on hashed sets
     equals Jaccard on the string sets except under a 64-bit hash
-    collision within one pair's union (~1e-15 for 1k-shingle docs)."""
+    collision within one pair's union (~1e-15 for 1k-shingle docs).
+
+    ``precomputed`` (optional): a persisted :func:`shingle_table` —
+    ids found there take their shingle sets from the index
+    (parameter-validated); only ids NOT covered are computed from
+    ``docs``. A pair whose ids are fully covered never touches text;
+    an id covered by neither source drops its pairs (the standard
+    inner-join contract — keep the index in sync with the corpus)."""
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = docs.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col),
-        F.transform(
-            shingles(F.col(text_col), n), lambda g: F.xxhash64(g)
-        ).alias("sh"),
-    )
+    if precomputed is not None:
+        if SHINGLE_PARAMS_COL in precomputed.columns:
+            row = precomputed.select(SHINGLE_PARAMS_COL).first()
+            if row is not None and row[0] != shingle_fingerprint(n):
+                raise ValueError(
+                    f"shingle-table parameter mismatch: index was built "
+                    f"with {row[0]!r} but the probe uses "
+                    f"{shingle_fingerprint(n)!r}"
+                )
+            precomputed = precomputed.drop(SHINGLE_PARAMS_COL)
+        pre = precomputed.select(id_col, "sh").join(
+            cand_ids, id_col, "left_semi"
+        )
+        missing = cand_ids.join(
+            precomputed.select(id_col), id_col, "left_anti"
+        )
+        sh = pre.unionByName(
+            docs.join(missing, id_col, "left_semi").select(
+                F.col(id_col),
+                _hashed_shingles(F.col(text_col), n).alias("sh"),
+            )
+        )
+    else:
+        sh = docs.join(cand_ids, id_col, "left_semi").select(
+            F.col(id_col),
+            _hashed_shingles(F.col(text_col), n).alias("sh"),
+        )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -37,6 +37,7 @@ from ..operators.dedup import (
     exact_dedup_by_content,
     incremental_dedup,
     minhash_dedup,
+    shingle_table,
 )
 
 BATCH_COL = "__batch_id"
@@ -80,6 +81,7 @@ def curate_batch_incremental(
     shingle_n: int = 3,
     seed: int = 42,
     within_batch_neardup: bool = True,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """One batch's survivors: within-batch exact dedup (+ optional
     within-batch near-dup), then — when a corpus exists — the
@@ -101,6 +103,7 @@ def curate_batch_incremental(
         jaccard_threshold=jaccard_threshold,
         k=k, bands=bands, shingle_n=shingle_n, seed=seed,
         corpus_bands=corpus_bands, corpus_hashes=corpus_hashes,
+        corpus_shingles=corpus_shingles,
     )
 
 
@@ -122,6 +125,7 @@ def run_incremental_curation(
     within_batch_neardup: bool = True,
     max_files_per_trigger: int = 1,
     transform=None,
+    shingles_path: str | None = None,
 ):
     """One incremental curation run: stream the document directory with
     ``availableNow`` (process exactly the files the checkpoint hasn't
@@ -148,6 +152,12 @@ def run_incremental_curation(
     suspect, delete its whole directory to force the recompute path,
     then rebuild it with :func:`~..operators.dedup.band_table` /
     :func:`~..operators.dedup.content_hash_table` over the corpus.
+
+    ``shingles_path`` (optional): also maintain the
+    :func:`~..operators.dedup.shingle_table` verify index — with it the
+    per-batch plan reads corpus TEXT nowhere (the Jaccard verify takes
+    corpus shingle sets from the index), completing the
+    no-corpus-recompute contract at the cost of one more append.
     """
     if schema is None:
         schema = spark.read.parquet(src_path).schema
@@ -170,16 +180,23 @@ def run_incremental_curation(
         corpus_hashes = (
             _try_read_parquet(sess, hash_path) if corpus is not None else None
         )
+        corpus_shingles = (
+            _try_read_parquet(sess, shingles_path)
+            if shingles_path is not None and corpus is not None else None
+        )
         if corpus_bands is not None:
             corpus_bands = corpus_bands.drop(BATCH_COL)
         if corpus_hashes is not None:
             corpus_hashes = corpus_hashes.drop(BATCH_COL)
+        if corpus_shingles is not None:
+            corpus_shingles = corpus_shingles.drop(BATCH_COL)
         survivors = curate_batch_incremental(
             batch, corpus, corpus_bands, corpus_hashes,
             text_col=text_col, id_col=id_col,
             jaccard_threshold=jaccard_threshold,
             k=k, bands=bands, shingle_n=shingle_n, seed=seed,
             within_batch_neardup=within_batch_neardup,
+            corpus_shingles=corpus_shingles,
         )
         # One computation serving three writes: checkpoint the (small)
         # survivor set so corpus/index/hash appends don't re-run the
@@ -203,6 +220,11 @@ def run_incremental_curation(
             index_path,
         )
         _append(content_hash_table(survivors, text_col, id_col), hash_path)
+        if shingles_path is not None:
+            _append(
+                shingle_table(survivors, text_col, id_col, shingle_n),
+                shingles_path,
+            )
 
     return (
         stream.writeStream.foreachBatch(_process)

@@ -569,3 +569,86 @@ def test_streaming_embedding_ingest_pq_artifacts(spark, tmp_path):
                   qs, corpus, codebooks=books, codes=codes
               ).collect()}
     assert loaded == direct
+
+
+def test_incremental_dedup_text_free_with_all_three_indexes(spark, tmp_path):
+    """With bands + hashes + shingles persisted, incremental_dedup needs
+    no corpus DataFrame at all and its plan references the corpus
+    parquet NOWHERE — per-batch corpus IO is exactly the three index
+    reads. Results equal the full-recompute path."""
+    corpus_rows = [(1000, BASE), (1001, _fresh("held"))]
+    batch = _docs(
+        spark,
+        [(1, BASE), (2, _near(30)), (3, _fresh("new")), (4, _fresh("new"))],
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    _docs(spark, corpus_rows).write.parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
+
+    paths = {k: str(tmp_path / k) for k in ("bands", "hashes", "shingles")}
+    D.band_table(corpus).write.parquet(paths["bands"])
+    D.content_hash_table(corpus).write.parquet(paths["hashes"])
+    D.shingle_table(corpus).write.parquet(paths["shingles"])
+    idx = {k: spark.read.parquet(p) for k, p in paths.items()}
+
+    out = D.incremental_dedup(
+        batch, None,
+        corpus_bands=idx["bands"], corpus_hashes=idx["hashes"],
+        corpus_shingles=idx["shingles"],
+    )
+    # plan probes BEFORE execution (collect would materialize the lazy
+    # localCheckpoint); metadata strings are truncated at 100 chars by
+    # default, hiding the scan paths. The candidate stage is probed
+    # separately — inside incremental_dedup it sits behind a
+    # localCheckpoint whose subtree the outer plan doesn't display.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        cand_plan = D.cross_corpus_lsh_candidates(
+            batch, corpus_bands=idx["bands"]
+        )._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert corpus_dir not in plan
+    assert paths["hashes"] in plan and paths["shingles"] in plan
+    assert corpus_dir not in cand_plan
+    assert paths["bands"] in cand_plan
+    assert sorted(r["doc_id"] for r in out.collect()) == [3]
+
+    direct = D.incremental_dedup(batch, corpus)
+    assert sorted(r["doc_id"] for r in direct.collect()) == [3]
+
+    # contract errors: missing indexes with corpus_docs=None; stale
+    # shingle params
+    with pytest.raises(ValueError, match="all three"):
+        D.incremental_dedup(batch, None, corpus_bands=idx["bands"])
+    with pytest.raises(ValueError, match="shingle-table parameter"):
+        D.ngram_jaccard(
+            spark.createDataFrame([(1, 1000)], "id_a long, id_b long"),
+            batch, n=5, precomputed=idx["shingles"],
+        )
+
+
+def test_streaming_curation_with_shingle_index(spark, tmp_path):
+    """shingles_path maintains the verify index in the loop: results
+    unchanged vs the planted expectations and the shingle table tracks
+    the corpus."""
+    src, corpus_path, bands_path, hashes_path, ckpt = _paths(tmp_path)
+    shingles_path = str(tmp_path / "shingles")
+
+    def run():
+        q = SC.run_incremental_curation(
+            spark, src, corpus_path, bands_path, hashes_path, ckpt,
+            shingles_path=shingles_path,
+        )
+        q.awaitTermination()
+
+    _docs(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    run()
+    _docs(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 13]
+    sh = spark.read.parquet(shingles_path)
+    assert D.SHINGLE_PARAMS_COL in sh.columns
+    assert sorted(r["doc_id"] for r in sh.select("doc_id").collect()) \
+        == [1, 2, 13]
