@@ -107,6 +107,54 @@ def curate_batch_incremental(
     )
 
 
+def rebuild_corpus_indexes(
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str,
+    hash_path: str,
+    shingles_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> dict:
+    """Recovery / bootstrap path: (re)build every persisted dedup index
+    from the corpus itself — after an index loss (see
+    :func:`run_incremental_curation`'s degradation note), a parameter
+    change (new k/bands/seed → all band hashes change), or to adopt the
+    index-fed loop over a corpus curated before indexes existed. Writes
+    each artifact under a single ``__batch_id=-1`` partition so the
+    loop's per-batch dynamic-overwrite appends compose with it.
+    Returns row counts per artifact."""
+    corpus = read_corpus(spark, corpus_path)
+    if corpus is None:
+        raise ValueError(f"no corpus at {corpus_path}")
+    out = {}
+    targets = [
+        (index_path, band_table(
+            corpus, text_col, id_col, k, bands, shingle_n, seed
+        )),
+        (hash_path, content_hash_table(corpus, text_col, id_col)),
+    ]
+    if shingles_path is not None:
+        targets.append(
+            (shingles_path, shingle_table(
+                corpus, text_col, id_col, shingle_n
+            ))
+        )
+    for path, df in targets:
+        (
+            df.withColumn(BATCH_COL, F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy(BATCH_COL)
+            .parquet(path)
+        )
+        out[path] = spark.read.parquet(path).count()
+    return out
+
+
 def run_incremental_curation(
     spark: SparkSession,
     src_path: str,

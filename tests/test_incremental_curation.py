@@ -652,3 +652,54 @@ def test_streaming_curation_with_shingle_index(spark, tmp_path):
     assert D.SHINGLE_PARAMS_COL in sh.columns
     assert sorted(r["doc_id"] for r in sh.select("doc_id").collect()) \
         == [1, 2, 13]
+
+
+def test_rebuild_corpus_indexes_restores_loop(spark, tmp_path):
+    """After losing every index, rebuild_corpus_indexes restores them
+    from the corpus and the loop resumes index-fed (signature spy sees
+    only new-batch ids again)."""
+    import shutil
+
+    src, corpus_path, bands_path, hashes_path, _ = _paths(tmp_path)
+    shingles_path = str(tmp_path / "shingles")
+
+    def run():
+        q = SC.run_incremental_curation(
+            spark, src, corpus_path, bands_path, hashes_path,
+            _paths(tmp_path)[4], shingles_path=shingles_path,
+        )
+        q.awaitTermination()
+
+    _docs(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    run()
+    for p in (bands_path, hashes_path, shingles_path):
+        shutil.rmtree(p)
+
+    counts = SC.rebuild_corpus_indexes(
+        spark, corpus_path, bands_path, hashes_path, shingles_path
+    )
+    assert counts[hashes_path] == 2   # ids 1, 2
+    assert counts[bands_path] == 2 * 16
+    rebuilt = spark.read.parquet(bands_path)
+    assert sorted(
+        r["doc_id"] for r in rebuilt.select("doc_id").distinct().collect()
+    ) == [1, 2]
+
+    seen_ids: list[set] = []
+    real = D._banded_signatures
+
+    def spy(df, text_col, id_col, *a, **kw):
+        seen_ids.append(
+            {r[0] for r in df.select(id_col).distinct().collect()}
+        )
+        return real(df, text_col, id_col, *a, **kw)
+
+    _docs(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+    try:
+        D._banded_signatures = spy
+        run()
+    finally:
+        D._banded_signatures = real
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 13]
+    for ids in seen_ids:
+        assert ids <= {11, 12, 13}, f"corpus-side recompute: {ids}"
