@@ -118,20 +118,39 @@ def _run_index_maintain(args: argparse.Namespace) -> int:
     documents' rows (``--remove`` = parquet of ids, first column) and/or
     compact (dup-row drop + uniform-fingerprint check + band_hash
     clustering). Writes to ``--out`` (a rewrite target, not in-place —
-    the input is being read while writing)."""
+    the input is being read while writing).
+
+    Streaming-loop compatibility: an index written by ``curate-stream``
+    is partitioned by its internal batch column — that column is
+    stripped before maintenance (so compaction dedups identical rows
+    across batches) and the rewrite lands under one reserved batch
+    partition, so ``--out`` can directly serve as the loop's next
+    ``--bands`` directory."""
+    from pyspark.sql import functions as F
+
     from datawarehouse_vehicule_insurance_spark.operators.dedup import (
         band_table_remove,
         compact_band_table,
     )
+    from datawarehouse_vehicule_insurance_spark.streaming.curation import (
+        BATCH_COL,
+    )
 
     spark = get_spark(app_name="insurance_index_maintain")
     idx = spark.read.parquet(args.bands)
+    if BATCH_COL in idx.columns:
+        idx = idx.drop(BATCH_COL)
     before = idx.count()
     if args.remove:
         idx = band_table_remove(idx, spark.read.parquet(args.remove))
     if args.compact:
         idx = compact_band_table(idx)
-    idx.write.mode("overwrite").parquet(args.out)
+    (
+        idx.withColumn(BATCH_COL, F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy(BATCH_COL)
+        .parquet(args.out)
+    )
     after = spark.read.parquet(args.out).count()
     print(json.dumps({"rows_before": before, "rows_after": after}))
     return 0

@@ -101,8 +101,27 @@ def curate_corpus(
 
     # 5. incremental mode: dedup the (already small) survivor set
     #    against the existing corpus — exact hash anti-join, then
-    #    banded LSH batch-vs-corpus candidates + Jaccard verify
-    if existing_corpus is not None:
+    #    banded LSH batch-vs-corpus candidates + Jaccard verify.
+    #    existing_corpus may be omitted when ALL THREE persisted
+    #    indexes are supplied (the text-free production shape);
+    #    supplying some indexes with no corpus is an error rather than
+    #    a silent skip.
+    any_index = (
+        existing_bands is not None
+        or existing_hashes is not None
+        or existing_shingles is not None
+    )
+    all_indexes = (
+        existing_bands is not None
+        and existing_hashes is not None
+        and existing_shingles is not None
+    )
+    if existing_corpus is None and any_index and not all_indexes:
+        raise ValueError(
+            "incremental curation without existing_corpus requires ALL "
+            "of existing_bands, existing_hashes and existing_shingles"
+        )
+    if existing_corpus is not None or all_indexes:
         out = incremental_dedup(
             out,
             existing_corpus,

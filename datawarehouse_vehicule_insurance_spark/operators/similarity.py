@@ -571,10 +571,6 @@ def ivf_topk(
     n_cells-row centroid read and the query-side assignment only);
     stamped parameters are validated against this call's.
     """
-    import numpy as np
-    import pandas as pd
-
-    spark = candidates.sparkSession
     fp = ivf_fingerprint(n_cells, kmeans_iters, kmeans_sample, seed)
     if assignments is not None and centroids is None:
         raise ValueError(
@@ -590,45 +586,18 @@ def ivf_topk(
             cand_id, cand_vec,
         )
 
-    b_cents = spark.sparkContext.broadcast(cents)
-
-    def _assign(id_name: str, vec_name: str, top: int):
-        schema = f"{id_name} long, __cell int"
-
-        def _fn(batches):
-            C = b_cents.value
-            for pdf in batches:
-                M = np.array(list(pdf[vec_name]), dtype=np.float64)
-                M /= np.linalg.norm(M, axis=1, keepdims=True)
-                sims = M @ C.T
-                ids = pdf[id_name].to_numpy(dtype=np.int64)
-                if top == 1:
-                    yield pd.DataFrame(
-                        {id_name: ids, "__cell": sims.argmax(axis=1)}
-                    )
-                else:
-                    cells = np.argsort(-sims, axis=1)[:, :top]
-                    yield pd.DataFrame({
-                        id_name: np.repeat(ids, top),
-                        "__cell": cells.ravel(),
-                    })
-
-        return _fn, schema
-
     if assignments is not None:
         _validate_ann_params(assignments, fp, "IVF assignments")
         cand_cells = assignments.select(
             F.col(cand_id), F.col("cell").alias("__cell")
         ).join(candidates.select(cand_id, cand_vec), cand_id)
     else:
-        fn_c, schema_c = _assign(cand_id, cand_vec, 1)
-        cand_cells = candidates.select(cand_id, cand_vec).mapInPandas(
-            fn_c, schema_c
-        ).join(candidates.select(cand_id, cand_vec), cand_id)
+        cand_cells = _ivf_assign(candidates, cents, cand_id, cand_vec).join(
+            candidates.select(cand_id, cand_vec), cand_id
+        )
 
-    fn_q, schema_q = _assign(query_id, query_vec, n_probe)
-    q_cells = queries.select(query_id, query_vec).mapInPandas(
-        fn_q, schema_q
+    q_cells = _ivf_assign(
+        queries, cents, query_id, query_vec, top=n_probe
     ).join(queries.select(query_id, query_vec), query_id)
 
     w = Window.partitionBy(query_id).orderBy(

@@ -68,6 +68,27 @@ def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame | None:
     return None if df is None else df.drop(BATCH_COL)
 
 
+def _read_artifact(
+    spark: SparkSession, path: str, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """Read a loop-managed artifact, optionally EXCLUDING one batch's
+    partition. The loops pass the in-flight batch id here so a REPLAYED
+    micro-batch (at-least-once foreachBatch) sees exactly the pre-batch
+    state even when a crash landed only SOME of the batch's appends —
+    without this, a partially-written batch would pair replayed docs
+    against their own half-committed copies and permanently hole the
+    other artifacts (empty survivors write nothing, so the missing
+    partitions are never backfilled)."""
+    df = _try_read_parquet(spark, path)
+    if df is None:
+        return None
+    if BATCH_COL in df.columns:
+        if exclude_batch is not None:
+            df = df.filter(F.col(BATCH_COL) != int(exclude_batch))
+        df = df.drop(BATCH_COL)
+    return df
+
+
 def curate_batch_incremental(
     batch: DataFrame,
     corpus: DataFrame | None,
@@ -221,23 +242,22 @@ def run_incremental_curation(
             return
         sess = batch_df.sparkSession
         batch = transform(batch_df) if transform is not None else batch_df
-        corpus = read_corpus(sess, corpus_path)
+        # snapshot semantics: exclude this batch id from every artifact
+        # read, so a replay after a partial-write crash dedups against
+        # the true pre-batch state (see _read_artifact)
+        corpus = _read_artifact(sess, corpus_path, exclude_batch=batch_id)
         corpus_bands = (
-            _try_read_parquet(sess, index_path) if corpus is not None else None
+            _read_artifact(sess, index_path, exclude_batch=batch_id)
+            if corpus is not None else None
         )
         corpus_hashes = (
-            _try_read_parquet(sess, hash_path) if corpus is not None else None
+            _read_artifact(sess, hash_path, exclude_batch=batch_id)
+            if corpus is not None else None
         )
         corpus_shingles = (
-            _try_read_parquet(sess, shingles_path)
+            _read_artifact(sess, shingles_path, exclude_batch=batch_id)
             if shingles_path is not None and corpus is not None else None
         )
-        if corpus_bands is not None:
-            corpus_bands = corpus_bands.drop(BATCH_COL)
-        if corpus_hashes is not None:
-            corpus_hashes = corpus_hashes.drop(BATCH_COL)
-        if corpus_shingles is not None:
-            corpus_shingles = corpus_shingles.drop(BATCH_COL)
         survivors = curate_batch_incremental(
             batch, corpus, corpus_bands, corpus_hashes,
             text_col=text_col, id_col=id_col,
@@ -280,6 +300,96 @@ def run_incremental_curation(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def rebuild_embedding_indexes(
+    spark: SparkSession,
+    corpus_path: str,
+    centroids_path: str,
+    assignments_path: str,
+    codebooks_path: str | None = None,
+    codes_path: str | None = None,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+    kmeans_sample: int = 2048,
+    seed: int = 42,
+    pq_m: int = 8,
+    pq_ks: int = 16,
+    pq_train_sample: int = 2048,
+    pq_kmeans_iters: int = 5,
+    retrain: bool = False,
+) -> dict:
+    """Embedding twin of :func:`rebuild_corpus_indexes`: regenerate the
+    IVF assignment table (and optionally the PQ codebooks + codes) from
+    the corpus. Existing centroids are REUSED so the cell geometry stays
+    consistent with history; ``retrain=True`` (or missing centroids)
+    retrains them from the corpus and rewrites everything under the new
+    geometry. Also THE path to enable the PQ tier on a pre-existing
+    corpus — per-batch appends only cover new arrivals, this backfills
+    every vector's codes. Artifacts land under the reserved batch
+    partition so the loop's appends compose. Returns row counts."""
+    from ..operators.similarity import (
+        ivf_assign_table,
+        ivf_centroids_table,
+        pq_codebooks_table,
+        pq_encode_table,
+    )
+
+    corpus = _read_artifact(spark, corpus_path)
+    if corpus is None:
+        raise ValueError(f"no corpus at {corpus_path}")
+    ivf_kw = dict(
+        n_cells=n_cells, kmeans_iters=kmeans_iters,
+        kmeans_sample=kmeans_sample, seed=seed,
+    )
+    cents = None if retrain else _try_read_parquet(spark, centroids_path)
+    if cents is None:
+        ivf_centroids_table(
+            corpus, cand_id=vec_id, cand_vec=vec_col, **ivf_kw
+        ).write.mode("overwrite").parquet(centroids_path)
+        cents = spark.read.parquet(centroids_path)
+    out = {centroids_path: cents.count()}
+
+    def _rewrite(df: DataFrame, path: str) -> None:
+        (
+            df.withColumn(BATCH_COL, F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy(BATCH_COL)
+            .parquet(path)
+        )
+        out[path] = spark.read.parquet(path).count()
+
+    _rewrite(
+        ivf_assign_table(
+            corpus, cents, cand_id=vec_id, cand_vec=vec_col, **ivf_kw
+        ),
+        assignments_path,
+    )
+    if codebooks_path is not None:
+        pq_kw = dict(
+            m=pq_m, ks=pq_ks, train_sample=pq_train_sample,
+            kmeans_iters=pq_kmeans_iters, seed=seed,
+        )
+        books = None if retrain else _try_read_parquet(
+            spark, codebooks_path
+        )
+        if books is None:
+            pq_codebooks_table(
+                corpus, cand_id=vec_id, cand_vec=vec_col, **pq_kw
+            ).write.mode("overwrite").parquet(codebooks_path)
+            books = spark.read.parquet(codebooks_path)
+        out[codebooks_path] = books.count()
+        if codes_path is None:
+            raise ValueError("codebooks_path requires codes_path")
+        _rewrite(
+            pq_encode_table(
+                corpus, books, cand_id=vec_id, cand_vec=vec_col, **pq_kw
+            ),
+            codes_path,
+        )
+    return out
 
 
 def run_incremental_embedding_ingest(
@@ -366,29 +476,48 @@ def run_incremental_embedding_ingest(
         batch = transform(batch_df) if transform is not None else batch_df
         batch = batch.dropDuplicates([vec_id])
         cents = _try_read_parquet(sess, centroids_path)
+        # snapshot semantics — same replay contract as the document loop
+        corpus = _read_artifact(sess, corpus_path, exclude_batch=batch_id)
+        asg = _read_artifact(
+            sess, assignments_path, exclude_batch=batch_id
+        )
+        if corpus is not None and corpus.isEmpty():
+            # a replayed FIRST batch whose crash landed only the corpus
+            # append: after excluding this batch's partition nothing
+            # remains — same state as no corpus at all
+            corpus = None
+        if corpus is not None and (cents is None or asg is None):
+            # NEVER silently retrain or skip: new centroids would carry
+            # the same parameter fingerprint but a different geometry
+            # than the surviving assignments, silently missing
+            # near-dups forever. Rebuild explicitly instead.
+            raise ValueError(
+                "embedding index artifacts missing while a corpus "
+                "exists — run rebuild_embedding_indexes() before "
+                "resuming the ingest loop"
+            )
         if cents is None:
             ivf_centroids_table(
                 batch, cand_id=vec_id, cand_vec=vec_col, **ivf_kw
             ).write.mode("overwrite").parquet(centroids_path)
             cents = sess.read.parquet(centroids_path)
             survivors = batch
+        elif corpus is None:
+            # centroids exist but no corpus yet: a replay of the very
+            # first batch after a partial crash — nothing to dedup
+            # against
+            survivors = batch
         else:
-            corpus = _try_read_parquet(sess, corpus_path)
-            asg = _try_read_parquet(sess, assignments_path)
-            if corpus is None or asg is None:
-                survivors = batch
-            else:
-                dup = ivf_neardup_candidates(
-                    batch, corpus.drop(BATCH_COL), cents,
-                    asg.drop(BATCH_COL),
-                    threshold=neardup_threshold, n_probe=n_probe,
-                    batch_id_col=vec_id, batch_vec=vec_col,
-                    cand_id=vec_id, cand_vec=vec_col, **ivf_kw,
-                )
-                drop_ids = dup.select(
-                    F.col("id_a").alias(vec_id)
-                ).distinct()
-                survivors = batch.join(drop_ids, vec_id, "left_anti")
+            dup = ivf_neardup_candidates(
+                batch, corpus, cents, asg,
+                threshold=neardup_threshold, n_probe=n_probe,
+                batch_id_col=vec_id, batch_vec=vec_col,
+                cand_id=vec_id, cand_vec=vec_col, **ivf_kw,
+            )
+            drop_ids = dup.select(
+                F.col("id_a").alias(vec_id)
+            ).distinct()
+            survivors = batch.join(drop_ids, vec_id, "left_anti")
         survivors = survivors.localCheckpoint(eager=True)
 
         def _append(df: DataFrame, path: str) -> None:
@@ -415,6 +544,16 @@ def run_incremental_embedding_ingest(
             )
             books = _try_read_parquet(sess, codebooks_path)
             if books is None:
+                if corpus is not None:
+                    # enabling the PQ tier on an existing corpus:
+                    # per-batch appends would only cover the tail —
+                    # backfill first
+                    raise ValueError(
+                        "PQ codebooks missing while a corpus exists — "
+                        "run rebuild_embedding_indexes(..., "
+                        "codebooks_path=, codes_path=) to train and "
+                        "backfill before resuming the loop"
+                    )
                 pq_codebooks_table(
                     survivors, cand_id=vec_id, cand_vec=vec_col, **pq_kw
                 ).write.mode("overwrite").parquet(codebooks_path)

@@ -703,3 +703,151 @@ def test_rebuild_corpus_indexes_restores_loop(spark, tmp_path):
     assert _corpus_ids(spark, tmp_path) == [1, 2, 13]
     for ids in seen_ids:
         assert ids <= {11, 12, 13}, f"corpus-side recompute: {ids}"
+
+
+# ---------------------------------------------------------------------------
+# review fixes: replay/crash semantics, embedding index-loss contract
+# ---------------------------------------------------------------------------
+
+def test_replay_after_partial_write_is_idempotent(spark, tmp_path):
+    """A batch whose crash landed only SOME of its appends must replay
+    to the correct final state: the loop excludes the in-flight batch
+    id from every artifact read, so the replay dedups against the true
+    pre-batch state instead of the batch's own half-committed copies.
+    Simulated organically: the hash-table builder is patched to raise
+    DURING the second batch, so the corpus and band appends land but
+    the hash/shingle appends (and the checkpoint commit) do not — the
+    next run replays that batch through the real recovery machinery."""
+    import os
+
+    src, corpus_path, bands_path, hashes_path, ckpt = _paths(tmp_path)
+    shingles_path = str(tmp_path / "shingles")
+
+    def run():
+        q = SC.run_incremental_curation(
+            spark, src, corpus_path, bands_path, hashes_path, ckpt,
+            shingles_path=shingles_path,
+        )
+        q.awaitTermination()
+
+    _docs(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    run()
+    _docs(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+
+    real = SC.content_hash_table
+
+    def _crash(*a, **kw):
+        raise RuntimeError("simulated crash between appends")
+
+    try:
+        SC.content_hash_table = _crash
+        with pytest.raises(Exception, match="simulated crash"):
+            run()
+    finally:
+        SC.content_hash_table = real
+
+    # the crash state: batch-2 partition exists in corpus + bands only
+    batch_part = f"{SC.BATCH_COL}=1"
+    assert os.path.isdir(os.path.join(corpus_path, batch_part))
+    assert os.path.isdir(os.path.join(bands_path, batch_part))
+    assert not os.path.isdir(os.path.join(hashes_path, batch_part))
+    assert not os.path.isdir(os.path.join(shingles_path, batch_part))
+
+    run()  # replays the batch
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 13]
+    hashes = spark.read.parquet(hashes_path)
+    assert sorted(r["doc_id"] for r in hashes.select("doc_id").collect()) \
+        == [1, 2, 13]
+    sh = spark.read.parquet(shingles_path)
+    assert sorted(
+        r["doc_id"] for r in sh.select("doc_id").distinct().collect()
+    ) == [1, 2, 13]
+
+    # and an exact duplicate of a batch-2 doc is still caught afterwards
+    _docs(spark, [(31, BETA)]).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 13]
+
+
+def test_embedding_loop_raises_on_index_loss_and_rebuild_recovers(
+    spark, tmp_path
+):
+    """Deleting the centroids (or assignments) while a corpus exists
+    must FAIL the batch — a silent retrain would stamp the same
+    fingerprint over a different cell geometry — and
+    rebuild_embedding_indexes restores a consistent index set the loop
+    resumes on. With codebooks/codes paths it also backfills the whole
+    corpus's PQ codes (the enable-PQ-later path)."""
+    import shutil
+
+    from datawarehouse_vehicule_insurance_spark.operators import (
+        similarity as S,
+    )
+
+    src = str(tmp_path / "src")
+    p = {k: str(tmp_path / k)
+         for k in ("corpus", "cents", "asg", "books", "codes", "ckpt")}
+
+    def run(pq=False):
+        q = SC.run_incremental_embedding_ingest(
+            spark, src, p["corpus"], p["cents"], p["asg"], p["ckpt"],
+            neardup_threshold=0.95, n_probe=4, n_cells=4,
+            codebooks_path=p["books"] if pq else None,
+            codes_path=p["codes"] if pq else None,
+        )
+        q.awaitTermination()
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.filter(F.col("vec_id") < 60).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    n0 = spark.read.parquet(p["corpus"]).count()
+    assert n0 > 0
+
+    shutil.rmtree(p["cents"])
+    emb.filter(F.col("vec_id") >= 60).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    with pytest.raises(Exception, match="rebuild_embedding_indexes"):
+        run()
+
+    # recovery: rebuild (retrains centroids — they were lost), then the
+    # loop resumes; PQ tier enabled in the same rebuild backfills codes
+    counts = SC.rebuild_embedding_indexes(
+        spark, p["corpus"], p["cents"], p["asg"],
+        codebooks_path=p["books"], codes_path=p["codes"], n_cells=4,
+    )
+    assert counts[p["codes"]] == n0  # whole corpus backfilled
+    run(pq=True)
+    corpus = spark.read.parquet(p["corpus"]).drop(SC.BATCH_COL)
+    codes = spark.read.parquet(p["codes"]).drop(SC.BATCH_COL)
+    assert codes.count() == corpus.count()
+    asg = spark.read.parquet(p["asg"]).drop(SC.BATCH_COL)
+    assert asg.count() == corpus.count()
+
+
+def test_curate_corpus_text_free_and_partial_index_error(spark):
+    """curate_corpus runs the incremental stage from the three persisted
+    indexes alone (no corpus DataFrame), and partial indexes without a
+    corpus raise instead of silently skipping dedup."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    corpus = _docs(spark, [(1000, BASE)])
+    batch = _docs(
+        spark, [(1, BASE), (2, _near(30)), (3, _fresh("new"))]
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in curate_corpus(
+            batch,
+            existing_bands=D.band_table(corpus),
+            existing_hashes=D.content_hash_table(corpus),
+            existing_shingles=D.shingle_table(corpus),
+        ).collect()
+    )
+    assert kept == [3]
+    with pytest.raises(ValueError, match="ALL"):
+        curate_corpus(batch, existing_bands=D.band_table(corpus))

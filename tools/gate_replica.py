@@ -182,8 +182,12 @@ for name, fn in qs.items():
     n_oracle = con.execute(
         f"SELECT COUNT(*) FROM ({osql}) t"
     ).fetchone()[0]
-    status = []
-    if n_oracle > max_rows:
+
+    def checksum_verify():
+        """rows + schema + per-column checksums — the degraded-mode
+        verification shared by the >max_rows branch and the fallback
+        when the full collect/compare itself dies."""
+        status = []
         n_spark = sdf.count()
         if n_spark != n_oracle:
             status.append(f"rows {n_spark} vs {n_oracle}")
@@ -195,6 +199,11 @@ for name, fn in qs.items():
             status.append("schema mismatch")
         if not status:
             status = checksum_compare(name, sdf, osql)
+        return status
+
+    status = []
+    if n_oracle > max_rows:
+        status = checksum_verify()
         if status:
             fails.append((name, status))
             print(f"{name:32s} FAIL: {'; '.join(status)}")
@@ -202,29 +211,37 @@ for name, fn in qs.items():
             checksummed.append(name)
             print(f"{name:32s} ok-checksum ({n_oracle} rows)")
         continue
-    pdf = sdf.toPandas()
-    odf = con.execute(osql).fetchdf()
-    if len(pdf) != len(odf):
-        status.append(f"rows {len(pdf)} vs {len(odf)}")
-    if sorted(pdf.columns) != sorted(odf.columns):
-        status.append(
-            f"schema {sorted(pdf.columns)} vs {sorted(odf.columns)}"
-        )
-    if not status:
-        try:
-            a, b = norm(pdf.copy()), norm(odf.copy())
-            pd.testing.assert_frame_equal(
-                a, b, check_dtype=False, check_exact=False,
-                rtol=1e-6, atol=1e-9,
+    try:
+        # any driver-side failure of the full collect/compare (Python
+        # MemoryError, Py4J/Arrow OOM, JVM OutOfMemoryError surfacing
+        # as Py4JError) degrades to the checksum verification; a VALUE
+        # mismatch (AssertionError from assert_frame_equal) stays a
+        # hard FAIL — the fallback covers capacity, not wrong answers
+        pdf = sdf.toPandas()
+        odf = con.execute(osql).fetchdf()
+        if len(pdf) != len(odf):
+            status.append(f"rows {len(pdf)} vs {len(odf)}")
+        if sorted(pdf.columns) != sorted(odf.columns):
+            status.append(
+                f"schema {sorted(pdf.columns)} vs {sorted(odf.columns)}"
             )
-        except AssertionError as e:
-            status.append("hash: " + str(e).split("\n")[0])
-        except MemoryError:
-            status = checksum_compare(name, sdf, osql)
-            if not status:
-                checksummed.append(name)
-                print(f"{name:32s} ok-checksum ({len(pdf)} rows)")
-                continue
+        if not status:
+            try:
+                a, b = norm(pdf.copy()), norm(odf.copy())
+                pd.testing.assert_frame_equal(
+                    a, b, check_dtype=False, check_exact=False,
+                    rtol=1e-6, atol=1e-9,
+                )
+            except AssertionError as e:
+                status.append("hash: " + str(e).split("\n")[0])
+    except Exception as e:
+        print(f"{name:32s} full compare died ({type(e).__name__}); "
+              f"falling back to checksums")
+        status = checksum_verify()
+        if not status:
+            checksummed.append(name)
+            print(f"{name:32s} ok-checksum ({n_oracle} rows)")
+            continue
     if status:
         fails.append((name, status))
         print(f"{name:32s} FAIL: {'; '.join(status)}")
