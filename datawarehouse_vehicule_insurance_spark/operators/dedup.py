@@ -816,3 +816,237 @@ def simhash_dedup(
         .agg(F.min(id_col).alias(id_col))
     )
     return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# line-level (boilerplate) dedup — C4/RefinedWeb-style repeated-line removal
+# ---------------------------------------------------------------------------
+#
+# Document-level dedup (above) keeps one copy of a duplicated DOCUMENT;
+# web-scale training corpora additionally need LINE-level removal: nav
+# bars, cookie banners, footers and share buttons repeat across many
+# otherwise-distinct pages, and a line that appears in enough documents
+# is boilerplate wherever it appears (the C4 rule removes the line from
+# EVERY document, including the "first" one). No reference analogue —
+# the reference has no text corpus at all; additive scope per the brief.
+
+LINE_PARAMS_COL = "__line_params"
+
+
+def line_fingerprint(
+    sep: str, min_chars: int, scope_col: str | None
+) -> str:
+    """Canonical fingerprint of the line-counting parameters, stamped
+    into every :func:`line_count_table` (constant column — parquet RLE
+    encodes it to nothing) and validated when a persisted/merged table
+    is supplied to :func:`line_dedup`, so a sep/min_chars/scope drift
+    between index build and probe raises instead of silently
+    mis-removing (or missing) boilerplate."""
+    return (
+        f"line-counts/v1/sep={sep!r}/min_chars={min_chars}"
+        f"/scope={scope_col or ''}"
+    )
+
+
+def _line_rows(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str,
+    scope_col: str | None,
+) -> DataFrame:
+    """Exploded (id[, scope], __pos, __line, __line_hash) rows of every
+    non-NULL document. Narrow (no shuffle); the hash is xxhash64 over
+    the TRIMMED line so indentation/trailing-space variants of the same
+    boilerplate line match, while removal keeps original line text for
+    byte-faithful reassembly of survivors."""
+    cols = [F.col(id_col)] + ([F.col(scope_col)] if scope_col else [])
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            *cols,
+            F.posexplode(F.split(F.col(text_col), sep)).alias(
+                "__pos", "__line"
+            ),
+        )
+        .withColumn("__line_hash", F.xxhash64(F.trim(F.col("__line"))))
+    )
+
+
+def line_count_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """The persistable line-frequency index of a corpus:
+    ([scope,] line_hash, n_docs, __line_params) — how many DISTINCT
+    documents contain each (trimmed) line. The fourth artifact next to
+    :func:`band_table` / :func:`content_hash_table` /
+    :func:`shingle_table`: an ingest pipeline appends each accepted
+    batch's rows, and because a document belongs to exactly one batch,
+    per-batch ``n_docs`` values SUM to the corpus-wide count
+    (:func:`merge_line_counts`) — the mergeable-partial property that
+    makes line frequency maintainable without ever re-reading corpus
+    text.
+
+    ``min_chars`` exempts short lines (separators, blank lines, ``-``)
+    from counting entirely — they are ubiquitous by nature and removing
+    them would shred formatting, so they are never counted and never
+    removed. ``scope_col`` (e.g. ``source``) counts per scope value:
+    the per-site shape, where a line is boilerplate only within the
+    site that repeats it.
+
+    Scale shape: explode is narrow; the distinct + count is one shuffle
+    of (8-byte hash[, scope], id) triples with map-side partial
+    aggregation — line TEXT never shuffles."""
+    lines = _line_rows(docs, text_col, id_col, sep, scope_col)
+    keys = ([scope_col] if scope_col else []) + ["__line_hash"]
+    return (
+        lines.filter(F.length(F.trim(F.col("__line"))) >= min_chars)
+        .select(*keys, id_col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumnRenamed("__line_hash", "line_hash")
+        .withColumn(
+            LINE_PARAMS_COL,
+            F.lit(line_fingerprint(sep, min_chars, scope_col)),
+        )
+    )
+
+
+def validate_line_params(
+    counts: DataFrame, sep: str, min_chars: int, scope_col: str | None
+) -> None:
+    """Assert a persisted :func:`line_count_table`'s stamped parameters
+    match the probe's (limit-1 read, same contract as
+    :func:`validate_band_params`)."""
+    if LINE_PARAMS_COL not in counts.columns:
+        return
+    expected = line_fingerprint(sep, min_chars, scope_col)
+    row = counts.select(LINE_PARAMS_COL).first()
+    if row is None:
+        return
+    if row[0] != expected:
+        raise ValueError(
+            f"line-count table parameter mismatch: index was built with "
+            f"{row[0]!r} but the probe uses {expected!r} — line hashes "
+            f"from mismatched splitting are meaningless"
+        )
+
+
+def merge_line_counts(*tables: DataFrame) -> DataFrame:
+    """Merge per-batch :func:`line_count_table` partials into corpus
+    totals: ``n_docs`` sums because each document lives in exactly one
+    batch. Mixed parameter stamps raise (counts from different
+    splitting rules must not be summed)."""
+    if not tables:
+        raise ValueError("merge_line_counts needs at least one table")
+    merged = tables[0]
+    for t in tables[1:]:
+        merged = merged.unionByName(t)
+    if LINE_PARAMS_COL in merged.columns:
+        stamps = [
+            r[0]
+            for r in merged.select(LINE_PARAMS_COL).distinct().collect()
+        ]
+        if len(stamps) > 1:
+            raise ValueError(
+                f"line-count tables hold mixed parameters "
+                f"{sorted(stamps)} — rebuild before merging"
+            )
+        stamp = stamps[0] if stamps else None
+        keys = [c for c in merged.columns
+                if c not in ("n_docs", LINE_PARAMS_COL)]
+        out = merged.groupBy(*keys).agg(F.sum("n_docs").alias("n_docs"))
+        if stamp is not None:
+            out = out.withColumn(LINE_PARAMS_COL, F.lit(stamp))
+        return out
+    keys = [c for c in merged.columns if c != "n_docs"]
+    return merged.groupBy(*keys).agg(F.sum("n_docs").alias("n_docs"))
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 2,
+    sep: str = "\n",
+    min_chars: int = 1,
+    scope_col: str | None = None,
+    drop_empty: bool = True,
+    line_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Remove every line that appears in ≥ ``min_doc_freq`` distinct
+    documents from ALL documents containing it (the C4 boilerplate
+    rule: a nav bar is junk in every page, including the first one),
+    preserving the order of surviving lines. Returns rows with the
+    input schema and rewritten ``text_col``; NULL-text rows pass
+    through untouched; documents whose every line was removed are
+    dropped when ``drop_empty`` (documents that were ALREADY empty
+    survive — their one sub-``min_chars`` line is exempt).
+
+    ``line_counts`` (optional) supplies the frequencies from a
+    persisted/merged :func:`line_count_table` instead of counting
+    ``df`` itself — the incremental shape, where a batch is cleaned
+    against corpus-wide totals (merge the batch's own partial in via
+    :func:`merge_line_counts` first if batch-internal repeats should
+    count). Its parameter stamp is validated. Note the append-only
+    asymmetry: a line that only LATER crosses the threshold is removed
+    from later batches but stays in already-accepted documents until a
+    corpus rewrite — the standard batch-vs-retroactive trade.
+
+    ``sep`` is used both as the split REGEX and the re-join literal —
+    the default ``"\\n"`` means both; regex metacharacters would need
+    escaping on the split side, so keep it a plain literal.
+
+    Scale shape: one count shuffle of (hash[, scope], id) with
+    map-side combine (:func:`line_count_table`); the repeated-hash set
+    (post-threshold, usually tiny) meets the exploded lines in an
+    equi-anti-join AQE can broadcast; one reassembly shuffle of
+    surviving line text keyed by document id — the only text shuffle,
+    and it carries exactly the output. Hash collisions (8-byte
+    xxhash64 across distinct trimmed lines) can at worst remove a
+    non-repeated line — the standard hashed-dedup approximation."""
+    if line_counts is None:
+        counts = line_count_table(
+            df, text_col, id_col, sep, min_chars, scope_col
+        )
+    else:
+        validate_line_params(line_counts, sep, min_chars, scope_col)
+        counts = line_counts
+    join_keys = ([scope_col] if scope_col else []) + ["__line_hash"]
+    repeated = (
+        counts.filter(F.col("n_docs") >= min_doc_freq)
+        .withColumnRenamed("line_hash", "__line_hash")
+        .select(*join_keys)
+    )
+    lines = _line_rows(df, text_col, id_col, sep, scope_col)
+    rebuilt = (
+        lines.join(repeated, join_keys, "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__line"))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                sep,
+            ).alias("__rebuilt")
+        )
+    )
+    out = df.join(rebuilt, id_col, "left")
+    if drop_empty:
+        out = out.filter(
+            F.col(text_col).isNull() | F.col("__rebuilt").isNotNull()
+        )
+    return out.withColumn(
+        text_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("__rebuilt"), F.lit(""))),
+    ).drop("__rebuilt")
