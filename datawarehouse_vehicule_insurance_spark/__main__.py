@@ -67,6 +67,7 @@ def _run_curate(args: argparse.Namespace) -> int:
         min_tokens=args.min_tokens,
         jaccard_threshold=args.jaccard,
         existing_corpus=existing,
+        line_dedup_min_freq=args.line_dedup_freq,
     )
     out.write.mode("overwrite").parquet(args.output)
     kept = spark.read.parquet(args.output).count()
@@ -104,6 +105,8 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
         spark, args.src, args.corpus, args.bands, args.hashes,
         args.checkpoint, jaccard_threshold=args.jaccard,
         transform=transform, shingles_path=args.shingles,
+        line_counts_path=args.line_counts,
+        line_dedup_min_freq=args.line_dedup_freq,
     )
     q.awaitTermination()
     corpus = read_corpus(spark, args.corpus)
@@ -191,6 +194,16 @@ def main(argv: list[str] | None = None) -> int:
         "--shingles",
         help="curate-stream: shingle_table dir (optional third index — "
         "with it the loop never reads corpus text)",
+    )
+    p.add_argument(
+        "--line-counts", dest="line_counts",
+        help="curate-stream: line_count_table dir (optional fourth "
+        "index; requires --line-dedup-freq)",
+    )
+    p.add_argument(
+        "--line-dedup-freq", dest="line_dedup_freq", type=int,
+        help="curate/curate-stream: remove lines appearing in >= N "
+        "distinct documents (C4 boilerplate rule; off when omitted)",
     )
     p.add_argument("--checkpoint", help="curate-stream: checkpoint dir")
     p.add_argument(

@@ -25,7 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import exact_dedup_by_content, incremental_dedup, minhash_dedup
+from .dedup import (
+    exact_dedup_by_content,
+    incremental_dedup,
+    line_count_table,
+    line_dedup,
+    merge_line_counts,
+    minhash_dedup,
+)
 from .text_analysis import contamination_overlap, lang_id, quality_features
 
 
@@ -45,6 +52,9 @@ def curate_corpus(
     existing_bands: DataFrame | None = None,
     existing_hashes: DataFrame | None = None,
     existing_shingles: DataFrame | None = None,
+    line_dedup_min_freq: int | None = None,
+    line_min_chars: int = 1,
+    existing_line_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Curate ``docs`` for training; returns surviving rows with the
     input schema. ``benchmark`` (optional) enables the decontamination
@@ -60,6 +70,15 @@ def curate_corpus(
     stage recomputes nothing on the corpus side (and with all three,
     never reads corpus text at all).
 
+    ``line_dedup_min_freq`` (optional) enables the C4-style
+    repeated-line removal stage (:func:`~.dedup.line_dedup`) between
+    exact dedup and the quality gates — AFTER exact dedup so full-copy
+    documents can't inflate line frequencies, BEFORE the gates so they
+    judge boilerplate-free text. ``existing_line_counts`` (incremental
+    mode) supplies the corpus's persisted
+    :func:`~.dedup.line_count_table`; the batch's own partial is merged
+    in so batch-internal repeats count toward the threshold too.
+
     Thresholds are the Gopher-style defaults scaled down for the test
     corpus; every one is a parameter because curation policy is a
     property of the training run, not of the engine.
@@ -68,6 +87,30 @@ def curate_corpus(
 
     # 1. exact dedup (content hash, min-id survivor)
     out = exact_dedup_by_content(docs, text_col=text_col, id_col=id_col)
+
+    # 1.5 line-level boilerplate removal (optional)
+    if line_dedup_min_freq is not None:
+        partial = line_count_table(
+            out, text_col=text_col, id_col=id_col, min_chars=line_min_chars
+        )
+        counts = (
+            merge_line_counts(partial, existing_line_counts)
+            if existing_line_counts is not None
+            else partial
+        )
+        out = line_dedup(
+            out,
+            text_col=text_col,
+            id_col=id_col,
+            min_doc_freq=line_dedup_min_freq,
+            min_chars=line_min_chars,
+            line_counts=counts,
+        )
+    elif existing_line_counts is not None:
+        raise ValueError(
+            "existing_line_counts requires line_dedup_min_freq (the "
+            "stage is otherwise off and the index would be ignored)"
+        )
 
     # 2. quality + language gates — one fused projection, then restore
     #    the input schema so downstream stages see plain documents

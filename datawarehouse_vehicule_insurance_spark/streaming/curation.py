@@ -36,6 +36,9 @@ from ..operators.dedup import (
     content_hash_table,
     exact_dedup_by_content,
     incremental_dedup,
+    line_count_table,
+    line_dedup,
+    merge_line_counts,
     minhash_dedup,
     shingle_table,
 )
@@ -103,13 +106,37 @@ def curate_batch_incremental(
     seed: int = 42,
     within_batch_neardup: bool = True,
     corpus_shingles: DataFrame | None = None,
+    corpus_line_counts: DataFrame | None = None,
+    line_dedup_min_freq: int | None = None,
+    line_min_chars: int = 1,
 ) -> DataFrame:
     """One batch's survivors: within-batch exact dedup (+ optional
-    within-batch near-dup), then — when a corpus exists — the
-    index-fed batch-vs-corpus :func:`~..operators.dedup.incremental_dedup`.
-    Pure plan construction (shared by the streaming loop and its batch
-    oracle in tests)."""
+    C4-style line cleaning when ``line_dedup_min_freq`` is set — batch
+    partial counts merged with the corpus's persisted
+    ``corpus_line_counts``, so a line crosses the threshold from
+    corpus+batch occurrences combined; + optional within-batch
+    near-dup), then — when a corpus exists — the index-fed
+    batch-vs-corpus :func:`~..operators.dedup.incremental_dedup`.
+    Line cleaning runs after exact dedup (copies must not inflate line
+    frequencies) and before the near-dup stages (their signatures then
+    describe the text the corpus will actually store). Pure plan
+    construction (shared by the streaming loop and its batch oracle in
+    tests)."""
     out = exact_dedup_by_content(batch, text_col=text_col, id_col=id_col)
+    if line_dedup_min_freq is not None:
+        partial = line_count_table(
+            out, text_col=text_col, id_col=id_col, min_chars=line_min_chars
+        )
+        counts = (
+            merge_line_counts(partial, corpus_line_counts)
+            if corpus_line_counts is not None
+            else partial
+        )
+        out = line_dedup(
+            out, text_col=text_col, id_col=id_col,
+            min_doc_freq=line_dedup_min_freq,
+            min_chars=line_min_chars, line_counts=counts,
+        )
     if within_batch_neardup:
         out = minhash_dedup(
             out, text_col=text_col, id_col=id_col,
@@ -140,6 +167,8 @@ def rebuild_corpus_indexes(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    line_counts_path: str | None = None,
+    line_min_chars: int = 1,
 ) -> dict:
     """Recovery / bootstrap path: (re)build every persisted dedup index
     from the corpus itself — after an index loss (see
@@ -163,6 +192,12 @@ def rebuild_corpus_indexes(
         targets.append(
             (shingles_path, shingle_table(
                 corpus, text_col, id_col, shingle_n
+            ))
+        )
+    if line_counts_path is not None:
+        targets.append(
+            (line_counts_path, line_count_table(
+                corpus, text_col, id_col, min_chars=line_min_chars
             ))
         )
     for path, df in targets:
@@ -195,6 +230,9 @@ def run_incremental_curation(
     max_files_per_trigger: int = 1,
     transform=None,
     shingles_path: str | None = None,
+    line_counts_path: str | None = None,
+    line_dedup_min_freq: int | None = None,
+    line_min_chars: int = 1,
 ):
     """One incremental curation run: stream the document directory with
     ``availableNow`` (process exactly the files the checkpoint hasn't
@@ -227,7 +265,23 @@ def run_incremental_curation(
     per-batch plan reads corpus TEXT nowhere (the Jaccard verify takes
     corpus shingle sets from the index), completing the
     no-corpus-recompute contract at the cost of one more append.
+
+    ``line_counts_path`` + ``line_dedup_min_freq`` (together) enable
+    C4-style repeated-line removal: each batch is cleaned against the
+    merged corpus+batch line frequencies, and the CLEANED survivors'
+    :func:`~..operators.dedup.line_count_table` partial is appended —
+    per-batch ``n_docs`` partials sum to corpus totals because a doc
+    lives in exactly one batch, so the index always equals the count
+    table of the stored corpus. Append-only asymmetry applies: a line
+    crossing the threshold later is removed from later batches only
+    (retroactive cleanup = corpus rewrite + index rebuild).
     """
+    if (line_counts_path is None) != (line_dedup_min_freq is None):
+        raise ValueError(
+            "pass line_counts_path and line_dedup_min_freq together "
+            "(cleaning without the index would recount the corpus; an "
+            "index without cleaning would go stale)"
+        )
     if schema is None:
         schema = spark.read.parquet(src_path).schema
     stream = (
@@ -258,6 +312,11 @@ def run_incremental_curation(
             _read_artifact(sess, shingles_path, exclude_batch=batch_id)
             if shingles_path is not None and corpus is not None else None
         )
+        corpus_line_counts = (
+            _read_artifact(sess, line_counts_path, exclude_batch=batch_id)
+            if line_counts_path is not None and corpus is not None
+            else None
+        )
         survivors = curate_batch_incremental(
             batch, corpus, corpus_bands, corpus_hashes,
             text_col=text_col, id_col=id_col,
@@ -265,6 +324,9 @@ def run_incremental_curation(
             k=k, bands=bands, shingle_n=shingle_n, seed=seed,
             within_batch_neardup=within_batch_neardup,
             corpus_shingles=corpus_shingles,
+            corpus_line_counts=corpus_line_counts,
+            line_dedup_min_freq=line_dedup_min_freq,
+            line_min_chars=line_min_chars,
         )
         # One computation serving three writes: checkpoint the (small)
         # survivor set so corpus/index/hash appends don't re-run the
@@ -292,6 +354,16 @@ def run_incremental_curation(
             _append(
                 shingle_table(survivors, text_col, id_col, shingle_n),
                 shingles_path,
+            )
+        if line_counts_path is not None:
+            # counts of the CLEANED survivor text — the index stays the
+            # exact line_count_table of the corpus as stored
+            _append(
+                line_count_table(
+                    survivors, text_col, id_col,
+                    min_chars=line_min_chars,
+                ),
+                line_counts_path,
             )
 
     return (

@@ -851,3 +851,154 @@ def test_curate_corpus_text_free_and_partial_index_error(spark):
     assert kept == [3]
     with pytest.raises(ValueError, match="ALL"):
         curate_corpus(batch, existing_bands=D.band_table(corpus))
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate removal in the curation surfaces
+# ---------------------------------------------------------------------------
+
+BOILER = "subscribe to the newsletter today"
+
+
+def _lined(tag: str, with_boiler: bool = True, n: int = 12) -> str:
+    abc = "abcdefghijklmnopqrstuvwxyz"
+    lines = [
+        " ".join(f"{tag}w{abc[i]}r{abc[j]}" for j in range(8))
+        for i in range(n)
+    ]
+    if with_boiler:
+        lines.insert(1, BOILER)
+    return "\n".join(lines)
+
+
+def test_curate_corpus_line_dedup_stage(spark):
+    """curate_corpus(line_dedup_min_freq=2) removes the cross-document
+    boilerplate line from every survivor while the rest of the pipeline
+    (exact dedup, gates, near-dup) behaves as before; passing an index
+    without enabling the stage raises."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    docs = _docs(spark, [
+        (1, _lined("a")),
+        (2, _lined("b")),
+        (3, _lined("c", with_boiler=False)),
+        (4, _lined("a")),        # exact dup of 1 -> dropped, must not
+                                 # inflate line counts
+    ])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in curate_corpus(docs, line_dedup_min_freq=2).collect()
+    }
+    assert sorted(out) == [1, 2, 3]
+    assert BOILER not in out[1] and BOILER not in out[2]
+    assert out[3] == _lined("c", with_boiler=False)
+    # exact-dup doc 4 did not push any "a" content line to freq 2
+    assert out[1] == _lined("a", with_boiler=False)
+
+    with pytest.raises(ValueError, match="line_dedup_min_freq"):
+        curate_corpus(
+            docs, existing_line_counts=D.line_count_table(docs)
+        )
+
+
+def test_streaming_curation_line_index(spark, tmp_path):
+    """The loop's fourth persisted index: batch partials of the CLEANED
+    survivors sum to corpus totals, a line crosses the threshold from
+    corpus+batch occurrences combined, and the append-only asymmetry
+    (earlier docs keep a line that only later became frequent) holds."""
+    src, corpus_path, *_ = _paths(tmp_path)
+    lc_path = str(tmp_path / "linecounts")
+    kw = dict(line_counts_path=lc_path, line_dedup_min_freq=2)
+
+    # batch 1: boilerplate appears once -> under threshold, stored as-is
+    _docs(spark, [(1, _lined("a"))]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _run(spark, tmp_path, **kw)
+    out1 = {r["doc_id"]: r["text"]
+            for r in SC.read_corpus(spark, corpus_path).collect()}
+    assert BOILER in out1[1]
+
+    # batch 2: corpus count (1) + batch count (1) reaches 2 -> the line
+    # is removed from the NEW doc; the already-stored doc keeps it
+    _docs(spark, [(11, _lined("b"))]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _run(spark, tmp_path, **kw)
+    out2 = {r["doc_id"]: r["text"]
+            for r in SC.read_corpus(spark, corpus_path).collect()}
+    assert sorted(out2) == [1, 11]
+    assert BOILER in out2[1]          # append-only asymmetry
+    assert BOILER not in out2[11]
+    assert out2[11] == _lined("b", with_boiler=False)
+
+    # batch 3: a line repeated WITHIN one batch crosses the threshold
+    # on its own (batch partial merged in)
+    inner = "shared inner template line"
+    b3 = [
+        (21, _lined("c", with_boiler=False) + "\n" + inner),
+        (22, inner + "\n" + _lined("d", with_boiler=False)),
+    ]
+    _docs(spark, b3).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, **kw)
+    out3 = {r["doc_id"]: r["text"]
+            for r in SC.read_corpus(spark, corpus_path).collect()}
+    assert sorted(out3) == [1, 11, 21, 22]
+    assert inner not in out3[21] and inner not in out3[22]
+
+    # the persisted index equals the line_count_table of the stored
+    # corpus (merged across batch partitions)
+    stored = SC.read_corpus(spark, corpus_path)
+    expect = {
+        (r["line_hash"], r["n_docs"])
+        for r in D.line_count_table(stored).collect()
+    }
+    from datawarehouse_vehicule_insurance_spark.streaming.curation import (
+        _read_artifact,
+    )
+    merged = D.merge_line_counts(_read_artifact(spark, lc_path))
+    got = {
+        (r["line_hash"], r["n_docs"]) for r in merged.collect()
+    }
+    assert got == expect
+
+    # half-configured loop raises
+    with pytest.raises(ValueError, match="together"):
+        SC.run_incremental_curation(
+            spark, src, corpus_path, str(tmp_path / "b"),
+            str(tmp_path / "h"), str(tmp_path / "ck2"),
+            line_counts_path=lc_path,
+        )
+
+
+def test_rebuild_includes_line_counts(spark, tmp_path):
+    """rebuild_corpus_indexes(line_counts_path=...) regenerates the
+    line index from the stored corpus under the reserved partition."""
+    src, corpus_path, bands_path, hashes_path, _ = _paths(tmp_path)
+    lc_path = str(tmp_path / "linecounts")
+    _docs(spark, [(1, _lined("a")), (2, _lined("b"))]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _run(spark, tmp_path)  # loop WITHOUT line cleaning
+
+    counts = SC.rebuild_corpus_indexes(
+        spark, corpus_path, bands_path, hashes_path,
+        line_counts_path=lc_path,
+    )
+    assert counts[lc_path] > 0
+    rebuilt = D.merge_line_counts(
+        spark.read.parquet(lc_path).drop(SC.BATCH_COL)
+    )
+    stored = SC.read_corpus(spark, corpus_path)
+    expect = {
+        (r["line_hash"], r["n_docs"])
+        for r in D.line_count_table(stored).collect()
+    }
+    assert {
+        (r["line_hash"], r["n_docs"]) for r in rebuilt.collect()
+    } == expect
+    # BOILER is at freq 2 in the rebuilt index: the next batch's doc
+    # with it gets cleaned immediately
+    boiler_hash = D.line_count_table(stored).filter(
+        F.col("n_docs") >= 2
+    ).count()
+    assert boiler_hash >= 1
