@@ -33,7 +33,12 @@ from .dedup import (
     merge_line_counts,
     minhash_dedup,
 )
-from .text_analysis import contamination_overlap, lang_id, quality_features
+from .text_analysis import (
+    contamination_overlap,
+    lang_id,
+    perplexity_filter,
+    quality_features,
+)
 
 
 def curate_corpus(
@@ -55,6 +60,8 @@ def curate_corpus(
     line_dedup_min_freq: int | None = None,
     line_min_chars: int = 1,
     existing_line_counts: DataFrame | None = None,
+    lm_model: tuple[DataFrame, DataFrame] | None = None,
+    max_perplexity: float | None = None,
 ) -> DataFrame:
     """Curate ``docs`` for training; returns surviving rows with the
     input schema. ``benchmark`` (optional) enables the decontamination
@@ -78,6 +85,11 @@ def curate_corpus(
     mode) supplies the corpus's persisted
     :func:`~.dedup.line_count_table`; the batch's own partial is merged
     in so batch-internal repeats count toward the threshold too.
+
+    ``lm_model`` + ``max_perplexity`` (together) enable the CCNet-style
+    perplexity gate: documents scoring above the threshold under a
+    reference :func:`~.text_analysis.bigram_lm_tables` model are
+    dropped before the near-dup stage pays for them.
 
     Thresholds are the Gopher-style defaults scaled down for the test
     corpus; every one is a parameter because curation policy is a
@@ -123,6 +135,21 @@ def curate_corpus(
     if lang_allow is not None:
         gate = gate & lang_id(F.col(text_col)).isin(*lang_allow)
     out = feats.filter(gate).select(*cols)
+
+    # 2.5 LM-perplexity gate (optional, CCNet-style): keep the
+    #     low-perplexity head under a reference bigram model — a hash
+    #     join against the (broadcastable) model tables, so it runs
+    #     before the heavy near-dup stage
+    if (lm_model is None) != (max_perplexity is None):
+        raise ValueError(
+            "pass lm_model (bigram_lm_tables output) and max_perplexity "
+            "together"
+        )
+    if lm_model is not None:
+        out = perplexity_filter(
+            out, *lm_model, max_perplexity,
+            text_col=text_col, id_col=id_col,
+        )
 
     # 3. near-dup removal over survivors only
     out = minhash_dedup(

@@ -377,3 +377,216 @@ def winnow_sketch(
             acc, F.slice(fp, 1 + j, width), lambda a, b: F.least(a, b)
         )
     return F.array_sort(F.array_distinct(acc))
+
+
+# ---------------------------------------------------------------------------
+# n-gram language-model perplexity (CCNet-style quality filtering)
+# ---------------------------------------------------------------------------
+#
+# The classic web-corpus quality signal: train token-bigram statistics on
+# a trusted reference corpus, score candidate documents by mean token
+# log-probability, and keep the low-perplexity head. No reference
+# analogue (the reference has no text corpus); additive scope per the
+# brief. Everything is hash-keyed counts — training is two
+# map-side-combinable shuffles of 8-byte keys, scoring is an equi-join
+# against the (small, broadcastable) model tables.
+
+LM_PARAMS_COL = "__lm_params"
+
+
+def lm_fingerprint() -> str:
+    """Canonical fingerprint of the LM token/hash layout, stamped into
+    both model tables and validated at scoring time so a model persisted
+    under a different tokenization can't silently score garbage."""
+    return "bigram-lm/v1/ws-tokens/xxhash64"
+
+
+def _doc_bigrams(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, prev_hash, w_hash) — one row per adjacent token pair of each
+    document, token identity reduced to xxhash64 so neither training nor
+    scoring ever shuffles token strings. Narrow (explode only); NULL
+    text and single-token documents yield no rows."""
+    toks = tokens(F.col(text_col))
+    width = F.size(toks) - 1
+    pairs = F.zip_with(
+        F.slice(toks, 1, width),
+        F.slice(toks, 2, width),
+        lambda a, b: F.struct(
+            F.xxhash64(a).alias("p"), F.xxhash64(b).alias("w")
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(pairs).alias("__bg"))
+        .select(
+            id_col,
+            F.col("__bg.p").alias("prev_hash"),
+            F.col("__bg.w").alias("w_hash"),
+        )
+    )
+
+
+def bigram_lm_tables(
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Train a token-bigram model on a reference corpus; returns the two
+    persistable model tables:
+
+    - bigrams:  (prev_hash, w_hash, n_pair) — adjacent-pair counts;
+    - unigrams: (tok_hash, n_tok, n_prev, __vocab, __total) — per-token
+      total occurrences and context occurrences (non-final positions),
+      plus the training vocabulary size and total token count as
+      constant columns (1-row crossJoin at plan time — no driver
+      action).
+
+    Both carry the :data:`LM_PARAMS_COL` stamp. Counts from disjoint
+    document batches SUM (a token/pair occurrence lives in exactly one
+    batch), so the model is maintainable incrementally the same way as
+    :func:`~.dedup.line_count_table` partials — though ``__vocab``
+    must then be recomputed over the union's distinct tokens.
+
+    Scale shape: one narrow explode each side, then two hash shuffles
+    over 8-byte keys with map-side partial aggregation; token text
+    never shuffles.
+    """
+    bg = _doc_bigrams(train, text_col, id_col)
+    stamp = F.lit(lm_fingerprint())
+    bigrams = (
+        bg.groupBy("prev_hash", "w_hash")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .withColumn(LM_PARAMS_COL, stamp)
+    )
+    toks = tokens(F.col(text_col))
+    tok_rows = train.select(
+        F.posexplode(toks).alias("__pos", "__tok"),
+        (F.size(toks) - 1).alias("__last"),
+    ).select(
+        F.xxhash64(F.col("__tok")).alias("tok_hash"),
+        F.when(F.col("__pos") < F.col("__last"), 1)
+        .otherwise(0)
+        .alias("__is_ctx"),
+    )
+    per_tok = tok_rows.groupBy("tok_hash").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("__is_ctx").alias("n_prev"),
+    )
+    totals = per_tok.agg(
+        F.count(F.lit(1)).alias("__vocab"),
+        F.sum("n_tok").alias("__total"),
+    )
+    unigrams = (
+        per_tok.crossJoin(totals)  # 1-row frame — bounded
+        .withColumn(LM_PARAMS_COL, stamp)
+    )
+    return bigrams, unigrams
+
+
+def _validate_lm_stamp(table: DataFrame, what: str) -> None:
+    if LM_PARAMS_COL not in table.columns:
+        return
+    row = table.select(LM_PARAMS_COL).first()
+    if row is not None and row[0] != lm_fingerprint():
+        raise ValueError(
+            f"{what} table was built under {row[0]!r} but this engine "
+            f"scores under {lm_fingerprint()!r} — retrain the model"
+        )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.1,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Score documents under a trained bigram model
+    (:func:`bigram_lm_tables`): appends ``avg_logp`` (mean over token
+    positions of ``ln P(w|prev)``) and ``perplexity``
+    (``exp(−avg_logp)``). Documents with fewer than two tokens (or NULL
+    text) have no bigrams and score NULL in both columns.
+
+    Probability is Jelinek-Mercer interpolation of the add-k bigram and
+    add-k unigram estimates::
+
+        P(w|prev) = λ·(c(prev,w)+k)/(c(prev)+k·V)
+                  + (1−λ)·(c(w)+k)/(N+k·V)
+
+    The unigram term is what penalizes out-of-vocabulary junk: pure
+    add-k gives every unseen CONTEXT the uniform 1/V floor, which on
+    small vocabularies scores gibberish "better" than in-vocabulary
+    text with unseen continuations; interpolation floors unknown tokens
+    at ~k/N instead.
+
+    Scale shape: candidate bigrams (narrow explode) left-join the model
+    tables on hash keys — model tables are usually dims relative to the
+    corpus, so AQE broadcasts them; then one mean per document. Unseen
+    pairs/tokens fall back to the smoothing floors via the left joins'
+    NULLs."""
+    _validate_lm_stamp(bigrams, "bigram")
+    _validate_lm_stamp(unigrams, "unigram")
+    bigrams = bigrams.drop(LM_PARAMS_COL)
+    uni = unigrams.drop(LM_PARAMS_COL)
+    v_frame = uni.agg(
+        F.max("__vocab").alias("__V"), F.max("__total").alias("__N")
+    )
+    ctx = uni.select(
+        F.col("tok_hash").alias("prev_hash"), "n_prev"
+    )
+    cur = uni.select(F.col("tok_hash").alias("w_hash"), "n_tok")
+    k = F.lit(k_smooth)
+    p_bigram = (F.coalesce(F.col("n_pair"), F.lit(0)) + k) / (
+        F.coalesce(F.col("n_prev"), F.lit(0)) + k * F.col("__V")
+    )
+    p_unigram = (F.coalesce(F.col("n_tok"), F.lit(0)) + k) / (
+        F.col("__N") + k * F.col("__V")
+    )
+    scored = (
+        _doc_bigrams(docs, text_col, id_col)
+        .join(bigrams, ["prev_hash", "w_hash"], "left")
+        .join(ctx, ["prev_hash"], "left")
+        .join(cur, ["w_hash"], "left")
+        .crossJoin(v_frame)  # 1-row frame — bounded by construction
+        .select(
+            id_col,
+            F.log(
+                F.lit(lam) * p_bigram + F.lit(1.0 - lam) * p_unigram
+            ).alias("__logp"),
+        )
+        .groupBy(id_col)
+        .agg(F.avg("__logp").alias("avg_logp"))
+    )
+    return (
+        docs.join(scored, id_col, "left")
+        .withColumn("perplexity", F.exp(-F.col("avg_logp")))
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    max_perplexity: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.1,
+    lam: float = 0.7,
+    keep_unscored: bool = False,
+) -> DataFrame:
+    """Keep the low-perplexity head of a candidate corpus (the CCNet
+    selection rule): documents scoring ``perplexity <= max_perplexity``
+    under the reference model survive with the input schema.
+    ``keep_unscored`` additionally keeps NULL-scored documents (fewer
+    than two tokens), which the threshold alone would drop."""
+    cols = docs.columns
+    scored = lm_perplexity(
+        docs, bigrams, unigrams, text_col, id_col, k_smooth, lam
+    )
+    cond = F.col("perplexity") <= max_perplexity
+    if keep_unscored:
+        cond = cond | F.col("perplexity").isNull()
+    return scored.filter(cond).select(*cols)

@@ -1,0 +1,178 @@
+"""Bigram-LM perplexity scoring/filtering (the CCNet-style quality
+signal): exact parity with a pure-Python reference, ranking sanity
+(in-distribution text scores better than scrambled text), short-doc
+NULL semantics, the stamp contract, and count mergeability."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+    LM_PARAMS_COL,
+    bigram_lm_tables,
+    lm_perplexity,
+    perplexity_filter,
+)
+
+TRAIN = [
+    (100, "the cat sat on the mat"),
+    (101, "the dog sat on the rug"),
+    (102, "a cat and a dog sat together"),
+    (103, "the cat and the dog ran home"),
+]
+
+DOCS = [
+    (1, "the cat sat on the rug"),        # fluent, in-distribution
+    (2, "rug the on sat cat the"),        # same tokens, scrambled
+    (3, "zz qq vv ww pp"),                # out-of-vocabulary junk
+    (4, "single"),                        # 1 token -> unscored
+    (5, None),                            # NULL -> unscored
+]
+
+
+def _toks(t):
+    if t is None:
+        return []
+    return re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+
+
+def _py_lm(train, docs, k=0.1, lam=0.7):
+    pair, prev, tok = Counter(), Counter(), Counter()
+    for _, t in train:
+        ts = _toks(t)
+        tok.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            pair[(a, b)] += 1
+            prev[a] += 1
+    V, N = len(tok), sum(tok.values())
+    out = {}
+    for i, t in docs:
+        ts = _toks(t)
+        bgs = list(zip(ts, ts[1:]))
+        if not bgs:
+            out[i] = (None, None)
+            continue
+        lp = sum(
+            math.log(
+                lam * (pair[bg] + k) / (prev[bg[0]] + k * V)
+                + (1.0 - lam) * (tok[bg[1]] + k) / (N + k * V)
+            )
+            for bg in bgs
+        ) / len(bgs)
+        out[i] = (lp, math.exp(-lp))
+    return out
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    return bigram_lm_tables(_df(spark, TRAIN))
+
+
+def test_matches_python_reference(spark, model):
+    got = {
+        r["doc_id"]: (r["avg_logp"], r["perplexity"])
+        for r in lm_perplexity(_df(spark, DOCS), *model).collect()
+    }
+    want = _py_lm(TRAIN, DOCS)
+    assert got.keys() == want.keys()
+    for i in want:
+        if want[i][0] is None:
+            assert got[i] == (None, None)
+        else:
+            assert got[i][0] == pytest.approx(want[i][0], abs=1e-9)
+            assert got[i][1] == pytest.approx(want[i][1], rel=1e-9)
+
+
+def test_ranking_fluent_beats_scrambled_beats_junk(spark, model):
+    ppl = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm_perplexity(_df(spark, DOCS), *model).collect()
+    }
+    assert ppl[1] < ppl[2] < ppl[3]
+
+
+def test_filter_keeps_low_perplexity_head(spark, model):
+    ppl = _py_lm(TRAIN, DOCS)
+    cut = (ppl[1][1] + ppl[2][1]) / 2  # between fluent and scrambled
+    kept = sorted(
+        r["doc_id"]
+        for r in perplexity_filter(_df(spark, DOCS), *model, cut).collect()
+    )
+    assert kept == [1]
+    with_null = sorted(
+        r["doc_id"]
+        for r in perplexity_filter(
+            _df(spark, DOCS), *model, cut, keep_unscored=True
+        ).collect()
+    )
+    assert with_null == [1, 4, 5]
+    # schema preserved
+    out = perplexity_filter(_df(spark, DOCS), *model, cut)
+    assert out.columns == ["doc_id", "text"]
+
+
+def test_stamp_mismatch_raises(spark, model):
+    bigrams, unigrams = model
+    stale = bigrams.withColumn(LM_PARAMS_COL, F.lit("bigram-lm/v0"))
+    with pytest.raises(ValueError, match="retrain"):
+        lm_perplexity(_df(spark, DOCS), stale, unigrams)
+
+
+def test_counts_merge_across_batches(spark):
+    """Pair/context counts from disjoint batches sum to the full-train
+    counts (the incremental-maintenance property)."""
+    full_bg, _ = bigram_lm_tables(_df(spark, TRAIN))
+    a_bg, _ = bigram_lm_tables(_df(spark, TRAIN[:2]))
+    b_bg, _ = bigram_lm_tables(_df(spark, TRAIN[2:]))
+    merged = (
+        a_bg.drop(LM_PARAMS_COL)
+        .unionByName(b_bg.drop(LM_PARAMS_COL))
+        .groupBy("prev_hash", "w_hash")
+        .agg(F.sum("n_pair").alias("n_pair"))
+    )
+    want = {
+        (r["prev_hash"], r["w_hash"]): r["n_pair"]
+        for r in full_bg.collect()
+    }
+    got = {
+        (r["prev_hash"], r["w_hash"]): r["n_pair"]
+        for r in merged.collect()
+    }
+    assert got == want
+
+
+def test_curate_corpus_perplexity_gate(spark, model):
+    """curate_corpus(lm_model=..., max_perplexity=...) drops the
+    out-of-distribution document before near-dup; half-configuration
+    raises."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    docs = _df(spark, [
+        (1, "the cat sat on the rug and the dog sat on the mat"),
+        (2, "zz qq vv ww pp rr ss tt uu yy"),
+    ])
+    ppl = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm_perplexity(docs, *model).collect()
+    }
+    cut = (ppl[1] + ppl[2]) / 2
+    kept = sorted(
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, min_tokens=5, lm_model=model, max_perplexity=cut
+        ).collect()
+    )
+    assert kept == [1]
+    with pytest.raises(ValueError, match="together"):
+        curate_corpus(docs, lm_model=model)
