@@ -25,10 +25,18 @@ persisted indexes, appends survivors + index rows) —
         --src <crawl-dir> --corpus <dir> --bands <dir> --hashes <dir> \\
         --checkpoint <dir> [--langs en] [--min-tokens 8] [--jaccard 0.8]
 
-and LSH-index maintenance (retraction + compaction rewrite) —
+LSH-index maintenance (retraction + compaction rewrite) —
 
     python -m datawarehouse_vehicule_insurance_spark index-maintain \\
         --bands <dir> --out <dir> [--remove <ids.parquet>] [--compact]
+
+and full document takedown (corpus + every supplied index, one
+consistent rewrite; retracted content is accepted again on
+re-submission) —
+
+    python -m datawarehouse_vehicule_insurance_spark retract \\
+        --remove <ids.parquet> --corpus <dir> [--bands <dir>]
+        [--hashes <dir>] [--shingles <dir>] [--line-counts <dir>]
 """
 
 from __future__ import annotations
@@ -159,12 +167,30 @@ def _run_index_maintain(args: argparse.Namespace) -> int:
     return 0
 
 
+def _run_retract(args: argparse.Namespace) -> int:
+    """Takedown: remove documents (parquet of ids, first column) from
+    the stored corpus and every supplied persisted index in one
+    consistent rewrite; prints per-artifact rows-after counts."""
+    from datawarehouse_vehicule_insurance_spark.streaming.curation import (
+        retract_documents,
+    )
+
+    spark = get_spark(app_name="insurance_retract")
+    out = retract_documents(
+        spark, spark.read.parquet(args.remove), args.corpus,
+        index_path=args.bands, hash_path=args.hashes,
+        shingles_path=args.shingles, line_counts_path=args.line_counts,
+    )
+    print(json.dumps({"rows_after": out}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datawarehouse_vehicule_insurance_spark")
     p.add_argument(
         "layer",
         choices=["bronze", "silver", "gold", "all", "curate",
-                 "curate-stream", "index-maintain"],
+                 "curate-stream", "index-maintain", "retract"],
     )
     p.add_argument("--root", help="lake root (path or s3a://)")
     p.add_argument("--csv-root", help="raw CSV dir (bronze only)")
@@ -207,7 +233,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--checkpoint", help="curate-stream: checkpoint dir")
     p.add_argument(
-        "--remove", help="index-maintain: parquet of retracted doc ids"
+        "--remove",
+        help="index-maintain/retract: parquet of retracted doc ids",
     )
     p.add_argument(
         "--compact", action="store_true",
@@ -234,6 +261,10 @@ def main(argv: list[str] | None = None) -> int:
         if not (args.remove or args.compact):
             p.error("index-maintain needs --remove and/or --compact")
         return _run_index_maintain(args)
+    if args.layer == "retract":
+        if not (args.remove and args.corpus):
+            p.error("retract requires --remove and --corpus")
+        return _run_retract(args)
     if not args.root:
         p.error(f"{args.layer} requires --root")
 

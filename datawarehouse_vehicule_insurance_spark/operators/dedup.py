@@ -969,6 +969,44 @@ def merge_line_counts(*tables: DataFrame) -> DataFrame:
     return merged.groupBy(*keys).agg(F.sum("n_docs").alias("n_docs"))
 
 
+def line_count_table_remove(
+    counts: DataFrame,
+    retracted_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """Delete semantics for the persisted line-frequency index:
+    SUBTRACT the retracted documents' own partial (counts are sums of
+    per-doc indicators, so removal is exact subtraction — the flip side
+    of :func:`merge_line_counts`), dropping lines whose count reaches
+    zero. ``retracted_docs`` must be the stored corpus rows being
+    removed — text included, exactly as stored — because the index was
+    built from that text; parameters must match the index's stamp
+    (validated). Returns the surviving index rows for rewrite."""
+    validate_line_params(counts, sep, min_chars, scope_col)
+    partial = (
+        line_count_table(
+            retracted_docs, text_col, id_col, sep, min_chars, scope_col
+        )
+        .withColumnRenamed("n_docs", "__n_retracted")
+        .drop(LINE_PARAMS_COL)
+    )
+    keys = ([scope_col] if scope_col else []) + ["line_hash"]
+    out_cols = [c for c in counts.columns if c != "n_docs"]
+    return (
+        counts.join(partial, keys, "left")
+        .withColumn(
+            "n_docs",
+            F.col("n_docs") - F.coalesce(F.col("__n_retracted"), F.lit(0)),
+        )
+        .filter(F.col("n_docs") > 0)
+        .select(*out_cols, "n_docs")
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

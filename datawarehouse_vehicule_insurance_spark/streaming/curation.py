@@ -33,10 +33,12 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     band_table,
+    band_table_remove,
     content_hash_table,
     exact_dedup_by_content,
     incremental_dedup,
     line_count_table,
+    line_count_table_remove,
     line_dedup,
     merge_line_counts,
     minhash_dedup,
@@ -372,6 +374,85 @@ def run_incremental_curation(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def retract_documents(
+    spark: SparkSession,
+    retracted_ids: DataFrame,
+    corpus_path: str,
+    index_path: str | None = None,
+    hash_path: str | None = None,
+    shingles_path: str | None = None,
+    line_counts_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    line_min_chars: int = 1,
+) -> dict:
+    """Takedown path: remove documents from the stored corpus AND every
+    persisted dedup index in one consistent rewrite, so a later
+    re-submission of retracted content is ACCEPTED again (the corpus no
+    longer claims it) and probes never match ghost entries.
+
+    - corpus / band / hash / shingle artifacts: id anti-join;
+    - line-frequency index: exact count SUBTRACTION of the retracted
+      rows' own partial (:func:`~..operators.dedup.line_count_table_remove`)
+      — computed from the stored text BEFORE the corpus rewrite.
+
+    Artifacts are rewritten in place under the reserved ``__batch_id=-1``
+    partition (loop-compatible); each surviving frame is eagerly
+    checkpointed first so the overwrite never reads its own output.
+    That makes this the small/medium-corpus ops tool — at 100-TB scale
+    an in-place full rewrite is the wrong shape regardless of
+    mechanism; there the same anti-joins/subtraction run as a
+    Delta/Iceberg ``DELETE``/``MERGE`` (jars absent in this
+    environment, same note as ``run_upsert_rollup``).
+
+    ``retracted_ids``: one-column DataFrame of ids. Returns per-path
+    rows-after counts."""
+    ids = retracted_ids.select(
+        F.col(retracted_ids.columns[0]).alias(id_col)
+    ).distinct()
+    corpus = _read_artifact(spark, corpus_path)
+    if corpus is None:
+        raise ValueError(f"no corpus at {corpus_path}")
+    removed_rows = corpus.join(ids, id_col, "left_semi")
+
+    out: dict = {}
+
+    def _rewrite(df: DataFrame, path: str) -> None:
+        pinned = df.localCheckpoint(eager=True)
+        (
+            pinned.withColumn(BATCH_COL, F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy(BATCH_COL)
+            .parquet(path)
+        )
+        out[path] = spark.read.parquet(path).count()
+
+    # line counts FIRST: the subtraction needs the stored text of the
+    # retracted rows, read under the pre-rewrite corpus
+    if line_counts_path is not None:
+        counts = _read_artifact(spark, line_counts_path)
+        if counts is None:
+            raise ValueError(f"no line-count index at {line_counts_path}")
+        merged = merge_line_counts(counts)
+        _rewrite(
+            line_count_table_remove(
+                merged, removed_rows, text_col, id_col, sep,
+                line_min_chars,
+            ),
+            line_counts_path,
+        )
+    _rewrite(corpus.join(ids, id_col, "left_anti"), corpus_path)
+    for path in (index_path, hash_path, shingles_path):
+        if path is None:
+            continue
+        art = _read_artifact(spark, path)
+        if art is None:
+            raise ValueError(f"no index at {path}")
+        _rewrite(band_table_remove(art, ids, id_col=id_col), path)
+    return out
 
 
 def rebuild_embedding_indexes(

@@ -1002,3 +1002,93 @@ def test_rebuild_includes_line_counts(spark, tmp_path):
         F.col("n_docs") >= 2
     ).count()
     assert boiler_hash >= 1
+
+
+# ---------------------------------------------------------------------------
+# document takedown (retract across corpus + all indexes)
+# ---------------------------------------------------------------------------
+
+def test_retract_documents_full_takedown(spark, tmp_path):
+    """retract_documents removes a document from the corpus and every
+    persisted index consistently: ids vanish from band/hash/shingle
+    artifacts, the line-frequency index is exactly the count table of
+    the remaining corpus (subtraction, incl. a shared line 2→1 and
+    unique lines 1→0), and a re-submission of the retracted content is
+    ACCEPTED by the next loop run."""
+    src, corpus_path, bands_path, hashes_path, _ = _paths(tmp_path)
+    lc_path = str(tmp_path / "linecounts")
+    shingles_path = str(tmp_path / "shingles")
+    kw = dict(
+        line_counts_path=lc_path, line_dedup_min_freq=3,
+        shingles_path=shingles_path,
+    )
+    shared = "every page carries this shared line"
+    doc1 = _lined("a", with_boiler=False) + "\n" + shared
+    doc2 = shared + "\n" + _lined("b", with_boiler=False)
+
+    _docs(spark, [(1, doc1), (2, doc2)]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _run(spark, tmp_path, **kw)
+    assert _corpus_ids(spark, tmp_path) == [1, 2]
+
+    # an exact clone of doc 1 is rejected while doc 1 is in the corpus
+    _docs(spark, [(3, doc1)]).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, **kw)
+    assert _corpus_ids(spark, tmp_path) == [1, 2]
+
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    out = SC.retract_documents(
+        spark, ids, corpus_path,
+        index_path=bands_path, hash_path=hashes_path,
+        shingles_path=shingles_path, line_counts_path=lc_path,
+    )
+    assert out[corpus_path] == 1
+    assert _corpus_ids(spark, tmp_path) == [2]
+    for path in (bands_path, hashes_path, shingles_path):
+        remaining = {
+            r["doc_id"]
+            for r in spark.read.parquet(path).select("doc_id").collect()
+        }
+        assert remaining == {2}, path
+    # line index == count table of the remaining corpus (shared 2→1,
+    # doc-1-unique lines dropped at 0)
+    stored = SC.read_corpus(spark, corpus_path)
+    expect = {
+        (r["line_hash"], r["n_docs"])
+        for r in D.line_count_table(stored).collect()
+    }
+    got = {
+        (r["line_hash"], r["n_docs"])
+        for r in D.merge_line_counts(
+            spark.read.parquet(lc_path).drop(SC.BATCH_COL)
+        ).collect()
+    }
+    assert got == expect
+
+    # the same content is accepted again after the takedown
+    _docs(spark, [(4, doc1)]).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, **kw)
+    assert _corpus_ids(spark, tmp_path) == [2, 4]
+
+
+def test_cli_retract(spark, tmp_path, capsys):
+    """The retract CLI verb drives retract_documents end-to-end."""
+    import json as _json
+
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    src, corpus_path, bands_path, hashes_path, _ = _paths(tmp_path)
+    _docs(spark, [(1, _fresh("kept")), (2, _fresh("gone"))]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _run(spark, tmp_path)
+    ids_path = str(tmp_path / "ids")
+    spark.createDataFrame([(2,)], "doc_id long").write.parquet(ids_path)
+
+    rc = main([
+        "retract", "--remove", ids_path, "--corpus", corpus_path,
+        "--bands", bands_path, "--hashes", hashes_path,
+    ])
+    assert rc == 0
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["rows_after"][corpus_path] == 1
+    assert _corpus_ids(spark, tmp_path) == [1]
