@@ -484,6 +484,43 @@ def bigram_lm_tables(
     return bigrams, unigrams
 
 
+def merge_bigram_lm_tables(
+    *models: tuple[DataFrame, DataFrame],
+) -> tuple[DataFrame, DataFrame]:
+    """Merge per-shard :func:`bigram_lm_tables` outputs into one model:
+    pair and per-token counts SUM (each occurrence lives in exactly one
+    shard), while ``__vocab``/``__total`` are recomputed over the merged
+    per-token table — vocabulary is a distinct count, which does NOT
+    sum across shards that share tokens. This is how a reference LM is
+    trained over data too large (or too incremental) for one pass:
+    train per shard, merge, score."""
+    if not models:
+        raise ValueError("merge_bigram_lm_tables needs at least one model")
+    for bg, uni in models:
+        _validate_lm_stamp(bg, "bigram")
+        _validate_lm_stamp(uni, "unigram")
+    stamp = F.lit(lm_fingerprint())
+    bg_all = models[0][0].drop(LM_PARAMS_COL)
+    uni_all = models[0][1].drop(LM_PARAMS_COL)
+    for bg, uni in models[1:]:
+        bg_all = bg_all.unionByName(bg.drop(LM_PARAMS_COL))
+        uni_all = uni_all.unionByName(uni.drop(LM_PARAMS_COL))
+    bigrams = (
+        bg_all.groupBy("prev_hash", "w_hash")
+        .agg(F.sum("n_pair").alias("n_pair"))
+        .withColumn(LM_PARAMS_COL, stamp)
+    )
+    per_tok = uni_all.drop("__vocab", "__total").groupBy("tok_hash").agg(
+        F.sum("n_tok").alias("n_tok"), F.sum("n_prev").alias("n_prev")
+    )
+    totals = per_tok.agg(
+        F.count(F.lit(1)).alias("__vocab"),
+        F.sum("n_tok").alias("__total"),
+    )
+    unigrams = per_tok.crossJoin(totals).withColumn(LM_PARAMS_COL, stamp)
+    return bigrams, unigrams
+
+
 def _validate_lm_stamp(table: DataFrame, what: str) -> None:
     if LM_PARAMS_COL not in table.columns:
         return

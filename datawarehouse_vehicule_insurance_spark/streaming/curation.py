@@ -455,6 +455,47 @@ def retract_documents(
     return out
 
 
+def retract_vectors(
+    spark: SparkSession,
+    retracted_ids: DataFrame,
+    corpus_path: str,
+    assignments_path: str | None = None,
+    codes_path: str | None = None,
+    vec_id: str = "vec_id",
+) -> dict:
+    """Embedding twin of :func:`retract_documents`: remove vectors from
+    the stored embedding corpus and its persisted IVF assignment /
+    PQ code artifacts in one consistent rewrite (id anti-joins
+    throughout — every artifact is vec_id-keyed). Centroids and
+    codebooks are untouched: they are index-lifetime GEOMETRY, not
+    per-vector state, and remain valid for the surviving corpus. A
+    later re-submission of a retracted vector id (or its near-identical
+    embedding) is accepted again by the ingest loop. Same in-place
+    rewrite contract and 100-TB table-format note as
+    :func:`retract_documents`. Returns per-path rows-after counts."""
+    ids = retracted_ids.select(
+        F.col(retracted_ids.columns[0]).alias(vec_id)
+    ).distinct()
+    out: dict = {}
+    for path in (corpus_path, assignments_path, codes_path):
+        if path is None:
+            continue
+        art = _read_artifact(spark, path)
+        if art is None:
+            raise ValueError(f"no artifact at {path}")
+        pinned = art.join(ids, vec_id, "left_anti").localCheckpoint(
+            eager=True
+        )
+        (
+            pinned.withColumn(BATCH_COL, F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy(BATCH_COL)
+            .parquet(path)
+        )
+        out[path] = spark.read.parquet(path).count()
+    return out
+
+
 def rebuild_embedding_indexes(
     spark: SparkSession,
     corpus_path: str,

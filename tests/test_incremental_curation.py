@@ -1092,3 +1092,51 @@ def test_cli_retract(spark, tmp_path, capsys):
     payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["rows_after"][corpus_path] == 1
     assert _corpus_ids(spark, tmp_path) == [1]
+
+
+def test_retract_vectors_and_resubmission(spark, tmp_path):
+    """retract_vectors removes vectors from the embedding corpus and its
+    persisted IVF assignments consistently; a near-identical vector of
+    a retracted one is accepted by the next ingest run (before the
+    takedown it was rejected)."""
+    src = str(tmp_path / "src")
+    corpus_path = str(tmp_path / "corpus")
+    cent_path = str(tmp_path / "centroids")
+    asg_path = str(tmp_path / "assignments")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = SC.run_incremental_embedding_ingest(
+            spark, src, corpus_path, cent_path, asg_path, ckpt,
+            neardup_threshold=0.95, n_probe=4, n_cells=4,
+        )
+        q.awaitTermination()
+
+    def ids_of(path):
+        df = SC._try_read_parquet(spark, path)
+        return sorted(r["vec_id"] for r in df.collect())
+
+    _vecs(spark, [(1, _unit_row(0)), (2, _unit_row(1))]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+    # a near-dup of vector 1 dies while 1 is in the corpus
+    _vecs(spark, [(11, _unit_row(0, eps_axis=3, eps=0.02))]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+    assert ids_of(corpus_path) == [1, 2]
+
+    out = SC.retract_vectors(
+        spark, spark.createDataFrame([(1,)], "vec_id long"),
+        corpus_path, assignments_path=asg_path,
+    )
+    assert out[corpus_path] == 1 and out[asg_path] == 1
+    assert ids_of(corpus_path) == [2] and ids_of(asg_path) == [2]
+    # centroids (index-lifetime geometry) untouched
+    assert spark.read.parquet(cent_path).count() > 0
+
+    # the same direction is accepted again after the takedown
+    _vecs(spark, [(21, _unit_row(0, eps_axis=3, eps=0.02))]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+    assert ids_of(corpus_path) == [2, 21]
+    assert ids_of(asg_path) == [2, 21]

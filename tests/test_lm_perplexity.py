@@ -176,3 +176,33 @@ def test_curate_corpus_perplexity_gate(spark, model):
     assert kept == [1]
     with pytest.raises(ValueError, match="together"):
         curate_corpus(docs, lm_model=model)
+
+
+def test_merged_shard_models_score_identically(spark):
+    """merge_bigram_lm_tables over per-shard models reproduces the
+    full-train model exactly (pair/token counts sum; vocab and total
+    recomputed over the merged token table)."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        merge_bigram_lm_tables,
+    )
+
+    full = bigram_lm_tables(_df(spark, TRAIN))
+    merged = merge_bigram_lm_tables(
+        bigram_lm_tables(_df(spark, TRAIN[:1])),
+        bigram_lm_tables(_df(spark, TRAIN[1:3])),
+        bigram_lm_tables(_df(spark, TRAIN[3:])),
+    )
+    want = {
+        r["doc_id"]: r["avg_logp"]
+        for r in lm_perplexity(_df(spark, DOCS), *full).collect()
+    }
+    got = {
+        r["doc_id"]: r["avg_logp"]
+        for r in lm_perplexity(_df(spark, DOCS), *merged).collect()
+    }
+    assert got.keys() == want.keys()
+    for i in want:
+        if want[i] is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(want[i], abs=1e-12)
