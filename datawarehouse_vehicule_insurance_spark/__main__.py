@@ -180,6 +180,8 @@ def _run_retract(args: argparse.Namespace) -> int:
         spark, spark.read.parquet(args.remove), args.corpus,
         index_path=args.bands, hash_path=args.hashes,
         shingles_path=args.shingles, line_counts_path=args.line_counts,
+        line_min_chars=args.line_min_chars,
+        line_scope_col=args.line_scope,
     )
     print(json.dumps({"rows_after": out}))
     return 0
@@ -230,6 +232,15 @@ def main(argv: list[str] | None = None) -> int:
         "--line-dedup-freq", dest="line_dedup_freq", type=int,
         help="curate/curate-stream: remove lines appearing in >= N "
         "distinct documents (C4 boilerplate rule; off when omitted)",
+    )
+    p.add_argument(
+        "--line-min-chars", dest="line_min_chars", type=int, default=1,
+        help="retract: min_chars the line-count index was built with",
+    )
+    p.add_argument(
+        "--line-scope", dest="line_scope",
+        help="retract: scope column the line-count index was built "
+        "with (e.g. source)",
     )
     p.add_argument("--checkpoint", help="curate-stream: checkpoint dir")
     p.add_argument(

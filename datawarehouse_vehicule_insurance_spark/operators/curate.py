@@ -26,11 +26,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import (
+    drop_exact_corpus_matches,
     exact_dedup_by_content,
     incremental_dedup,
-    line_count_table,
-    line_dedup,
-    merge_line_counts,
+    line_dedup_incremental,
     minhash_dedup,
 )
 from .text_analysis import (
@@ -100,23 +99,23 @@ def curate_corpus(
     # 1. exact dedup (content hash, min-id survivor)
     out = exact_dedup_by_content(docs, text_col=text_col, id_col=id_col)
 
-    # 1.5 line-level boilerplate removal (optional)
+    # 1.5 line-level boilerplate removal (optional). Raw-text exact
+    #     corpus matches are dropped FIRST so (a) a re-submission of a
+    #     stored document is rejected even when today's cleaning would
+    #     rewrite it past the later hash check, and (b) corpus copies
+    #     can't inflate the batch's line-frequency partial.
     if line_dedup_min_freq is not None:
-        partial = line_count_table(
-            out, text_col=text_col, id_col=id_col, min_chars=line_min_chars
-        )
-        counts = (
-            merge_line_counts(partial, existing_line_counts)
-            if existing_line_counts is not None
-            else partial
-        )
-        out = line_dedup(
+        if existing_corpus is not None or existing_hashes is not None:
+            out = drop_exact_corpus_matches(
+                out, existing_corpus, existing_hashes, text_col, id_col
+            )
+        out = line_dedup_incremental(
             out,
-            text_col=text_col,
-            id_col=id_col,
+            existing_line_counts,
             min_doc_freq=line_dedup_min_freq,
             min_chars=line_min_chars,
-            line_counts=counts,
+            text_col=text_col,
+            id_col=id_col,
         )
     elif existing_line_counts is not None:
         raise ValueError(

@@ -470,6 +470,39 @@ def shingle_table(
     ).withColumn(SHINGLE_PARAMS_COL, F.lit(shingle_fingerprint(n)))
 
 
+def drop_exact_corpus_matches(
+    batch: DataFrame,
+    corpus_docs: DataFrame | None = None,
+    corpus_hashes: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop batch rows whose text is an exact (md5) duplicate of a
+    corpus document — a 16-byte-key hash anti-join, corpus side served
+    by the persisted :func:`content_hash_table` when supplied. The
+    exact stage of :func:`incremental_dedup`, also used standalone as a
+    RAW-text pre-filter before text-rewriting stages (line cleaning):
+    run on the text as submitted, it rejects a re-submission of a
+    stored document even when today's cleaning would rewrite it into
+    something that no longer hash-matches what was stored."""
+    if corpus_docs is None and corpus_hashes is None:
+        return batch
+    corpus_h = (
+        corpus_hashes.select(
+            F.col("content_hash").alias("__content_hash")
+        ).distinct()
+        if corpus_hashes is not None
+        else corpus_docs.select(
+            F.md5(F.col(text_col)).alias("__content_hash")
+        ).distinct()
+    )
+    return (
+        batch.withColumn("__content_hash", F.md5(F.col(text_col)))
+        .join(corpus_h, "__content_hash", "left_anti")
+        .drop("__content_hash")
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -515,19 +548,9 @@ def incremental_dedup(
     # exact, within-batch: keep min-id representative per content hash
     batch = exact_dedup_by_content(new_docs, text_col, id_col)
     # exact, vs corpus: anti-join on content digest — only hashes shuffle
-    batch_h = batch.withColumn("__content_hash", F.md5(F.col(text_col)))
-    corpus_h = (
-        corpus_hashes.select(
-            F.col("content_hash").alias("__content_hash")
-        ).distinct()
-        if corpus_hashes is not None
-        else corpus_docs.select(
-            F.md5(F.col(text_col)).alias("__content_hash")
-        ).distinct()
+    batch = drop_exact_corpus_matches(
+        batch, corpus_docs, corpus_hashes, text_col, id_col
     )
-    batch = batch_h.join(
-        corpus_h, "__content_hash", "left_anti"
-    ).drop("__content_hash")
     # near-dup vs corpus: banded LSH candidates, Jaccard-verified
     cand = cross_corpus_lsh_candidates(
         batch,
@@ -941,32 +964,95 @@ def validate_line_params(
 def merge_line_counts(*tables: DataFrame) -> DataFrame:
     """Merge per-batch :func:`line_count_table` partials into corpus
     totals: ``n_docs`` sums because each document lives in exactly one
-    batch. Mixed parameter stamps raise (counts from different
-    splitting rules must not be summed)."""
+    batch. Mixed parameter stamps ACROSS tables raise (counts from
+    different splitting rules must not be summed) — checked with one
+    limit-1 read per table, never a distinct over the union; stamp
+    uniformity WITHIN a table is the writer's contract, same as
+    :func:`validate_band_params`."""
     if not tables:
         raise ValueError("merge_line_counts needs at least one table")
-    merged = tables[0]
+    stamps = set()
+    for t in tables:
+        if LINE_PARAMS_COL in t.columns:
+            row = t.select(LINE_PARAMS_COL).first()
+            if row is not None:
+                stamps.add(row[0])
+    if len(stamps) > 1:
+        raise ValueError(
+            f"line-count tables hold mixed parameters "
+            f"{sorted(stamps)} — rebuild before merging"
+        )
+    stamp = next(iter(stamps)) if stamps else None
+    merged = tables[0].drop(LINE_PARAMS_COL)
     for t in tables[1:]:
-        merged = merged.unionByName(t)
-    if LINE_PARAMS_COL in merged.columns:
-        stamps = [
-            r[0]
-            for r in merged.select(LINE_PARAMS_COL).distinct().collect()
-        ]
-        if len(stamps) > 1:
-            raise ValueError(
-                f"line-count tables hold mixed parameters "
-                f"{sorted(stamps)} — rebuild before merging"
-            )
-        stamp = stamps[0] if stamps else None
-        keys = [c for c in merged.columns
-                if c not in ("n_docs", LINE_PARAMS_COL)]
-        out = merged.groupBy(*keys).agg(F.sum("n_docs").alias("n_docs"))
-        if stamp is not None:
-            out = out.withColumn(LINE_PARAMS_COL, F.lit(stamp))
-        return out
+        merged = merged.unionByName(t.drop(LINE_PARAMS_COL))
     keys = [c for c in merged.columns if c != "n_docs"]
-    return merged.groupBy(*keys).agg(F.sum("n_docs").alias("n_docs"))
+    out = merged.groupBy(*keys).agg(F.sum("n_docs").alias("n_docs"))
+    if stamp is not None:
+        out = out.withColumn(LINE_PARAMS_COL, F.lit(stamp))
+    return out
+
+
+def line_dedup_incremental(
+    docs: DataFrame,
+    corpus_counts: DataFrame | None = None,
+    min_doc_freq: int = 2,
+    sep: str = "\n",
+    min_chars: int = 1,
+    scope_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    drop_empty: bool = True,
+) -> DataFrame:
+    """One batch's line cleaning against merged corpus+batch line
+    frequencies — THE shared stage used by ``curate_corpus`` and the
+    streaming loop (one definition, so the merge/validate/clean
+    semantics cannot drift between them). ``corpus_counts`` (optional)
+    is the corpus's persisted :func:`line_count_table`; its stamp is
+    validated with a limit-1 read, the batch's own partial is summed in
+    plan-side, and :func:`line_dedup` runs with validation off (the
+    merged stamp is ours by construction).
+
+    Callers must pass docs ALREADY exact-deduped (within batch and —
+    via :func:`drop_exact_corpus_matches` on the raw text — against the
+    corpus): exact copies would otherwise inflate the partial and
+    over-remove. Residual caveat: a batch doc that is a NEAR-dup of a
+    corpus doc (rejected later, after cleaning) still counts its lines
+    once here, so the decision counts can exceed the stored-corpus
+    counts by the number of such rejected docs — bounded, and the
+    persisted index itself stays exact (it is rebuilt from survivors).
+    """
+    partial = line_count_table(
+        docs, text_col, id_col, sep, min_chars, scope_col
+    )
+    if corpus_counts is None:
+        counts = partial
+    else:
+        validate_line_params(corpus_counts, sep, min_chars, scope_col)
+        keys = ([scope_col] if scope_col else []) + ["line_hash"]
+        merged = partial.select(*keys, "n_docs").unionByName(
+            corpus_counts.select(*keys, "n_docs")
+        )
+        counts = (
+            merged.groupBy(*keys)
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .withColumn(
+                LINE_PARAMS_COL,
+                F.lit(line_fingerprint(sep, min_chars, scope_col)),
+            )
+        )
+    return line_dedup(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        min_doc_freq=min_doc_freq,
+        sep=sep,
+        min_chars=min_chars,
+        scope_col=scope_col,
+        drop_empty=drop_empty,
+        line_counts=counts,
+        validate=False,
+    )
 
 
 def line_count_table_remove(
@@ -1017,6 +1103,7 @@ def line_dedup(
     scope_col: str | None = None,
     drop_empty: bool = True,
     line_counts: DataFrame | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Remove every line that appears in ≥ ``min_doc_freq`` distinct
     documents from ALL documents containing it (the C4 boilerplate
@@ -1032,10 +1119,14 @@ def line_dedup(
     ``df`` itself — the incremental shape, where a batch is cleaned
     against corpus-wide totals (merge the batch's own partial in via
     :func:`merge_line_counts` first if batch-internal repeats should
-    count). Its parameter stamp is validated. Note the append-only
-    asymmetry: a line that only LATER crosses the threshold is removed
-    from later batches but stays in already-accepted documents until a
-    corpus rewrite — the standard batch-vs-retroactive trade.
+    count). Its parameter stamp is validated (``validate=False`` skips
+    the limit-1 check for callers that constructed the counts
+    themselves — a first() on a live merged plan would otherwise
+    execute part of it just to read a stamp the caller already knows).
+    Note the append-only asymmetry: a line that only LATER crosses the
+    threshold is removed from later batches but stays in
+    already-accepted documents until a corpus rewrite — the standard
+    batch-vs-retroactive trade.
 
     ``sep`` is used both as the split REGEX and the re-join literal —
     the default ``"\\n"`` means both; regex metacharacters would need
@@ -1054,7 +1145,8 @@ def line_dedup(
             df, text_col, id_col, sep, min_chars, scope_col
         )
     else:
-        validate_line_params(line_counts, sep, min_chars, scope_col)
+        if validate:
+            validate_line_params(line_counts, sep, min_chars, scope_col)
         counts = line_counts
     join_keys = ([scope_col] if scope_col else []) + ["__line_hash"]
     repeated = (

@@ -35,14 +35,14 @@ from ..operators.dedup import (
     band_table,
     band_table_remove,
     content_hash_table,
+    drop_exact_corpus_matches,
     exact_dedup_by_content,
     incremental_dedup,
     line_count_table,
-    line_count_table_remove,
-    line_dedup,
-    merge_line_counts,
+    line_dedup_incremental,
     minhash_dedup,
     shingle_table,
+    validate_line_params,
 )
 
 BATCH_COL = "__batch_id"
@@ -119,25 +119,27 @@ def curate_batch_incremental(
     corpus+batch occurrences combined; + optional within-batch
     near-dup), then — when a corpus exists — the index-fed
     batch-vs-corpus :func:`~..operators.dedup.incremental_dedup`.
-    Line cleaning runs after exact dedup (copies must not inflate line
-    frequencies) and before the near-dup stages (their signatures then
-    describe the text the corpus will actually store). Pure plan
-    construction (shared by the streaming loop and its batch oracle in
-    tests)."""
+    Line cleaning runs after exact dedup (within-batch AND — on the
+    RAW text, via :func:`~..operators.dedup.drop_exact_corpus_matches`
+    — against the corpus, so stored-content re-submissions are
+    rejected before cleaning can rewrite them past the hash check and
+    corpus copies can't inflate the line counts) and before the
+    near-dup stages (their signatures then describe the text the
+    corpus will actually store). Pure plan construction (shared by the
+    streaming loop and its batch oracle in tests)."""
     out = exact_dedup_by_content(batch, text_col=text_col, id_col=id_col)
     if line_dedup_min_freq is not None:
-        partial = line_count_table(
-            out, text_col=text_col, id_col=id_col, min_chars=line_min_chars
-        )
-        counts = (
-            merge_line_counts(partial, corpus_line_counts)
-            if corpus_line_counts is not None
-            else partial
-        )
-        out = line_dedup(
-            out, text_col=text_col, id_col=id_col,
+        if corpus is not None or corpus_hashes is not None:
+            out = drop_exact_corpus_matches(
+                out, corpus, corpus_hashes, text_col, id_col
+            )
+        out = line_dedup_incremental(
+            out,
+            corpus_line_counts,
             min_doc_freq=line_dedup_min_freq,
-            min_chars=line_min_chars, line_counts=counts,
+            min_chars=line_min_chars,
+            text_col=text_col,
+            id_col=id_col,
         )
     if within_batch_neardup:
         out = minhash_dedup(
@@ -376,6 +378,21 @@ def run_incremental_curation(
     )
 
 
+def _rewrite_artifact(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """The takedown/maintenance write contract, in one place: eagerly
+    checkpoint the surviving frame (so the in-place overwrite never
+    reads its own output), land it under the reserved ``__batch_id=-1``
+    partition (loop-compatible), and return the rows-after count."""
+    pinned = df.localCheckpoint(eager=True)
+    (
+        pinned.withColumn(BATCH_COL, F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy(BATCH_COL)
+        .parquet(path)
+    )
+    return spark.read.parquet(path).count()
+
+
 def retract_documents(
     spark: SparkSession,
     retracted_ids: DataFrame,
@@ -388,6 +405,7 @@ def retract_documents(
     id_col: str = "doc_id",
     sep: str = "\n",
     line_min_chars: int = 1,
+    line_scope_col: str | None = None,
 ) -> dict:
     """Takedown path: remove documents from the stored corpus AND every
     persisted dedup index in one consistent rewrite, so a later
@@ -395,18 +413,26 @@ def retract_documents(
     longer claims it) and probes never match ghost entries.
 
     - corpus / band / hash / shingle artifacts: id anti-join;
-    - line-frequency index: exact count SUBTRACTION of the retracted
-      rows' own partial (:func:`~..operators.dedup.line_count_table_remove`)
-      — computed from the stored text BEFORE the corpus rewrite.
+    - line-frequency index: REBUILT from the surviving corpus (pinned
+      before any overwrite). Rebuild rather than subtraction makes the
+      whole command IDEMPOTENT: every artifact's final state is a
+      function of (current corpus, ids) alone, so after a crash between
+      rewrites simply re-run the same command and the remaining
+      artifacts converge — a subtraction re-applied on replay would
+      double-subtract shared lines. ``sep``/``line_min_chars``/
+      ``line_scope_col`` must match the index's stamped parameters
+      (validated BEFORE anything is rewritten; per-site indexes pass
+      ``line_scope_col='source'``). The algebraic single-pass
+      subtraction (:func:`~..operators.dedup.line_count_table_remove`)
+      remains the building block for table-format ``DELETE`` flows
+      where the corpus is not rewritten.
 
-    Artifacts are rewritten in place under the reserved ``__batch_id=-1``
-    partition (loop-compatible); each surviving frame is eagerly
-    checkpointed first so the overwrite never reads its own output.
+    Artifacts are rewritten in place via :func:`_rewrite_artifact`.
     That makes this the small/medium-corpus ops tool — at 100-TB scale
     an in-place full rewrite is the wrong shape regardless of
-    mechanism; there the same anti-joins/subtraction run as a
-    Delta/Iceberg ``DELETE``/``MERGE`` (jars absent in this
-    environment, same note as ``run_upsert_rollup``).
+    mechanism; there the same anti-joins run as a Delta/Iceberg
+    ``DELETE``/``MERGE`` (jars absent in this environment, same note
+    as ``run_upsert_rollup``).
 
     ``retracted_ids``: one-column DataFrame of ids. Returns per-path
     rows-after counts."""
@@ -416,42 +442,40 @@ def retract_documents(
     corpus = _read_artifact(spark, corpus_path)
     if corpus is None:
         raise ValueError(f"no corpus at {corpus_path}")
-    removed_rows = corpus.join(ids, id_col, "left_semi")
-
-    out: dict = {}
-
-    def _rewrite(df: DataFrame, path: str) -> None:
-        pinned = df.localCheckpoint(eager=True)
-        (
-            pinned.withColumn(BATCH_COL, F.lit(-1))
-            .write.mode("overwrite")
-            .partitionBy(BATCH_COL)
-            .parquet(path)
-        )
-        out[path] = spark.read.parquet(path).count()
-
-    # line counts FIRST: the subtraction needs the stored text of the
-    # retracted rows, read under the pre-rewrite corpus
+    # fail-fast validation before any artifact is touched
+    counts = None
     if line_counts_path is not None:
         counts = _read_artifact(spark, line_counts_path)
         if counts is None:
             raise ValueError(f"no line-count index at {line_counts_path}")
-        merged = merge_line_counts(counts)
-        _rewrite(
-            line_count_table_remove(
-                merged, removed_rows, text_col, id_col, sep,
-                line_min_chars,
-            ),
-            line_counts_path,
-        )
-    _rewrite(corpus.join(ids, id_col, "left_anti"), corpus_path)
+        validate_line_params(counts, sep, line_min_chars, line_scope_col)
+    index_arts = []
     for path in (index_path, hash_path, shingles_path):
         if path is None:
             continue
         art = _read_artifact(spark, path)
         if art is None:
             raise ValueError(f"no index at {path}")
-        _rewrite(band_table_remove(art, ids, id_col=id_col), path)
+        index_arts.append((path, art))
+
+    survivors = corpus.join(ids, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    out: dict = {}
+    out[corpus_path] = _rewrite_artifact(spark, survivors, corpus_path)
+    for path, art in index_arts:
+        out[path] = _rewrite_artifact(
+            spark, band_table_remove(art, ids, id_col=id_col), path
+        )
+    if line_counts_path is not None:
+        out[line_counts_path] = _rewrite_artifact(
+            spark,
+            line_count_table(
+                survivors, text_col, id_col, sep, line_min_chars,
+                line_scope_col,
+            ),
+            line_counts_path,
+        )
     return out
 
 
@@ -483,16 +507,9 @@ def retract_vectors(
         art = _read_artifact(spark, path)
         if art is None:
             raise ValueError(f"no artifact at {path}")
-        pinned = art.join(ids, vec_id, "left_anti").localCheckpoint(
-            eager=True
+        out[path] = _rewrite_artifact(
+            spark, art.join(ids, vec_id, "left_anti"), path
         )
-        (
-            pinned.withColumn(BATCH_COL, F.lit(-1))
-            .write.mode("overwrite")
-            .partitionBy(BATCH_COL)
-            .parquet(path)
-        )
-        out[path] = spark.read.parquet(path).count()
     return out
 
 

@@ -1140,3 +1140,144 @@ def test_retract_vectors_and_resubmission(spark, tmp_path):
     run()
     assert ids_of(corpus_path) == [2, 21]
     assert ids_of(asg_path) == [2, 21]
+
+
+def test_retract_rerun_is_idempotent(spark, tmp_path):
+    """Re-running the same takedown command converges: every artifact's
+    final state is a function of (current corpus, ids) alone — the
+    crash-recovery contract (partial rewrite -> re-run -> consistent)."""
+    src, corpus_path, bands_path, hashes_path, _ = _paths(tmp_path)
+    lc_path = str(tmp_path / "linecounts")
+    kw = dict(line_counts_path=lc_path, line_dedup_min_freq=3)
+    shared = "all docs carry this shared line"
+    _docs(spark, [
+        (1, _lined("a", with_boiler=False) + "\n" + shared),
+        (2, shared + "\n" + _lined("b", with_boiler=False)),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, **kw)
+
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    args = dict(
+        index_path=bands_path, hash_path=hashes_path,
+        line_counts_path=lc_path,
+    )
+    first = SC.retract_documents(spark, ids, corpus_path, **args)
+    # a second run (as after a crash between rewrites) changes nothing
+    second = SC.retract_documents(spark, ids, corpus_path, **args)
+    assert second == first
+    stored = SC.read_corpus(spark, corpus_path)
+    expect = {
+        (r["line_hash"], r["n_docs"])
+        for r in D.line_count_table(stored).collect()
+    }
+    got = {
+        (r["line_hash"], r["n_docs"])
+        for r in D.merge_line_counts(
+            spark.read.parquet(lc_path).drop(SC.BATCH_COL)
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_resubmission_rejected_after_threshold_crossing(spark, tmp_path):
+    """A stored document whose boilerplate line only LATER crossed the
+    removal threshold is still rejected on exact re-submission: the
+    raw-text hash check runs BEFORE line cleaning, so cleaning cannot
+    rewrite the re-submission past it (short docs would also evade the
+    near-dup verify)."""
+    src, corpus_path, *_ = _paths(tmp_path)
+    lc_path = str(tmp_path / "linecounts")
+    kw = dict(line_counts_path=lc_path, line_dedup_min_freq=2,
+              within_batch_neardup=False)
+    boiler = "subscribe to this very newsletter"
+    doc1 = "\n".join([_fresh("aa"), boiler, _fresh("ab")])
+    doc11 = "\n".join([_fresh("ba"), boiler, _fresh("bb")])
+
+    _docs(spark, [(1, doc1)]).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, **kw)
+    out1 = {r["doc_id"]: r["text"]
+            for r in SC.read_corpus(spark, corpus_path).collect()}
+    assert boiler in out1[1]  # stored WITH the line (count 1 < 2)
+
+    # second doc pushes the line over the threshold
+    _docs(spark, [(11, doc11)]).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, **kw)
+    out2 = {r["doc_id"]: r["text"]
+            for r in SC.read_corpus(spark, corpus_path).collect()}
+    assert boiler not in out2[11]
+
+    # exact re-submission of doc 1's raw text is rejected
+    _docs(spark, [(21, doc1)]).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, **kw)
+    assert _corpus_ids(spark, tmp_path) == [1, 11]
+
+
+def test_corpus_copies_do_not_inflate_line_counts(spark, tmp_path):
+    """A batch doc that exactly copies a corpus doc is dropped BEFORE
+    the line-frequency partial is counted, so it cannot push a line
+    over the threshold that the stored corpus doesn't justify."""
+    src, corpus_path, *_ = _paths(tmp_path)
+    lc_path = str(tmp_path / "linecounts")
+    kw = dict(line_counts_path=lc_path, line_dedup_min_freq=3,
+              within_batch_neardup=False)
+    line = "boilerplate candidate line here"
+    doc_a = "\n".join([_fresh("aa"), line])
+    doc_c = "\n".join([_fresh("ca"), line])
+
+    _docs(spark, [(1, doc_a)]).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, **kw)
+
+    # batch: exact copy of A (rejected) + fresh C sharing the line.
+    # true stored-corpus frequency after the batch is 2 < 3 -> C keeps
+    # the line; an inflated count (1 corpus + 2 batch docs) would have
+    # stripped it
+    _docs(spark, [(11, doc_a), (12, doc_c)]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _run(spark, tmp_path, **kw)
+    out = {r["doc_id"]: r["text"]
+           for r in SC.read_corpus(spark, corpus_path).collect()}
+    assert sorted(out) == [1, 12]
+    assert line in out[12]
+
+
+def test_retract_scoped_line_index(spark, tmp_path):
+    """retract_documents handles a per-scope line index: matching
+    parameters rebuild it from survivors; mismatched parameters raise
+    BEFORE any artifact is rewritten."""
+    corpus_path = str(tmp_path / "corpus")
+    lc_path = str(tmp_path / "lc")
+    docs = spark.createDataFrame(
+        [(1, "x\ny", "s1"), (2, "y\nz", "s1"), (3, "y\nw", "s2")],
+        "doc_id long, text string, source string",
+    )
+    docs.write.parquet(corpus_path)
+    D.line_count_table(docs, min_chars=1, scope_col="source") \
+        .write.parquet(lc_path)
+
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        SC.retract_documents(
+            spark, ids, corpus_path, line_counts_path=lc_path
+        )
+    # nothing was rewritten by the failed call
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_path).collect()
+    ) == [1, 2, 3]
+
+    out = SC.retract_documents(
+        spark, ids, corpus_path, line_counts_path=lc_path,
+        line_scope_col="source",
+    )
+    assert out[corpus_path] == 2
+    survivors = SC.read_corpus(spark, corpus_path)
+    expect = {
+        (r["source"], r["line_hash"], r["n_docs"])
+        for r in D.line_count_table(
+            survivors, scope_col="source"
+        ).collect()
+    }
+    got = {
+        (r["source"], r["line_hash"], r["n_docs"])
+        for r in spark.read.parquet(lc_path).drop(SC.BATCH_COL).collect()
+    }
+    assert got == expect

@@ -217,3 +217,26 @@ def test_plan_has_no_text_in_count_shuffle(spark):
     agg_sections = [s for s in plan.split("Exchange") if "HashAggregate" in s]
     assert agg_sections, plan
     assert "__line_hash" in plan
+
+
+def test_line_count_table_remove_is_exact_subtraction(spark):
+    """The algebraic delete (table-format DELETE building block):
+    removing a doc's own partial from the full counts equals counting
+    the remaining docs directly — shared lines decrement, lines unique
+    to the removed doc vanish at zero."""
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        line_count_table_remove,
+    )
+
+    full = line_count_table(_docs(spark, ROWS))
+    removed = _docs(spark, [r for r in ROWS if r[0] in (1, 9)])
+    remaining = _docs(spark, [r for r in ROWS if r[0] not in (1, 9)])
+    got = {
+        (r["line_hash"], r["n_docs"])
+        for r in line_count_table_remove(full, removed).collect()
+    }
+    want = {
+        (r["line_hash"], r["n_docs"])
+        for r in line_count_table(remaining).collect()
+    }
+    assert got == want
