@@ -248,3 +248,77 @@ def test_pack_sequences_matches_python_ffd(spark, toks, max_len):
     assert set(got) == set(want)
     for i, (bin_idx, ovf) in want.items():
         assert got[i] == (bin_idx, ovf), (i, got[i], want[i])
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup vs python reference (arbitrary corpora)
+# ---------------------------------------------------------------------------
+
+# a small pool of reusable lines forces cross-document repeats; free
+# text keeps the unique tail arbitrary. NOTE: matching trims with
+# Spark's F.trim semantics (0x20 only), so the reference strips ' '
+# only — Python str.strip() would also eat NBSP-class whitespace.
+LINE_POOL = ["shared one", "shared two", "  shared three ", "", "-", "x"]
+FREE_LINE = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("L", "N", "P", "Z"), max_codepoint=0x2FF
+    ),
+    max_size=20,
+).map(lambda s: s.replace("\n", " "))
+DOC = st.one_of(
+    st.none(),
+    st.lists(
+        st.one_of(st.sampled_from(LINE_POOL), FREE_LINE),
+        min_size=0, max_size=6,
+    ).map("\n".join),
+)
+
+
+def _py_line_dedup_ref(rows, min_doc_freq, min_chars):
+    from collections import defaultdict
+
+    freq = defaultdict(set)
+    for i, t in rows:
+        if t is None:
+            continue
+        for line in t.split("\n"):
+            if len(line.strip(" ")) >= min_chars:
+                freq[line.strip(" ")].add(i)
+    repeated = {
+        k for k, d in freq.items() if len(d) >= min_doc_freq
+    }
+    out = []
+    for i, t in rows:
+        if t is None:
+            out.append((i, None))
+            continue
+        kept = [
+            line for line in t.split("\n")
+            if line.strip(" ") not in repeated
+            or len(line.strip(" ")) < min_chars
+        ]
+        if kept:
+            out.append((i, "\n".join(kept)))
+    return sorted(out)
+
+
+@given(
+    st.lists(DOC, min_size=1, max_size=12),
+    st.integers(min_value=2, max_value=3),
+    st.integers(min_value=0, max_value=2),
+)
+@SETTINGS
+def test_line_dedup_matches_python(spark, docs, min_freq, min_chars):
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in line_dedup(
+            df, min_doc_freq=min_freq, min_chars=min_chars
+        ).collect()
+    )
+    assert got == _py_line_dedup_ref(rows, min_freq, min_chars)
