@@ -30,13 +30,20 @@ LSH-index maintenance (retraction + compaction rewrite) —
     python -m datawarehouse_vehicule_insurance_spark index-maintain \\
         --bands <dir> --out <dir> [--remove <ids.parquet>] [--compact]
 
-and full document takedown (corpus + every supplied index, one
+full document takedown (corpus + every supplied index, one
 consistent rewrite; retracted content is accepted again on
 re-submission) —
 
     python -m datawarehouse_vehicule_insurance_spark retract \\
         --remove <ids.parquet> --corpus <dir> [--bands <dir>]
         [--hashes <dir>] [--shingles <dir>] [--line-counts <dir>]
+
+and reference-LM training for the perplexity gate (consumed by
+``curate``/``curate-stream`` via ``--lm-bigrams --lm-unigrams
+--max-perplexity``) —
+
+    python -m datawarehouse_vehicule_insurance_spark lm-train \\
+        --input <ref_docs.parquet> --lm-bigrams <dir> --lm-unigrams <dir>
 """
 
 from __future__ import annotations
@@ -68,6 +75,7 @@ def _run_curate(args: argparse.Namespace) -> int:
         if args.existing_corpus else None
     )
     langs = tuple(args.langs.split(",")) if args.langs else None
+    lm_model = _load_lm_model(spark, args)
     out = curate_corpus(
         docs,
         benchmark,
@@ -76,6 +84,8 @@ def _run_curate(args: argparse.Namespace) -> int:
         jaccard_threshold=args.jaccard,
         existing_corpus=existing,
         line_dedup_min_freq=args.line_dedup_freq,
+        lm_model=lm_model,
+        max_perplexity=args.max_perplexity,
     )
     out.write.mode("overwrite").parquet(args.output)
     kept = spark.read.parquet(args.output).count()
@@ -101,13 +111,21 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
 
     spark = get_spark(app_name="insurance_curate_stream")
     langs = tuple(args.langs.split(",")) if args.langs else None
+    lm_model = _load_lm_model(spark, args)
 
     def transform(df):
         cols = df.columns
         gate = F.col("n_tokens") >= args.min_tokens
         if langs is not None:
             gate = gate & lang_id(F.col("text")).isin(*langs)
-        return quality_features(df, text_col="text").filter(gate).select(*cols)
+        out = quality_features(df, text_col="text").filter(gate).select(*cols)
+        if lm_model is not None:
+            from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+                perplexity_filter,
+            )
+
+            out = perplexity_filter(out, *lm_model, args.max_perplexity)
+        return out
 
     q = run_incremental_curation(
         spark, args.src, args.corpus, args.bands, args.hashes,
@@ -167,6 +185,41 @@ def _run_index_maintain(args: argparse.Namespace) -> int:
     return 0
 
 
+def _run_lm_train(args: argparse.Namespace) -> int:
+    """Train the bigram-LM model tables on a reference corpus and
+    persist them; ``curate``/``curate-stream`` consume them via
+    ``--lm-bigrams/--lm-unigrams --max-perplexity``."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bigram_lm_tables,
+    )
+
+    spark = get_spark(app_name="insurance_lm_train")
+    bg, uni = bigram_lm_tables(spark.read.parquet(args.input))
+    bg.write.mode("overwrite").parquet(args.lm_bigrams)
+    uni.write.mode("overwrite").parquet(args.lm_unigrams)
+    print(json.dumps({
+        "bigrams": spark.read.parquet(args.lm_bigrams).count(),
+        "unigrams": spark.read.parquet(args.lm_unigrams).count(),
+    }))
+    return 0
+
+
+def _load_lm_model(spark, args):
+    """The (bigrams, unigrams) pair from the CLI flags, or None; half a
+    configuration is an error."""
+    have = [args.lm_bigrams, args.lm_unigrams, args.max_perplexity]
+    if all(v is None for v in have):
+        return None
+    if any(v is None for v in have):
+        raise SystemExit(
+            "--lm-bigrams, --lm-unigrams and --max-perplexity go together"
+        )
+    return (
+        spark.read.parquet(args.lm_bigrams),
+        spark.read.parquet(args.lm_unigrams),
+    )
+
+
 def _run_retract(args: argparse.Namespace) -> int:
     """Takedown: remove documents (parquet of ids, first column) from
     the stored corpus and every supplied persisted index in one
@@ -192,7 +245,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "layer",
         choices=["bronze", "silver", "gold", "all", "curate",
-                 "curate-stream", "index-maintain", "retract"],
+                 "curate-stream", "index-maintain", "retract",
+                 "lm-train"],
     )
     p.add_argument("--root", help="lake root (path or s3a://)")
     p.add_argument("--csv-root", help="raw CSV dir (bronze only)")
@@ -242,6 +296,19 @@ def main(argv: list[str] | None = None) -> int:
         help="retract: scope column the line-count index was built "
         "with (e.g. source)",
     )
+    p.add_argument(
+        "--lm-bigrams", dest="lm_bigrams",
+        help="lm-train output / curate gate input: bigram count table",
+    )
+    p.add_argument(
+        "--lm-unigrams", dest="lm_unigrams",
+        help="lm-train output / curate gate input: unigram count table",
+    )
+    p.add_argument(
+        "--max-perplexity", dest="max_perplexity", type=float,
+        help="curate/curate-stream: drop documents above this "
+        "perplexity under the reference model",
+    )
     p.add_argument("--checkpoint", help="curate-stream: checkpoint dir")
     p.add_argument(
         "--remove",
@@ -276,6 +343,10 @@ def main(argv: list[str] | None = None) -> int:
         if not (args.remove and args.corpus):
             p.error("retract requires --remove and --corpus")
         return _run_retract(args)
+    if args.layer == "lm-train":
+        if not (args.input and args.lm_bigrams and args.lm_unigrams):
+            p.error("lm-train requires --input --lm-bigrams --lm-unigrams")
+        return _run_lm_train(args)
     if not args.root:
         p.error(f"{args.layer} requires --root")
 

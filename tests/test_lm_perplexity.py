@@ -206,3 +206,51 @@ def test_merged_shard_models_score_identically(spark):
             assert got[i] is None
         else:
             assert got[i] == pytest.approx(want[i], abs=1e-12)
+
+
+def test_cli_lm_train_and_curate_gate(spark, tmp_path, capsys):
+    """lm-train persists the model tables; the curate verb consumes
+    them as the perplexity gate."""
+    import json as _json
+
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    ref_path = str(tmp_path / "ref")
+    _df(spark, TRAIN).write.parquet(ref_path)
+    bg_path = str(tmp_path / "bg")
+    uni_path = str(tmp_path / "uni")
+    rc = main([
+        "lm-train", "--input", ref_path,
+        "--lm-bigrams", bg_path, "--lm-unigrams", uni_path,
+    ])
+    assert rc == 0
+    counts = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counts["bigrams"] > 0 and counts["unigrams"] > 0
+
+    docs = _df(spark, [
+        (1, "the cat sat on the rug and the dog sat on the mat"),
+        (2, "zz qq vv ww pp rr ss tt uu yy"),
+    ])
+    docs_path = str(tmp_path / "docs")
+    docs.write.parquet(docs_path)
+    ppl = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm_perplexity(
+            docs,
+            spark.read.parquet(bg_path),
+            spark.read.parquet(uni_path),
+        ).collect()
+    }
+    cut = (ppl[1] + ppl[2]) / 2
+    out_path = str(tmp_path / "curated")
+    rc = main([
+        "curate", "--input", docs_path, "--output", out_path,
+        "--min-tokens", "5",
+        "--lm-bigrams", bg_path, "--lm-unigrams", uni_path,
+        "--max-perplexity", str(cut),
+    ])
+    assert rc == 0
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_path).collect()
+    )
+    assert kept == [1]
