@@ -1180,3 +1180,135 @@ def line_dedup(
         F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
         .otherwise(F.coalesce(F.col("__rebuilt"), F.lit(""))),
     ).drop("__rebuilt")
+
+
+# ---------------------------------------------------------------------------
+# verbatim span overlap (partial-containment dedup)
+# ---------------------------------------------------------------------------
+
+def _winnow_fingerprint_rows(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int,
+    w_select: int,
+) -> DataFrame:
+    """(id, __fp) — each document's winnowing sketch as ROWS, computed
+    whole-stage-codegen style: posexplode tokens, window-``lead`` the
+    token hashes into per-position ``window``-gram fingerprints, take
+    the sliding min of ``w_select`` consecutive fingerprints with a
+    frame aggregate, distinct. ONE shuffle keyed by document id serves
+    both window functions; everything else is codegen'd — the
+    interpreted array-HOF form (7 + 3 ``zip_with`` passes per document)
+    costs ~20× more on real tables. Tail semantics mirror
+    :func:`~.text_analysis.winnow_sketch`: documents shorter than
+    ``window`` tokens keep one truncated-gram fingerprint; sketches
+    shorter than ``w_select`` keep their overall min."""
+    from pyspark.sql import Window
+
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    tok = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("__pos", "__tok")
+    ).withColumn("__th", F.xxhash64("__tok"))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    lead_hashes = [F.col("__th")] + [
+        F.lead("__th", j).over(w) for j in range(1, window)
+    ]
+    fp_rows = (
+        tok.withColumn("__fp0", F.xxhash64(*lead_hashes))
+        .withColumn("__full", lead_hashes[-1].isNotNull())
+        .filter(F.col("__full") | (F.col("__pos") == 0))
+    )
+    sel = (
+        fp_rows.withColumn(
+            "__fp",
+            F.min("__fp0").over(w.rowsBetween(0, w_select - 1)),
+        )
+        .withColumn(
+            "__fullw",
+            F.lead("__fp0", w_select - 1).over(w).isNotNull(),
+        )
+        .filter(F.col("__fullw") | (F.col("__pos") == 0))
+    )
+    return sel.select(id_col, "__fp").distinct()
+
+
+def verbatim_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    w_select: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Document pairs sharing a VERBATIM token run — the exact-substring
+    overlap signal (train-data dedup of long quotations/mirrors) that
+    set-based Jaccard misses when one document merely CONTAINS a span
+    of another: a 60-token quote inside a 6000-token page moves shingle
+    Jaccard by ~1% but is still a verbatim copy.
+
+    Winnowing selection (the MOSS rule), with its guarantee: any shared
+    run of ``window + w_select − 1`` tokens puts at least one identical
+    fingerprint in BOTH sketches, so recall for runs ≥ that length is
+    1.0 (modulo 64-bit hash collision); a shared fingerprint conversely
+    certifies a shared ``window``-token run. ``min_shared`` asks for
+    that many distinct shared fingerprints — higher values demand
+    longer/more overlaps at sub-linear cost.
+
+    Scale shape: the sketch is computed in the explode + codegen-columns
+    + window shape (:func:`_winnow_fingerprint_rows` — the same lesson
+    as :func:`_minhash_min_columns`: the array-HOF column form
+    (:func:`~.text_analysis.winnow_sketch`) is interpreted and measured
+    ~20× slower at table scale), then an equi-join on the 8-byte
+    fingerprint — same bucket-join-never-all-pairs shape as the LSH
+    band join; pairs oriented ``id_a < id_b``. A fingerprint shared by
+    f documents yields C(f,2) joined rows — ubiquitous boilerplate
+    spans should be removed first (:func:`line_dedup`), same hot-bucket
+    caveat as any LSH join.
+
+    Returns (id_a, id_b, n_shared_fingerprints).
+    """
+    sk = _winnow_fingerprint_rows(docs, text_col, id_col, window, w_select)
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__fp") == F.col("b.__fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
+        .filter(F.col("n_shared_fingerprints") >= min_shared)
+    )
+
+
+def span_overlap_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    w_select: int = 4,
+    min_shared: int = 1,
+    transitive: bool = False,
+) -> DataFrame:
+    """Drop documents that share a verbatim token run with an
+    earlier (lower-id) document — keep-first dedup over
+    :func:`verbatim_overlap_pairs`. ``transitive=True`` collapses
+    overlap CHAINS (A~B, B~C) to one survivor via
+    :func:`connected_components`, like :func:`minhash_dedup`."""
+    pairs = verbatim_overlap_pairs(
+        docs, text_col, id_col, window, w_select, min_shared
+    )
+    if transitive:
+        comp = connected_components(pairs.localCheckpoint(eager=False))
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
