@@ -26,11 +26,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import (
+    cross_corpus_verbatim_pairs,
     drop_exact_corpus_matches,
     exact_dedup_by_content,
     incremental_dedup,
     line_dedup_incremental,
     minhash_dedup,
+    span_overlap_dedup,
 )
 from .text_analysis import (
     contamination_overlap,
@@ -61,6 +63,8 @@ def curate_corpus(
     existing_line_counts: DataFrame | None = None,
     lm_model: tuple[DataFrame, DataFrame] | None = None,
     max_perplexity: float | None = None,
+    span_dedup_min_shared: int | None = None,
+    existing_winnow: DataFrame | None = None,
 ) -> DataFrame:
     """Curate ``docs`` for training; returns surviving rows with the
     input schema. ``benchmark`` (optional) enables the decontamination
@@ -89,6 +93,14 @@ def curate_corpus(
     perplexity gate: documents scoring above the threshold under a
     reference :func:`~.text_analysis.bigram_lm_tables` model are
     dropped before the near-dup stage pays for them.
+
+    ``span_dedup_min_shared`` (optional) enables verbatim span-overlap
+    removal (:func:`~.dedup.span_overlap_dedup`) after the set-based
+    near-dup stage — it catches partial containment (long quotes,
+    mirrored sections) that Jaccard misses. In incremental mode,
+    ``existing_winnow`` (a persisted :func:`~.dedup.winnow_table`)
+    additionally drops batch docs sharing verbatim runs with the
+    CORPUS, with no corpus-side recompute.
 
     Thresholds are the Gopher-style defaults scaled down for the test
     corpus; every one is a parameter because curation policy is a
@@ -159,6 +171,19 @@ def curate_corpus(
         transitive=transitive,
     )
 
+    # 3.5 verbatim span-overlap removal (optional): partial containment
+    #     the set-based stage can't see
+    if span_dedup_min_shared is not None:
+        out = span_overlap_dedup(
+            out, text_col=text_col, id_col=id_col,
+            min_shared=span_dedup_min_shared,
+        )
+    elif existing_winnow is not None:
+        raise ValueError(
+            "existing_winnow requires span_dedup_min_shared (the stage "
+            "is otherwise off and the index would be ignored)"
+        )
+
     # 4. benchmark decontamination: drop any doc sharing an n-gram window
     #    with the benchmark (standard eval-hygiene overlap rule)
     if benchmark is not None:
@@ -201,5 +226,21 @@ def curate_corpus(
             corpus_hashes=existing_hashes,
             corpus_shingles=existing_shingles,
         )
+
+    # 5.5 incremental span-overlap: drop batch docs sharing a verbatim
+    #     run with a CORPUS document, served by the persisted winnow
+    #     index (or corpus text when only existing_corpus was given)
+    if span_dedup_min_shared is not None and (
+        existing_winnow is not None or existing_corpus is not None
+    ):
+        hits = cross_corpus_verbatim_pairs(
+            out,
+            existing_corpus if existing_winnow is None else None,
+            text_col=text_col,
+            id_col=id_col,
+            min_shared=span_dedup_min_shared,
+            corpus_fps=existing_winnow,
+        ).select(F.col("id_a").alias(id_col)).distinct()
+        out = out.join(hits, id_col, "left_anti")
 
     return out

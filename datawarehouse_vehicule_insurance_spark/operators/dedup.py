@@ -1312,3 +1312,98 @@ def span_overlap_dedup(
     else:
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
+
+
+WINNOW_PARAMS_COL = "__winnow_params"
+
+
+def winnow_fingerprint(window: int, w_select: int) -> str:
+    """Canonical fingerprint of the winnowing parameters + hash layout
+    (v1 = the row-form lead/window-min computation), stamped into
+    :func:`winnow_table` and validated at probe time."""
+    return f"winnow/v1/window={window}/w_select={w_select}"
+
+
+def winnow_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    w_select: int = 4,
+) -> DataFrame:
+    """The persistable verbatim-overlap index of a corpus: (id, fp,
+    __winnow_params) winnowing-fingerprint rows — the fifth artifact
+    shape next to band/hash/shingle/line-count tables. An ingest
+    pipeline appends each accepted batch's rows so
+    :func:`cross_corpus_verbatim_pairs` (``corpus_fps=``) checks
+    incoming batches for long verbatim runs against the corpus with no
+    corpus-side recompute (~1/``w_select`` of the corpus token count,
+    8 bytes each)."""
+    return _winnow_fingerprint_rows(
+        docs, text_col, id_col, window, w_select
+    ).withColumnRenamed("__fp", "fp").withColumn(
+        WINNOW_PARAMS_COL, F.lit(winnow_fingerprint(window, w_select))
+    )
+
+
+def validate_winnow_params(
+    corpus_fps: DataFrame, window: int, w_select: int
+) -> None:
+    """Limit-1 stamp check, same contract as :func:`validate_band_params`
+    (intra-table uniformity is the writer's contract)."""
+    if WINNOW_PARAMS_COL not in corpus_fps.columns:
+        return
+    row = corpus_fps.select(WINNOW_PARAMS_COL).first()
+    if row is None:
+        return
+    expected = winnow_fingerprint(window, w_select)
+    if row[0] != expected:
+        raise ValueError(
+            f"winnow table parameter mismatch: index was built with "
+            f"{row[0]!r} but the probe uses {expected!r} — fingerprints "
+            f"from mismatched winnowing are meaningless"
+        )
+
+
+def cross_corpus_verbatim_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    w_select: int = 4,
+    min_shared: int = 1,
+    corpus_fps: DataFrame | None = None,
+) -> DataFrame:
+    """Verbatim-run overlap BETWEEN a new batch and an existing corpus
+    (the recurring-crawl twin of :func:`verbatim_overlap_pairs`): pairs
+    where a batch document shares a guaranteed-length token run with a
+    corpus document. Pass ``corpus_fps`` (a persisted
+    :func:`winnow_table`, stamp-validated) to skip recomputing the
+    corpus side; otherwise ``corpus_docs`` is sketched on the fly. Ids
+    must be unique across the two corpora. Returns (id_a = batch id,
+    id_b = corpus id, n_shared_fingerprints)."""
+    if (corpus_docs is None) == (corpus_fps is None):
+        raise ValueError("pass exactly one of corpus_docs or corpus_fps")
+    if corpus_fps is not None:
+        validate_winnow_params(corpus_fps, window, w_select)
+        corpus_side = corpus_fps.select(
+            F.col(id_col), F.col("fp").alias("__fp")
+        )
+    else:
+        corpus_side = _winnow_fingerprint_rows(
+            corpus_docs, text_col, id_col, window, w_select
+        )
+    batch_side = _winnow_fingerprint_rows(
+        new_docs, text_col, id_col, window, w_select
+    )
+    a, b = batch_side.alias("a"), corpus_side.alias("b")
+    return (
+        a.join(b, F.col("a.__fp") == F.col("b.__fp"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
+        .filter(F.col("n_shared_fingerprints") >= min_shared)
+    )

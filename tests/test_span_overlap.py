@@ -100,3 +100,107 @@ def test_transitive_chain_collapses(spark):
         ).collect()
     )
     assert kept == [1]
+
+
+def test_winnow_table_and_cross_corpus(spark):
+    """The persisted winnow index: probing it matches the on-the-fly
+    corpus sketch; parameter mismatch raises; exactly-one-of-corpus/fps
+    enforced."""
+    import pytest
+
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        WINNOW_PARAMS_COL,
+        cross_corpus_verbatim_pairs,
+        winnow_table,
+    )
+
+    a_toks = _tokens("a", 40)
+    corpus = _df(spark, [
+        (1000, " ".join(a_toks)),
+        (1001, " ".join(_tokens("z", 40))),
+    ])
+    batch = _df(spark, [
+        (1, " ".join(_tokens("b", 14) + a_toks[10:25] + _tokens("c", 14))),
+        (2, " ".join(_tokens("q", 40))),
+    ])
+    direct = {
+        (r["id_a"], r["id_b"])
+        for r in cross_corpus_verbatim_pairs(
+            batch, corpus, window=W, w_select=WS
+        ).collect()
+    }
+    assert direct == {(1, 1000)}
+
+    idx = winnow_table(corpus, window=W, w_select=WS)
+    assert WINNOW_PARAMS_COL in idx.columns
+    indexed = {
+        (r["id_a"], r["id_b"])
+        for r in cross_corpus_verbatim_pairs(
+            batch, corpus_fps=idx, window=W, w_select=WS
+        ).collect()
+    }
+    assert indexed == direct
+
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        cross_corpus_verbatim_pairs(
+            batch, corpus_fps=idx, window=W, w_select=WS + 1
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        cross_corpus_verbatim_pairs(batch, corpus, corpus_fps=idx)
+
+
+def test_curate_corpus_span_stage(spark):
+    """curate_corpus(span_dedup_min_shared=...) drops the quoting doc
+    within-batch; incremental mode also drops batch docs sharing runs
+    with the corpus via the persisted winnow index; half-configured
+    index raises."""
+    import pytest
+
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+    )
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        band_table,
+        content_hash_table,
+        shingle_table,
+        winnow_table,
+    )
+
+    a_toks = _tokens("alpha", 40)
+    docs = _df(spark, [
+        (1, " ".join(a_toks)),
+        (2, " ".join(_tokens("beta", 14) + a_toks[10:25]
+                     + _tokens("gamma", 14))),
+        (3, " ".join(_tokens("delta", 40))),
+    ])
+    kept = sorted(
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, min_tokens=5, transitive=False, span_dedup_min_shared=1
+        ).collect()
+    )
+    assert kept == [1, 3]
+
+    corpus = _df(spark, [(1000, " ".join(_tokens("omega", 40)))])
+    o_toks = _tokens("omega", 40)
+    batch = _df(spark, [
+        (1, " ".join(_tokens("eta", 14) + o_toks[5:20]
+                     + _tokens("theta", 14))),
+        (2, " ".join(_tokens("iota", 40))),
+    ])
+    kept = sorted(
+        r["doc_id"]
+        for r in curate_corpus(
+            batch, min_tokens=5, transitive=False,
+            span_dedup_min_shared=1,
+            existing_corpus=corpus,
+            existing_bands=band_table(corpus),
+            existing_hashes=content_hash_table(corpus),
+            existing_shingles=shingle_table(corpus),
+            existing_winnow=winnow_table(corpus),
+        ).collect()
+    )
+    assert kept == [2]
+
+    with pytest.raises(ValueError, match="span_dedup_min_shared"):
+        curate_corpus(batch, existing_winnow=winnow_table(corpus))
