@@ -133,6 +133,8 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
         transform=transform, shingles_path=args.shingles,
         line_counts_path=args.line_counts,
         line_dedup_min_freq=args.line_dedup_freq,
+        winnow_path=args.winnow,
+        span_min_shared=args.span_min_shared,
     )
     q.awaitTermination()
     corpus = read_corpus(spark, args.corpus)
@@ -235,6 +237,7 @@ def _run_retract(args: argparse.Namespace) -> int:
         shingles_path=args.shingles, line_counts_path=args.line_counts,
         line_min_chars=args.line_min_chars,
         line_scope_col=args.line_scope,
+        winnow_path=args.winnow,
     )
     print(json.dumps({"rows_after": out}))
     return 0
@@ -295,6 +298,16 @@ def main(argv: list[str] | None = None) -> int:
         "--line-scope", dest="line_scope",
         help="retract: scope column the line-count index was built "
         "with (e.g. source)",
+    )
+    p.add_argument(
+        "--winnow",
+        help="curate-stream/retract: winnow_table dir (verbatim "
+        "span-overlap index; requires --span-min-shared on the stream)",
+    )
+    p.add_argument(
+        "--span-min-shared", dest="span_min_shared", type=int,
+        help="curate-stream: drop docs sharing >= N winnow "
+        "fingerprints (verbatim runs) with the corpus or batch",
     )
     p.add_argument(
         "--lm-bigrams", dest="lm_bigrams",

@@ -35,6 +35,7 @@ from ..operators.dedup import (
     band_table,
     band_table_remove,
     content_hash_table,
+    cross_corpus_verbatim_pairs,
     drop_exact_corpus_matches,
     exact_dedup_by_content,
     incremental_dedup,
@@ -42,7 +43,9 @@ from ..operators.dedup import (
     line_dedup_incremental,
     minhash_dedup,
     shingle_table,
+    span_overlap_dedup,
     validate_line_params,
+    winnow_table,
 )
 
 BATCH_COL = "__batch_id"
@@ -111,6 +114,8 @@ def curate_batch_incremental(
     corpus_line_counts: DataFrame | None = None,
     line_dedup_min_freq: int | None = None,
     line_min_chars: int = 1,
+    corpus_winnow: DataFrame | None = None,
+    span_min_shared: int | None = None,
 ) -> DataFrame:
     """One batch's survivors: within-batch exact dedup (+ optional
     C4-style line cleaning when ``line_dedup_min_freq`` is set — batch
@@ -147,16 +152,37 @@ def curate_batch_incremental(
             threshold=jaccard_threshold,
             k=k, bands=bands, shingle_n=shingle_n, seed=seed,
         )
-    if corpus is None:
-        return out
-    return incremental_dedup(
-        out, corpus,
-        text_col=text_col, id_col=id_col,
-        jaccard_threshold=jaccard_threshold,
-        k=k, bands=bands, shingle_n=shingle_n, seed=seed,
-        corpus_bands=corpus_bands, corpus_hashes=corpus_hashes,
-        corpus_shingles=corpus_shingles,
-    )
+    if span_min_shared is not None:
+        # within-batch verbatim-run dedup (partial containment the
+        # set-based near-dup can't see)
+        out = span_overlap_dedup(
+            out, text_col=text_col, id_col=id_col,
+            min_shared=span_min_shared,
+        )
+    if corpus is not None:
+        out = incremental_dedup(
+            out, corpus,
+            text_col=text_col, id_col=id_col,
+            jaccard_threshold=jaccard_threshold,
+            k=k, bands=bands, shingle_n=shingle_n, seed=seed,
+            corpus_bands=corpus_bands, corpus_hashes=corpus_hashes,
+            corpus_shingles=corpus_shingles,
+        )
+    if span_min_shared is not None and (
+        corpus_winnow is not None or corpus is not None
+    ):
+        # batch-vs-corpus verbatim-run check, index-fed when the
+        # persisted winnow table is supplied
+        hits = cross_corpus_verbatim_pairs(
+            out,
+            corpus if corpus_winnow is None else None,
+            text_col=text_col,
+            id_col=id_col,
+            min_shared=span_min_shared,
+            corpus_fps=corpus_winnow,
+        ).select(F.col("id_a").alias(id_col)).distinct()
+        out = out.join(hits, id_col, "left_anti")
+    return out
 
 
 def rebuild_corpus_indexes(
@@ -173,6 +199,7 @@ def rebuild_corpus_indexes(
     seed: int = 42,
     line_counts_path: str | None = None,
     line_min_chars: int = 1,
+    winnow_path: str | None = None,
 ) -> dict:
     """Recovery / bootstrap path: (re)build every persisted dedup index
     from the corpus itself — after an index loss (see
@@ -203,6 +230,10 @@ def rebuild_corpus_indexes(
             (line_counts_path, line_count_table(
                 corpus, text_col, id_col, min_chars=line_min_chars
             ))
+        )
+    if winnow_path is not None:
+        targets.append(
+            (winnow_path, winnow_table(corpus, text_col, id_col))
         )
     for path, df in targets:
         (
@@ -237,6 +268,8 @@ def run_incremental_curation(
     line_counts_path: str | None = None,
     line_dedup_min_freq: int | None = None,
     line_min_chars: int = 1,
+    winnow_path: str | None = None,
+    span_min_shared: int | None = None,
 ):
     """One incremental curation run: stream the document directory with
     ``availableNow`` (process exactly the files the checkpoint hasn't
@@ -279,12 +312,26 @@ def run_incremental_curation(
     table of the stored corpus. Append-only asymmetry applies: a line
     crossing the threshold later is removed from later batches only
     (retroactive cleanup = corpus rewrite + index rebuild).
+
+    ``winnow_path`` + ``span_min_shared`` (together) enable verbatim
+    span-overlap rejection — within each batch AND batch-vs-corpus via
+    the persisted :func:`~..operators.dedup.winnow_table` (fifth
+    artifact, appended per batch like the others): documents sharing a
+    guaranteed-length verbatim token run with the corpus are dropped
+    even when their overall shingle Jaccard is far below the near-dup
+    threshold (long quotes, mirrored sections).
     """
     if (line_counts_path is None) != (line_dedup_min_freq is None):
         raise ValueError(
             "pass line_counts_path and line_dedup_min_freq together "
             "(cleaning without the index would recount the corpus; an "
             "index without cleaning would go stale)"
+        )
+    if (winnow_path is None) != (span_min_shared is None):
+        raise ValueError(
+            "pass winnow_path and span_min_shared together (span "
+            "checking without the index would resketch the corpus; an "
+            "index without checking would go stale)"
         )
     if schema is None:
         schema = spark.read.parquet(src_path).schema
@@ -321,6 +368,11 @@ def run_incremental_curation(
             if line_counts_path is not None and corpus is not None
             else None
         )
+        corpus_winnow = (
+            _read_artifact(sess, winnow_path, exclude_batch=batch_id)
+            if winnow_path is not None and corpus is not None
+            else None
+        )
         survivors = curate_batch_incremental(
             batch, corpus, corpus_bands, corpus_hashes,
             text_col=text_col, id_col=id_col,
@@ -331,6 +383,8 @@ def run_incremental_curation(
             corpus_line_counts=corpus_line_counts,
             line_dedup_min_freq=line_dedup_min_freq,
             line_min_chars=line_min_chars,
+            corpus_winnow=corpus_winnow,
+            span_min_shared=span_min_shared,
         )
         # One computation serving three writes: checkpoint the (small)
         # survivor set so corpus/index/hash appends don't re-run the
@@ -369,6 +423,8 @@ def run_incremental_curation(
                 ),
                 line_counts_path,
             )
+        if winnow_path is not None:
+            _append(winnow_table(survivors, text_col, id_col), winnow_path)
 
     return (
         stream.writeStream.foreachBatch(_process)
@@ -406,13 +462,14 @@ def retract_documents(
     sep: str = "\n",
     line_min_chars: int = 1,
     line_scope_col: str | None = None,
+    winnow_path: str | None = None,
 ) -> dict:
     """Takedown path: remove documents from the stored corpus AND every
     persisted dedup index in one consistent rewrite, so a later
     re-submission of retracted content is ACCEPTED again (the corpus no
     longer claims it) and probes never match ghost entries.
 
-    - corpus / band / hash / shingle artifacts: id anti-join;
+    - corpus / band / hash / shingle / winnow artifacts: id anti-join;
     - line-frequency index: REBUILT from the surviving corpus (pinned
       before any overwrite). Rebuild rather than subtraction makes the
       whole command IDEMPOTENT: every artifact's final state is a
@@ -450,7 +507,7 @@ def retract_documents(
             raise ValueError(f"no line-count index at {line_counts_path}")
         validate_line_params(counts, sep, line_min_chars, line_scope_col)
     index_arts = []
-    for path in (index_path, hash_path, shingles_path):
+    for path in (index_path, hash_path, shingles_path, winnow_path):
         if path is None:
             continue
         art = _read_artifact(spark, path)

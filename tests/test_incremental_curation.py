@@ -1281,3 +1281,95 @@ def test_retract_scoped_line_index(spark, tmp_path):
         for r in spark.read.parquet(lc_path).drop(SC.BATCH_COL).collect()
     }
     assert got == expect
+
+
+def test_streaming_curation_winnow_index(spark, tmp_path):
+    """The loop's fifth persisted index: a later batch quoting a long
+    verbatim run of a corpus document is rejected even though its
+    overall Jaccard is far below the near-dup threshold; the winnow
+    index tracks survivors; no corpus-side resketch (probe); retract
+    removes the winnow rows too."""
+    src, corpus_path, bands_path, hashes_path, _ = _paths(tmp_path)
+    win_path = str(tmp_path / "winnow")
+    kw = dict(winnow_path=win_path, span_min_shared=1)
+
+    a_toks = [f"alpha{i}" for i in range(60)]
+    _docs(spark, [(1, " ".join(a_toks)), (2, _fresh("other"))]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, **kw)
+    assert _corpus_ids(spark, tmp_path) == [1, 2]
+
+    # batch 2: doc 11 quotes 15 tokens of doc 1 inside fresh text
+    # (shingle overlap ~5% — invisible to jaccard>=0.8); doc 12 fresh
+    quoter = [f"beta{i}" for i in range(25)] + a_toks[20:35] \
+        + [f"gamma{i}" for i in range(25)]
+    b2 = [(11, " ".join(quoter)), (12, _fresh("fresh"))]
+
+    seen: list[set] = []
+    real = D._winnow_fingerprint_rows
+
+    def spy(df, text_col, id_col, *a, **k):
+        seen.append({r[0] for r in df.select(id_col).distinct().collect()})
+        return real(df, text_col, id_col, *a, **k)
+
+    _docs(spark, b2).coalesce(1).write.mode("append").parquet(src)
+    try:
+        D._winnow_fingerprint_rows = spy
+        _run(spark, tmp_path, **kw)
+    finally:
+        D._winnow_fingerprint_rows = real
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 12]
+    # sketching ran over batch ids / the survivor append only — never
+    # the corpus docs
+    assert seen, "winnow sketch never ran"
+    for ids in seen:
+        assert ids <= {11, 12}, f"corpus-side resketch: {ids}"
+
+    idx = spark.read.parquet(win_path)
+    assert sorted(
+        r["doc_id"] for r in idx.select("doc_id").distinct().collect()
+    ) == [1, 2, 12]
+
+    out = SC.retract_documents(
+        spark, spark.createDataFrame([(1,)], "doc_id long"),
+        corpus_path, index_path=bands_path, hash_path=hashes_path,
+        winnow_path=win_path,
+    )
+    assert out[corpus_path] == 2
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(win_path)
+        .select("doc_id").distinct().collect()
+    ) == [2, 12]
+
+    # half-configured loop raises
+    with pytest.raises(ValueError, match="together"):
+        SC.run_incremental_curation(
+            spark, src, corpus_path, bands_path, hashes_path,
+            str(tmp_path / "ck2"), winnow_path=win_path,
+        )
+
+
+def test_rebuild_includes_winnow(spark, tmp_path):
+    """rebuild_corpus_indexes(winnow_path=...) regenerates the span
+    index from the stored corpus."""
+    src, corpus_path, bands_path, hashes_path, _ = _paths(tmp_path)
+    win_path = str(tmp_path / "winnow")
+    _docs(spark, [(1, _fresh("aa")), (2, _fresh("bb"))]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _run(spark, tmp_path)
+    counts = SC.rebuild_corpus_indexes(
+        spark, corpus_path, bands_path, hashes_path, winnow_path=win_path,
+    )
+    assert counts[win_path] > 0
+    stored = SC.read_corpus(spark, corpus_path)
+    want = {
+        (r["doc_id"], r["fp"])
+        for r in D.winnow_table(stored).select("doc_id", "fp").collect()
+    }
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in spark.read.parquet(win_path)
+        .select("doc_id", "fp").collect()
+    }
+    assert got == want
