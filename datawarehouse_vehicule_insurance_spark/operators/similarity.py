@@ -997,3 +997,105 @@ def pq_topk(
         .select(query_id, cand_id, F.round("pq_sim", 6).alias("pq_sim"),
                 "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+    kmeans_sample: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "min_id",
+    centroids: DataFrame | None = None,
+    return_decisions: bool = False,
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then inside
+    each cluster greedily drop every vector whose cosine similarity to
+    an already-kept cluster member is ≥ ``threshold``. Unlike
+    :func:`cosine_neardup_pairs` (exact, all-pairs) this only compares
+    WITHIN clusters — the published trade-off: a near-dup pair split
+    across cluster boundaries survives, in exchange for O(Σ c_i²)
+    instead of O(N²) comparisons.
+
+    ``keep`` orders the greedy scan (ties broken by id ascending):
+
+    - ``"min_id"`` (default) — deterministic, id order;
+    - ``"far_from_centroid"`` — the paper's choice: prefer the LEAST
+      prototypical member (lowest cosine to its centroid), which keeps
+      diversity inside the cluster.
+
+    Scale shape: centroid training is a bounded driver-side sample
+    (``_train_ivf``); assignment is one Arrow-batched matmul pass; the
+    per-cluster greedy runs as one ``applyInPandas`` task per cell —
+    per-task memory is O(c·d + c²) for cell size c, so size ``n_cells``
+    to the target cell size (N / n_cells ≈ a few thousand — the paper
+    likewise scales cluster count with corpus size). No full-corpus
+    collect, no cross-cell shuffle beyond the single cell-hash exchange.
+
+    ``centroids`` (optional): a persisted :func:`ivf_centroids_table`
+    — same build-once/probe-many contract and parameter-stamp
+    validation as :func:`ivf_topk`, so an ingest loop dedups each batch
+    against stable cluster geometry.
+
+    Returns the surviving rows of ``df`` (all columns); with
+    ``return_decisions`` instead returns one row per input id:
+    (id, cell, centroid_sim, kept).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"keep must be min_id|far_from_centroid, got {keep!r}")
+    fp = ivf_fingerprint(n_cells, kmeans_iters, kmeans_sample, seed)
+    if centroids is not None:
+        _validate_ann_params(centroids, fp, "IVF centroids")
+        cents = _load_ivf_centroids(centroids)
+    else:
+        cents = _train_ivf(
+            df, n_cells, kmeans_iters, kmeans_sample, seed, id_col, vec_col
+        )
+    b_cents = df.sparkSession.sparkContext.broadcast(cents)
+
+    assigned = _ivf_assign(df, cents, id_col, vec_col).join(
+        df.select(id_col, vec_col), id_col
+    )
+    by_centroid = keep == "far_from_centroid"
+    out_schema = f"{id_col} long, cell int, centroid_sim double, kept boolean"
+
+    def _greedy(key, pdf):
+        C = b_cents.value
+        M = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        M = M / norms
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        cell = int(key[0])
+        csim = M @ C[cell]
+        # scan order: the greedy keeps the FIRST member of each dup group
+        if by_centroid:
+            order = np.lexsort((ids, csim))
+        else:
+            order = np.argsort(ids)
+        S = M @ M.T
+        kept_pos: list[int] = []
+        kept_flags = np.zeros(len(ids), dtype=bool)
+        for i in order:
+            if not kept_pos or S[i, kept_pos].max() < threshold:
+                kept_pos.append(i)
+                kept_flags[i] = True
+        return pd.DataFrame({
+            id_col: ids,
+            "cell": np.full(len(ids), cell, dtype=np.int32),
+            "centroid_sim": np.round(csim, 6),
+            "kept": kept_flags,
+        })
+
+    decisions = assigned.groupBy("__cell").applyInPandas(_greedy, out_schema)
+    if return_decisions:
+        return decisions
+    survivors = decisions.filter(F.col("kept")).select(id_col)
+    return df.join(survivors, id_col, "left_semi")

@@ -862,3 +862,139 @@ def test_ivf_neardup_candidates_full_probe_equals_bruteforce(spark, tmp_path):
         S.ivf_neardup_candidates(
             batch, corpus, cents, asg, n_probe=2, n_cells=16
         )
+
+
+def _cents_table(spark, cents, n_cells, kmeans_iters=0,
+                 kmeans_sample=2048, seed=42):
+    """Hand-built persisted-centroids frame with a matching stamp."""
+    fp = S.ivf_fingerprint(n_cells, kmeans_iters, kmeans_sample, seed)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).withColumn(S.ANN_PARAMS_COL, F.lit(fp))
+
+
+def test_semantic_dedup_matches_python_reference(spark):
+    """Within-cluster greedy dedup == a pure-python/numpy reference;
+    cross-cluster near-dups survive (the published SemDeDup trade-off)."""
+    import numpy as np
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    vecs = {
+        # cluster 0: 1,2 near-dup; 3 distinct
+        1: [1.0, 0.05, 0.0, 0.0],
+        2: [1.0, 0.06, 0.0, 0.01],
+        3: [1.0, 0.0, 0.9, 0.0],
+        # cluster 1: 4,5,6 all mutually near-dup
+        4: [0.0, 1.0, 0.02, 0.0],
+        5: [0.01, 1.0, 0.02, 0.0],
+        6: [0.0, 1.0, 0.03, 0.01],
+        # cross-cell near-dup pair: assigns to different cells
+        7: [1.0, 0.999, 0.0, 0.0],
+        8: [0.999, 1.0, 0.0, 0.0],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    ctable = _cents_table(spark, cents, n_cells=2)
+    got = sorted(
+        r["vec_id"]
+        for r in S.semantic_dedup(
+            df, threshold=0.95, n_cells=2, centroids=ctable
+        ).collect()
+    )
+
+    # python reference: same assignment + same greedy order
+    C = np.array(cents)
+    ids = sorted(vecs)
+    M = np.array([vecs[i] for i in ids], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cell = (M @ C.T).argmax(axis=1)
+    expect = []
+    for c in (0, 1):
+        members = [k for k, i in enumerate(ids) if cell[k] == c]
+        kept = []
+        for k in members:  # ids ascending == index ascending here
+            if all(float(M[k] @ M[j]) < 0.95 for j in kept):
+                kept.append(k)
+        expect += [ids[k] for k in kept]
+    assert got == sorted(expect)
+    # the planted cross-cell pair must BOTH survive
+    assert 7 in got and 8 in got
+    # within-cluster dups collapsed to their min id
+    assert 1 in got and 2 not in got
+    assert 4 in got and 5 not in got and 6 not in got
+
+
+def test_semantic_dedup_keep_far_from_centroid(spark):
+    """keep='far_from_centroid' scans least-prototypical first, so the
+    member FARTHEST from the centroid survives its dup group."""
+    cents = [[1.0, 0.0, 0.0, 0.0]]
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.01, 0.0, 0.0]),   # closest to centroid
+            (2, [1.0, 0.09, 0.0, 0.0]),   # farthest — near-dup of 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ctable = _cents_table(spark, cents, n_cells=1)
+    kept_min = [
+        r["vec_id"]
+        for r in S.semantic_dedup(
+            df, threshold=0.9, n_cells=1, centroids=ctable
+        ).collect()
+    ]
+    kept_far = [
+        r["vec_id"]
+        for r in S.semantic_dedup(
+            df, threshold=0.9, n_cells=1, centroids=ctable,
+            keep="far_from_centroid",
+        ).collect()
+    ]
+    assert kept_min == [1]
+    assert kept_far == [2]
+
+
+def test_semantic_dedup_decisions_and_validation(spark):
+    """return_decisions emits one row per input consistent with the
+    survivor set; a persisted-centroid parameter mismatch raises; an
+    unknown keep mode raises."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(40)
+    dec = S.semantic_dedup(
+        emb, threshold=0.8, n_cells=4, return_decisions=True
+    )
+    rows = dec.collect()
+    assert len(rows) == 40
+    assert {r["vec_id"] for r in rows} == {
+        r["vec_id"] for r in emb.collect()
+    }
+    kept_ids = {r["vec_id"] for r in rows if r["kept"]}
+    surv = {
+        r["vec_id"]
+        for r in S.semantic_dedup(emb, threshold=0.8, n_cells=4).collect()
+    }
+    assert kept_ids == surv
+    assert all(-1.000001 <= r["centroid_sim"] <= 1.000001 for r in rows)
+
+    ctable = _cents_table(spark, [[1.0, 0.0], [0.0, 1.0]], n_cells=2)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        S.semantic_dedup(emb, n_cells=4, centroids=ctable)
+    with pytest.raises(ValueError, match="keep must be"):
+        S.semantic_dedup(emb, keep="random")
+
+
+def test_semantic_dedup_idempotent_on_survivors(spark):
+    """Running semantic_dedup again over its own survivors (same
+    centroids) removes nothing — the survivor set is a fixed point."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ctable = S.ivf_centroids_table(emb, n_cells=8)
+    surv = S.semantic_dedup(
+        emb, threshold=0.9, n_cells=8, centroids=ctable
+    )
+    n1 = surv.count()
+    n2 = S.semantic_dedup(
+        surv, threshold=0.9, n_cells=8, centroids=ctable
+    ).count()
+    assert 0 < n1 <= emb.count()
+    assert n2 == n1
