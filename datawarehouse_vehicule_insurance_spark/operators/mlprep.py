@@ -349,3 +349,126 @@ def temperature_mix(
     dropped (no defined weight)."""
     fr = temperature_fractions(df, domain_col, alpha, target_rows)
     return stratified_sample(df, domain_col, fr, seed=seed)
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_model: tuple,
+    raw_model: tuple,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.1,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Data Selection via Importance Resampling weights (the DSIR
+    recipe, Xie et al. 2023, arXiv:2302.03169): score every candidate
+    document under TWO n-gram language models — one trained on the
+    target distribution (e.g. curated/benchmark-like text) and one on
+    the raw pool — and append the log importance weight
+
+        log w(x) = log p_target(x) − log p_raw(x)
+
+    Documents that look more like the target than like the pool get
+    positive weights. ``target_model`` / ``raw_model`` are the
+    (bigrams, unigrams) table pairs from
+    :func:`~.text_analysis.bigram_lm_tables` — persistable, mergeable,
+    parameter-stamped; training them is a one-off pass over each
+    corpus, after which weighting any number of candidate batches costs
+    two broadcast-joined scoring passes (the
+    :func:`~.text_analysis.lm_perplexity` plan) and no model state on
+    the driver.
+
+    log p(x) is reconstructed from the per-position mean that
+    ``lm_perplexity`` computes: ``avg_logp × (n_tokens − 1)`` (bigram
+    positions). Documents with fewer than two tokens (or NULL text)
+    have no positions and get a NULL ``log_weight`` — the resampler
+    excludes them (decide such docs upstream).
+
+    Scale shape: both scoring passes are narrow explodes joined to
+    dim-sized model tables (AQE broadcasts), one mean per doc; the two
+    score frames join the input on the id — no driver state, no UDF.
+    """
+    from .text_analysis import lm_perplexity, tokens
+
+    if "log_weight" in docs.columns:
+        raise ValueError(
+            "docs already has a log_weight column; rename it first"
+        )
+    proj = docs.select(id_col, text_col)
+    t = lm_perplexity(
+        proj, target_model[0], target_model[1], text_col, id_col,
+        k_smooth, lam,
+    ).select(id_col, F.col("avg_logp").alias("__t_avg"))
+    r = lm_perplexity(
+        proj, raw_model[0], raw_model[1], text_col, id_col,
+        k_smooth, lam,
+    ).select(id_col, F.col("avg_logp").alias("__r_avg"))
+    n_pos = F.size(tokens(F.col(text_col))) - 1
+    weights = (
+        proj.select(id_col, n_pos.alias("__n_pos"))
+        .join(t, id_col, "left")
+        .join(r, id_col, "left")
+        .select(
+            id_col,
+            F.round(
+                (F.col("__t_avg") - F.col("__r_avg")) * F.col("__n_pos"), 6
+            ).alias("log_weight"),
+        )
+    )
+    return docs.join(weights, id_col, "left")
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_model: tuple,
+    raw_model: tuple,
+    n: int,
+    seed: int = 42,
+    temperature: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.1,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Select ``n`` documents by DSIR importance resampling: sample
+    without replacement with probability ∝ exp(log_weight /
+    temperature), via the Gumbel-top-k trick — each doc gets the key
+
+        key_i = log w(x_i)/temperature + Gumbel_i
+
+    and the n largest keys are exactly a weighted sample without
+    replacement. Gumbel noise is derived deterministically from
+    (id, seed) — ``xxhash64`` → uniform in (0,1) → −ln(−ln(u)) — so the
+    same call returns the same sample on any cluster layout, and reruns
+    are reproducible without driver-side RNG state.
+
+    ``temperature`` interpolates between weighted sampling (1.0) and
+    hard top-n by weight (→0); large values approach uniform sampling.
+    NULL-weight documents (< 2 tokens) are excluded.
+
+    Scale shape: the ranking is ``orderBy(key desc).limit(n)`` — Spark
+    plans TakeOrderedAndProject: per-partition top-n then a driver-side
+    merge of n-row partials, no global sort shuffle. Returns the
+    selected rows with the input schema.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0 (use a small value "
+                         "for near-argmax selection)")
+    cols = docs.columns
+    weighted = dsir_log_weights(
+        docs, target_model, raw_model, text_col, id_col, k_smooth, lam
+    )
+    m = float(1 << 52)
+    u = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(int(seed))), F.lit(1 << 52))
+        .cast("double") + F.lit(0.5)
+    ) / F.lit(m)
+    gumbel = -F.log(-F.log(u))
+    key = F.col("log_weight") / F.lit(float(temperature)) + gumbel
+    return (
+        weighted.filter(F.col("log_weight").isNotNull())
+        .withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(n)
+        .select(*cols)
+    )

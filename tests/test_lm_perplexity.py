@@ -254,3 +254,103 @@ def test_cli_lm_train_and_curate_gate(spark, tmp_path, capsys):
         r["doc_id"] for r in spark.read.parquet(out_path).collect()
     )
     assert kept == [1]
+
+
+# ---------------------------------------------------------------- DSIR
+
+RAW_EXTRA = [
+    (200, "zz qq vv ww pp zz qq vv"),
+    (201, "qq pp ww zz vv pp qq ww"),
+    (202, "lorem ipsum dolor sit amet zz"),
+]
+
+
+@pytest.fixture(scope="module")
+def dsir_models(spark):
+    """Target LM = the fluent TRAIN corpus; raw LM = TRAIN + junk."""
+    target = bigram_lm_tables(_df(spark, TRAIN))
+    raw = bigram_lm_tables(_df(spark, TRAIN + RAW_EXTRA))
+    return target, raw
+
+
+def test_dsir_weights_match_perplexity_reconstruction(spark, dsir_models):
+    """log_weight == (avg_logp_target − avg_logp_raw) × (n_tokens − 1),
+    reconstructed from lm_perplexity's own (python-verified) outputs;
+    unscorable docs get NULL."""
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        dsir_log_weights,
+    )
+
+    docs = _df(spark, DOCS)
+    target, raw = dsir_models
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(docs, target, raw).collect()
+    }
+    t_avg = {
+        r["doc_id"]: r["avg_logp"]
+        for r in lm_perplexity(docs, *target).collect()
+    }
+    r_avg = {
+        r["doc_id"]: r["avg_logp"]
+        for r in lm_perplexity(docs, *raw).collect()
+    }
+    for i, t in DOCS:
+        n_pos = len(_toks(t)) - 1
+        if n_pos < 1:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(
+                (t_avg[i] - r_avg[i]) * n_pos, abs=1e-5
+            )
+    # target-like text must outweigh junk the raw pool contains
+    assert got[1] > got[3]
+
+
+def test_dsir_resample_determinism_and_temperature(spark, dsir_models):
+    """Same seed → same sample; near-zero temperature → hard top-n by
+    weight; NULL-weight docs never selected; schema preserved."""
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        dsir_log_weights,
+        dsir_resample,
+    )
+
+    target, raw = dsir_models
+    docs = _df(spark, DOCS)
+    s1 = dsir_resample(docs, target, raw, n=2, seed=7)
+    s2 = dsir_resample(docs, target, raw, n=2, seed=7)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in s2.collect())
+    assert ids1 == ids2
+    assert len(ids1) == 2
+    assert s1.columns == docs.columns
+    assert 4 not in ids1 and 5 not in ids1  # unscorable excluded
+
+    # t → 0: selection is exactly the top-2 by log_weight
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(docs, target, raw).collect()
+        if r["log_weight"] is not None
+    }
+    top2 = sorted(sorted(w, key=lambda i: (-w[i], i))[:2])
+    hard = sorted(
+        r["doc_id"]
+        for r in dsir_resample(
+            docs, target, raw, n=2, seed=7, temperature=1e-6
+        ).collect()
+    )
+    assert hard == top2
+
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_resample(docs, target, raw, n=2, temperature=0.0)
+
+
+def test_dsir_reserved_column_raises(spark, dsir_models):
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        dsir_log_weights,
+    )
+
+    target, raw = dsir_models
+    docs = _df(spark, DOCS).withColumn("log_weight", F.lit(1.0))
+    with pytest.raises(ValueError, match="log_weight"):
+        dsir_log_weights(docs, target, raw)
