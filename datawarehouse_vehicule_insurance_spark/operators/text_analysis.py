@@ -627,3 +627,204 @@ def perplexity_filter(
     if keep_unscored:
         cond = cond | F.col("perplexity").isNull()
     return scored.filter(cond).select(*cols)
+
+
+# ------------------------------------------------------------------ BPE
+
+BPE_PARAMS_COL = "__bpe_params"
+BPE_EOW = "</w>"
+
+
+def bpe_fingerprint(num_merges: int, max_words: int) -> str:
+    """Canonical fingerprint of BPE training parameters — stamped into
+    the persisted merges table and validated at encode time (same
+    contract as :func:`~.dedup.lsh_fingerprint`)."""
+    return f"bpe/v1/num_merges={num_merges}/max_words={max_words}"
+
+
+def _bpe_learn(word_freqs: list, num_merges: int) -> list:
+    """Classic byte-pair-encoding merge learning (Sennrich et al. 2016,
+    arXiv:1508.07909) over a word-frequency histogram: each word is a
+    symbol sequence (characters + end-of-word marker); repeatedly merge
+    the most frequent adjacent symbol pair. Ties break lexicographically
+    so training is deterministic. Driver-side by design — the histogram
+    is bounded (``max_words`` rows), not data-scale."""
+    from collections import Counter
+
+    words = {w: (tuple(w) + (BPE_EOW,), f) for w, f in word_freqs}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for sym, f in words.values():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_words = {}
+        for w, (sym, f) in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and sym[i] == best[0]
+                    and sym[i + 1] == best[1]
+                ):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words[w] = (tuple(out), f)
+        words = new_words
+    return merges
+
+
+def train_bpe(
+    train: DataFrame,
+    num_merges: int = 200,
+    max_words: int = 50_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train a BPE subword vocabulary on a corpus and return the
+    persistable merges table: (rank, left, right, __bpe_params) — write
+    it as parquet once, then :func:`bpe_encode` any number of batches
+    against it (the :func:`~.dedup.band_table` build-once/probe-many
+    contract, stamped and validated).
+
+    Distributed shape: the corpus collapses to a WORD-frequency
+    histogram first (one narrow explode + hash aggregation on the token
+    — the standard trick that makes BPE training corpus-size-independent:
+    merge counts depend only on (word, freq), so a 100-TB corpus and its
+    histogram train identical merges). The histogram is truncated to the
+    ``max_words`` most frequent words (ties: token ascending) via
+    TakeOrdered — a bounded driver collect; the tail it drops is the
+    long tail of rare words whose pair counts are dominated anyway.
+    Merge learning itself (:func:`_bpe_learn`) is driver-side over that
+    bounded histogram."""
+    hist = (
+        train.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .orderBy(F.col("__f").desc(), F.col("__w").asc())
+        .limit(max_words)
+        .collect()
+    )
+    merges = _bpe_learn([(r[0], r[1]) for r in hist], num_merges)
+    spark = train.sparkSession
+    fp = bpe_fingerprint(num_merges, max_words)
+    schema = "rank int, left string, right string"
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    if not rows:
+        return spark.createDataFrame([], schema).withColumn(
+            BPE_PARAMS_COL, F.lit(fp)
+        )
+    return spark.createDataFrame(rows, schema).withColumn(
+        BPE_PARAMS_COL, F.lit(fp)
+    )
+
+
+def _validate_bpe_stamp(merges: DataFrame, expected: str) -> None:
+    if BPE_PARAMS_COL not in merges.columns:
+        return
+    row = merges.select(BPE_PARAMS_COL).first()
+    if row is not None and row[0] != expected:
+        raise ValueError(
+            f"BPE merges parameter mismatch: table was built with "
+            f"{row[0]!r} but the encode uses {expected!r}"
+        )
+
+
+def _bpe_encode_word(word: str, ranks: dict) -> list:
+    """Greedy lowest-rank-first pair merging (how GPT-2's encoder applies
+    a merge list — provably equivalent to replaying merges in training
+    order)."""
+    sym = list(word) + [BPE_EOW]
+    while len(sym) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    num_merges: int = 200,
+    max_words: int = 50_000,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Append ``out_col`` (``array<string>`` of BPE subword tokens) by
+    applying a trained merges table to every document. The merge list is
+    collected (bounded: ``num_merges`` rows) and broadcast; encoding
+    runs as an Arrow-batched ``mapInPandas`` with a per-batch word memo
+    — each DISTINCT word in a batch is encoded once, so the cost tracks
+    vocabulary, not token count. NULL text encodes to NULL.
+
+    The table's parameter stamp is validated against this call's
+    (mismatched merges silently produce a different segmentation — the
+    failure mode the stamp exists to catch)."""
+    import pandas as pd
+
+    _validate_bpe_stamp(merges, bpe_fingerprint(num_merges, max_words))
+    rows = merges.select("rank", "left", "right").collect()
+    ranks = {(r[1], r[2]): r[0] for r in rows}
+    b_ranks = df.sparkSession.sparkContext.broadcast(ranks)
+    import re as _re
+
+    out_fields = ", ".join(
+        f"`{c.name}` {c.dataType.simpleString()}" for c in df.schema.fields
+    )
+    out_schema = f"{out_fields}, `{out_col}` array<string>"
+
+    def _fn(batches):
+        R = b_ranks.value
+        memo: dict = {}
+        for pdf in batches:
+            encoded = []
+            for t in pdf[text_col]:
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    encoded.append(None)
+                    continue
+                norm = _re.sub(r"\s+", " ", str(t).strip().lower())
+                toks_out: list[str] = []
+                for w in norm.split(" "):
+                    if w == "":
+                        continue
+                    got = memo.get(w)
+                    if got is None:
+                        got = _bpe_encode_word(w, R)
+                        memo[w] = got
+                    toks_out.extend(got)
+                encoded.append(toks_out)
+            yield pdf.assign(**{out_col: encoded})
+
+    return df.mapInPandas(_fn, out_schema)
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: DataFrame,
+    num_merges: int = 200,
+    max_words: int = 50_000,
+    text_col: str = "text",
+    out_col: str = "bpe_token_count",
+) -> DataFrame:
+    """Per-document subword token count under a TRAINED vocabulary — the
+    budget number a pre-training mix is planned against (contrast
+    :func:`bpe_ish_token_count`, the model-free regex estimate)."""
+    enc = bpe_encode(
+        df, merges, num_merges, max_words, text_col, "__bpe_toks"
+    )
+    return enc.withColumn(out_col, F.size("__bpe_toks")).drop("__bpe_toks")

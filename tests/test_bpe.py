@@ -1,0 +1,144 @@
+"""BPE subword training/encoding: hand-computed merge sequence, encode
+equivalence with a replay-the-merges reference, persistence + stamp
+contract, lossless reconstruction on real documents."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+    BPE_EOW,
+    BPE_PARAMS_COL,
+    _bpe_learn,
+    bpe_encode,
+    bpe_fingerprint,
+    bpe_token_count,
+    train_bpe,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_encode(word: str, merges: list) -> list:
+    """Reference: replay merges in training order, merging ALL
+    occurrences left-to-right (the Sennrich formulation) — the operator
+    encodes greedily by rank instead; the two must agree."""
+    sym = list(word) + [BPE_EOW]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_learn_hand_computed_merges():
+    """'low low lower' trains exactly the classic merge sequence, ties
+    broken lexicographically."""
+    merges = _bpe_learn([("low", 2), ("lower", 1)], 5)
+    assert merges == [
+        ("l", "o"),
+        ("lo", "w"),
+        ("low", BPE_EOW),
+        ("e", "r"),
+        ("er", BPE_EOW),
+    ]
+    # merge learning halts when no pairs remain
+    assert _bpe_learn([("a", 3)], 10) == [("a", BPE_EOW)]
+    assert _bpe_learn([], 10) == []
+
+
+def test_train_and_encode_matches_replay_reference(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "low low lower lowest"),
+            (2, "new newer newest low"),
+            (3, "the newer the lower"),
+        ],
+        "doc_id long, text string",
+    )
+    merges_df = train_bpe(corpus, num_merges=30)
+    m_rows = merges_df.orderBy("rank").collect()
+    merges = [(r["left"], r["right"]) for r in m_rows]
+    assert merges_df.select(BPE_PARAMS_COL).first()[0] == bpe_fingerprint(
+        30, 50_000
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower"),
+            (2, "newest slowest"),     # 'slowest' unseen in training
+            (3, "  LOW\t lower "),     # normalization: lower + ws fold
+            (4, None),                 # NULL -> NULL
+            (5, ""),                   # empty -> []
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(docs, merges_df, num_merges=30).collect()
+    }
+    for i, text in [(1, "low lower"), (2, "newest slowest"),
+                    (3, "low lower")]:
+        expect = []
+        for w in text.split():
+            expect += _ref_encode(w, merges)
+        assert got[i] == expect, f"doc {i}"
+    assert got[4] is None
+    assert got[5] == []
+    assert got[1] == got[3]  # case/whitespace normalization
+
+
+def test_persistence_round_trip_and_stamp(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [(1, "aa ab aa ba")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "merges")
+    train_bpe(corpus, num_merges=8, max_words=100).write.parquet(path)
+    loaded = spark.read.parquet(path)
+
+    docs = spark.createDataFrame([(1, "aa ab")], "doc_id long, text string")
+    direct = bpe_encode(
+        docs, train_bpe(corpus, num_merges=8, max_words=100),
+        num_merges=8, max_words=100,
+    ).first()["bpe_tokens"]
+    via_disk = bpe_encode(
+        docs, loaded, num_merges=8, max_words=100
+    ).first()["bpe_tokens"]
+    assert direct == via_disk
+
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        bpe_encode(docs, loaded, num_merges=9, max_words=100)
+
+
+def test_token_count_and_real_docs_reconstruction(spark):
+    """Train on the documents table; encoding must be lossless — joining
+    a doc's subword tokens and splitting on the end-of-word marker
+    recovers its normalized words — and bpe_token_count == len(tokens)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(40)
+    merges_df = train_bpe(docs, num_merges=60)
+    enc = bpe_encode(docs, merges_df, num_merges=60)
+    cnt = bpe_token_count(docs, merges_df, num_merges=60)
+    rows = enc.join(
+        cnt.select("doc_id", "bpe_token_count"), "doc_id"
+    ).collect()
+    assert len(rows) == 40
+    for r in rows:
+        toks = r["bpe_tokens"]
+        assert r["bpe_token_count"] == len(toks)
+        norm = re.sub(r"\s+", " ", r["text"].strip().lower())
+        words = [w for w in norm.split(" ") if w]
+        rebuilt = "".join(toks).split(BPE_EOW)
+        assert rebuilt[:-1] == words and rebuilt[-1] == ""
+        # compression: subword count is never more than character count
+        assert len(toks) <= sum(len(w) + 1 for w in words)
