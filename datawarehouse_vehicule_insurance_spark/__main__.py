@@ -44,6 +44,19 @@ and reference-LM training for the perplexity gate (consumed by
 
     python -m datawarehouse_vehicule_insurance_spark lm-train \\
         --input <ref_docs.parquet> --lm-bigrams <dir> --lm-unigrams <dir>
+
+BPE vocabulary training (persisted merges table for
+``bpe_encode``/``bpe_token_count``) —
+
+    python -m datawarehouse_vehicule_insurance_spark bpe-train \\
+        --input <docs.parquet> --merges <dir> [--num-merges 200]
+
+DSIR budget selection on ``curate`` (importance-resample the curated
+pool toward a target distribution): ``--dsir-bigrams --dsir-unigrams
+--dsir-top-n [--dsir-temperature]``. Index compaction scheduling on
+``curate-stream``: ``--compact-every N`` folds every supplied index's
+per-batch append partitions into one clustered partition after the run
+once N batches have accumulated.
 """
 
 from __future__ import annotations
@@ -76,6 +89,18 @@ def _run_curate(args: argparse.Namespace) -> int:
     )
     langs = tuple(args.langs.split(",")) if args.langs else None
     lm_model = _load_lm_model(spark, args)
+    dsir_target = None
+    if args.dsir_bigrams or args.dsir_unigrams or args.dsir_top_n:
+        if not (args.dsir_bigrams and args.dsir_unigrams
+                and args.dsir_top_n):
+            raise SystemExit(
+                "--dsir-bigrams, --dsir-unigrams and --dsir-top-n go "
+                "together"
+            )
+        dsir_target = (
+            spark.read.parquet(args.dsir_bigrams),
+            spark.read.parquet(args.dsir_unigrams),
+        )
     out = curate_corpus(
         docs,
         benchmark,
@@ -86,6 +111,9 @@ def _run_curate(args: argparse.Namespace) -> int:
         line_dedup_min_freq=args.line_dedup_freq,
         lm_model=lm_model,
         max_perplexity=args.max_perplexity,
+        dsir_target_model=dsir_target,
+        dsir_top_n=args.dsir_top_n,
+        dsir_temperature=args.dsir_temperature,
     )
     out.write.mode("overwrite").parquet(args.output)
     kept = spark.read.parquet(args.output).count()
@@ -137,10 +165,31 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
         span_min_shared=args.span_min_shared,
     )
     q.awaitTermination()
+    compacted = None
+    if args.compact_every:
+        from datawarehouse_vehicule_insurance_spark.streaming.curation import (
+            compact_loop_indexes,
+            loop_batch_partitions,
+        )
+
+        # compaction scheduling: once the band index has accumulated
+        # enough per-batch append partitions, fold every supplied
+        # artifact back into one clustered partition (safe here — the
+        # availableNow stream has terminated)
+        if loop_batch_partitions(spark, args.bands) >= args.compact_every:
+            compacted = compact_loop_indexes(
+                spark,
+                index_path=args.bands,
+                hash_path=args.hashes,
+                shingles_path=args.shingles,
+                line_counts_path=args.line_counts,
+                winnow_path=args.winnow,
+            )
     corpus = read_corpus(spark, args.corpus)
-    print(json.dumps(
-        {"corpus_rows": 0 if corpus is None else corpus.count()}
-    ))
+    print(json.dumps({
+        "corpus_rows": 0 if corpus is None else corpus.count(),
+        "compacted": compacted,
+    }))
     return 0
 
 
@@ -243,13 +292,35 @@ def _run_retract(args: argparse.Namespace) -> int:
     return 0
 
 
+def _run_bpe_train(args: argparse.Namespace) -> int:
+    """Train a BPE subword vocabulary on a corpus and persist the
+    merges table (consumed via
+    :func:`~.operators.text_analysis.bpe_encode` /
+    :func:`~.operators.text_analysis.bpe_token_count`)."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        train_bpe,
+    )
+
+    spark = get_spark(app_name="insurance_bpe_train")
+    merges = train_bpe(
+        spark.read.parquet(args.input),
+        num_merges=args.num_merges,
+        max_words=args.max_words,
+    )
+    merges.write.mode("overwrite").parquet(args.merges)
+    print(json.dumps(
+        {"merges": spark.read.parquet(args.merges).count()}
+    ))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datawarehouse_vehicule_insurance_spark")
     p.add_argument(
         "layer",
         choices=["bronze", "silver", "gold", "all", "curate",
                  "curate-stream", "index-maintain", "retract",
-                 "lm-train"],
+                 "lm-train", "bpe-train"],
     )
     p.add_argument("--root", help="lake root (path or s3a://)")
     p.add_argument("--csv-root", help="raw CSV dir (bronze only)")
@@ -324,6 +395,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--checkpoint", help="curate-stream: checkpoint dir")
     p.add_argument(
+        "--compact-every", dest="compact_every", type=int,
+        help="curate-stream: after the run, compact every supplied "
+        "index once it holds >= N per-batch append partitions",
+    )
+    p.add_argument(
         "--remove",
         help="index-maintain/retract: parquet of retracted doc ids",
     )
@@ -332,6 +408,35 @@ def main(argv: list[str] | None = None) -> int:
         help="index-maintain: dedup rows + cluster by band_hash",
     )
     p.add_argument("--out", help="index-maintain: rewrite target dir")
+    p.add_argument(
+        "--dsir-bigrams", dest="dsir_bigrams",
+        help="curate: DSIR target-model bigram table (lm-train output)",
+    )
+    p.add_argument(
+        "--dsir-unigrams", dest="dsir_unigrams",
+        help="curate: DSIR target-model unigram table",
+    )
+    p.add_argument(
+        "--dsir-top-n", dest="dsir_top_n", type=int,
+        help="curate: importance-resample the curated pool down to N "
+        "documents resembling the DSIR target model",
+    )
+    p.add_argument(
+        "--dsir-temperature", dest="dsir_temperature", type=float,
+        default=1.0,
+        help="curate: DSIR sampling temperature (small -> hard top-n)",
+    )
+    p.add_argument(
+        "--merges", help="bpe-train: output dir for the merges table"
+    )
+    p.add_argument(
+        "--num-merges", dest="num_merges", type=int, default=200,
+        help="bpe-train: merge operations to learn",
+    )
+    p.add_argument(
+        "--max-words", dest="max_words", type=int, default=50_000,
+        help="bpe-train: word-histogram truncation (most frequent N)",
+    )
     args = p.parse_args(argv)
 
     if args.layer == "curate":
@@ -360,6 +465,10 @@ def main(argv: list[str] | None = None) -> int:
         if not (args.input and args.lm_bigrams and args.lm_unigrams):
             p.error("lm-train requires --input --lm-bigrams --lm-unigrams")
         return _run_lm_train(args)
+    if args.layer == "bpe-train":
+        if not (args.input and args.merges):
+            p.error("bpe-train requires --input and --merges")
+        return _run_bpe_train(args)
     if not args.root:
         p.error(f"{args.layer} requires --root")
 

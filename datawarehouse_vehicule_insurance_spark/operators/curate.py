@@ -65,6 +65,11 @@ def curate_corpus(
     max_perplexity: float | None = None,
     span_dedup_min_shared: int | None = None,
     existing_winnow: DataFrame | None = None,
+    dsir_target_model: tuple[DataFrame, DataFrame] | None = None,
+    dsir_top_n: int | None = None,
+    dsir_raw_model: tuple[DataFrame, DataFrame] | None = None,
+    dsir_temperature: float = 1.0,
+    dsir_seed: int = 42,
 ) -> DataFrame:
     """Curate ``docs`` for training; returns surviving rows with the
     input schema. ``benchmark`` (optional) enables the decontamination
@@ -101,6 +106,13 @@ def curate_corpus(
     ``existing_winnow`` (a persisted :func:`~.dedup.winnow_table`)
     additionally drops batch docs sharing verbatim runs with the
     CORPUS, with no corpus-side recompute.
+
+    ``dsir_target_model`` + ``dsir_top_n`` (together) enable the final
+    DSIR budget-selection stage (:func:`~.mlprep.dsir_resample`):
+    importance-resample the curated pool down to ``dsir_top_n``
+    documents resembling the target distribution. ``dsir_raw_model``
+    defaults to a bigram model trained on the input batch itself (the
+    raw-pool distribution of the DSIR paper).
 
     Thresholds are the Gopher-style defaults scaled down for the test
     corpus; every one is a parameter because curation policy is a
@@ -242,5 +254,33 @@ def curate_corpus(
             corpus_fps=existing_winnow,
         ).select(F.col("id_a").alias(id_col)).distinct()
         out = out.join(hits, id_col, "left_anti")
+
+    # 6. DSIR budget selection (optional, last): importance-resample the
+    #    clean survivor pool down to ``dsir_top_n`` documents that look
+    #    like the target distribution (:func:`~.mlprep.dsir_resample`).
+    #    ``dsir_raw_model`` defaults to a model trained on the INPUT
+    #    batch itself — the paper's raw-pool distribution — so the only
+    #    mandatory artifact is the target model. Runs dead last because
+    #    selection must see deduplicated, gated text (weights over
+    #    boilerplate would reward the junk the earlier stages exist to
+    #    drop), and because every earlier stage shrinks the frame the
+    #    two scoring passes read.
+    if (dsir_target_model is None) != (dsir_top_n is None):
+        raise ValueError(
+            "pass dsir_target_model (bigram_lm_tables output) and "
+            "dsir_top_n together"
+        )
+    if dsir_target_model is not None:
+        from .mlprep import dsir_resample
+        from .text_analysis import bigram_lm_tables
+
+        raw_model = dsir_raw_model
+        if raw_model is None:
+            raw_model = bigram_lm_tables(docs, text_col, id_col)
+        out = dsir_resample(
+            out, dsir_target_model, raw_model, dsir_top_n,
+            seed=dsir_seed, temperature=dsir_temperature,
+            text_col=text_col, id_col=id_col,
+        )
 
     return out

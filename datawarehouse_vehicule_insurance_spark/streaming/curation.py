@@ -840,3 +840,75 @@ def run_incremental_embedding_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_loop_indexes(
+    spark: SparkSession,
+    index_path: str | None = None,
+    hash_path: str | None = None,
+    shingles_path: str | None = None,
+    line_counts_path: str | None = None,
+    winnow_path: str | None = None,
+) -> dict:
+    """Scheduled maintenance for the crawl loop's persisted artifacts:
+    one compaction rewrite per supplied index, folding the per-batch
+    ``__batch_id`` append partitions into the single reserved ``-1``
+    partition. What compaction means per artifact:
+
+    - band table — :func:`~..operators.dedup.compact_band_table`
+      (duplicate-row drop from replays, uniform-stamp check, band_hash
+      clustering so probe joins read co-located buckets);
+    - content-hash / shingle / winnow tables — duplicate-row drop
+      (append-only id-keyed rows; replays are the only dup source);
+    - line-count table — :func:`~..operators.dedup.merge_line_counts`
+      over itself: per-batch ``n_docs`` partials for the same line
+      collapse into one total row, which is the probe-side win (the
+      per-batch merge aggregates fewer input rows).
+
+    Why this matters at scale: every loop batch appends a new parquet
+    partition, so after 10k batches each probe-side read opens 10k
+    small files — compaction restores one clustered partition without
+    changing any probe result (pinned by the tests). Artifacts are
+    rewritten in place via :func:`_rewrite_artifact` (eager checkpoint
+    before overwrite); run it between loop runs, never concurrently
+    with one — same small/medium-corpus ops contract as
+    :func:`retract_documents` (at 100-TB this is a table-format
+    ``OPTIMIZE``/rewrite job instead).
+
+    Returns ``{path: {"before": n, "after": n}}``.
+    """
+    from ..operators.dedup import compact_band_table, merge_line_counts
+
+    out: dict = {}
+
+    def _one(path, fn):
+        art = _read_artifact(spark, path)  # batch column already stripped
+        if art is None:
+            raise ValueError(f"no index at {path}")
+        before = art.count()
+        after = _rewrite_artifact(spark, fn(art), path)
+        out[path] = {"before": before, "after": after}
+
+    if index_path is not None:
+        _one(index_path, compact_band_table)
+    if hash_path is not None:
+        _one(hash_path, lambda df: df.distinct())
+    if shingles_path is not None:
+        _one(shingles_path, lambda df: df.distinct())
+    if line_counts_path is not None:
+        _one(line_counts_path, lambda df: merge_line_counts(df))
+    if winnow_path is not None:
+        _one(winnow_path, lambda df: df.distinct())
+    return out
+
+
+def loop_batch_partitions(spark: SparkSession, index_path: str) -> int:
+    """How many append partitions a loop artifact has accumulated —
+    the compaction-scheduling signal (one ``__batch_id`` value per
+    processed batch plus the reserved ``-1``). Reads partition VALUES
+    only (a metadata-only distinct over the partition column), never
+    data rows."""
+    art = _try_read_parquet(spark, index_path)
+    if art is None or BATCH_COL not in art.columns:
+        return 0
+    return art.select(BATCH_COL).distinct().count()

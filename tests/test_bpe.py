@@ -142,3 +142,31 @@ def test_token_count_and_real_docs_reconstruction(spark):
         assert rebuilt[:-1] == words and rebuilt[-1] == ""
         # compression: subword count is never more than character count
         assert len(toks) <= sum(len(w) + 1 for w in words)
+
+
+def test_cli_bpe_train(spark, tmp_path, capsys):
+    """bpe-train persists a merges table that encodes identically to an
+    in-memory trained one."""
+    import json as _json
+
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    docs_path = str(tmp_path / "docs.parquet")
+    corpus = spark.createDataFrame(
+        [(1, "low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    corpus.write.parquet(docs_path)
+    merges_path = str(tmp_path / "merges")
+    assert main([
+        "bpe-train", "--input", docs_path, "--merges", merges_path,
+        "--num-merges", "20",
+    ]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < stats["merges"] <= 20
+
+    loaded = spark.read.parquet(merges_path)
+    direct = train_bpe(corpus, num_merges=20)
+    a = bpe_encode(corpus, loaded, num_merges=20).orderBy("doc_id").collect()
+    b = bpe_encode(corpus, direct, num_merges=20).orderBy("doc_id").collect()
+    assert [r["bpe_tokens"] for r in a] == [r["bpe_tokens"] for r in b]

@@ -1373,3 +1373,92 @@ def test_rebuild_includes_winnow(spark, tmp_path):
         .select("doc_id", "fp").collect()
     }
     assert got == want
+
+
+def test_compact_loop_indexes_preserves_probes(spark, tmp_path):
+    """Scheduled compaction folds every loop artifact's per-batch append
+    partitions into one, collapses replay-duplicated rows, and changes
+    NO probe result: the next incremental batch dedups identically
+    against the compacted indexes."""
+    src, corpus_path, bands_path, hashes_path, _ = _paths(tmp_path)
+    shingles_path = str(tmp_path / "shingles")
+
+    _docs(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, shingles_path=shingles_path)
+    _docs(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, shingles_path=shingles_path)
+
+    assert SC.loop_batch_partitions(spark, bands_path) == 2
+    # simulate an at-least-once replay artifact: duplicate batch-0's
+    # band rows under a fresh partition
+    dup = spark.read.parquet(bands_path).filter(F.col(SC.BATCH_COL) == 0)
+    dup.withColumn(SC.BATCH_COL, F.lit(7)).write.mode(
+        "append"
+    ).partitionBy(SC.BATCH_COL).parquet(bands_path)
+
+    before_probe = sorted(
+        (r["id_a"], r["id_b"])
+        for r in D.cross_corpus_lsh_candidates(
+            _docs(spark, [(40, _near(31)), (41, _fresh("delta"))]),
+            corpus_bands=spark.read.parquet(bands_path).drop(SC.BATCH_COL),
+        ).collect()
+    )
+
+    stats = SC.compact_loop_indexes(
+        spark,
+        index_path=bands_path,
+        hash_path=hashes_path,
+        shingles_path=shingles_path,
+    )
+    assert stats[bands_path]["after"] < stats[bands_path]["before"]
+    assert stats[hashes_path]["after"] == stats[hashes_path]["before"]
+    assert SC.loop_batch_partitions(spark, bands_path) == 1
+
+    after_probe = sorted(
+        (r["id_a"], r["id_b"])
+        for r in D.cross_corpus_lsh_candidates(
+            _docs(spark, [(40, _near(31)), (41, _fresh("delta"))]),
+            corpus_bands=spark.read.parquet(bands_path).drop(SC.BATCH_COL),
+        ).collect()
+    )
+    assert after_probe == before_probe and (40, 1) in after_probe
+
+    # the loop keeps running against the compacted indexes
+    _docs(spark, BATCH_3).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, shingles_path=shingles_path)
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 13, 22]
+
+    with pytest.raises(ValueError, match="no index"):
+        SC.compact_loop_indexes(spark, index_path=str(tmp_path / "nope"))
+
+
+def test_cli_curate_stream_compact_every(spark, tmp_path, capsys):
+    """--compact-every N: the verb compacts the supplied indexes after
+    the run once N batch partitions accumulated, and skips below N."""
+    import json as _json
+
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    hashes = str(tmp_path / "hashes")
+    ckpt = str(tmp_path / "ckpt")
+    cli = [
+        "curate-stream", "--src", src, "--corpus", corpus,
+        "--bands", bands, "--hashes", hashes, "--checkpoint", ckpt,
+        "--min-tokens", "5", "--compact-every", "2",
+    ]
+
+    _docs(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    assert main(cli) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["compacted"] is None  # 1 partition < 2
+
+    _docs(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+    assert main(cli) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["compacted"] is not None
+    assert set(stats["compacted"]) == {bands, hashes}
+    assert SC.loop_batch_partitions(spark, bands) == 1
+    assert stats["corpus_rows"] == 3

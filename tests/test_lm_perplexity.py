@@ -354,3 +354,83 @@ def test_dsir_reserved_column_raises(spark, dsir_models):
     docs = _df(spark, DOCS).withColumn("log_weight", F.lit(1.0))
     with pytest.raises(ValueError, match="log_weight"):
         dsir_log_weights(docs, target, raw)
+
+
+def test_curate_corpus_dsir_budget_selection(spark, dsir_models):
+    """curate_corpus's final DSIR stage selects the top-n most
+    target-like survivors (near-argmax at tiny temperature); half a
+    configuration raises."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    target, raw = dsir_models
+    # pool: target-like docs + junk, all long enough to pass the gates
+    pool = _df(spark, [
+        (1, "the cat sat on the mat and the dog sat on the rug"),
+        (2, "the dog sat on the rug and the cat ran home today"),
+        (3, "zz qq vv ww pp zz qq vv ww pp zz qq"),
+        (4, "qq pp ww zz vv pp qq ww zz vv pp qq"),
+    ])
+    out = curate_corpus(
+        pool,
+        min_tokens=5,
+        min_alpha_ratio=0.0,
+        max_dup_2gram_ratio=1.0,
+        dsir_target_model=target,
+        dsir_raw_model=raw,
+        dsir_top_n=2,
+        dsir_temperature=1e-6,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+    assert out.columns == pool.columns
+
+    with pytest.raises(ValueError, match="dsir"):
+        curate_corpus(pool, dsir_top_n=2)
+
+    # raw model defaults to one trained on the input pool itself
+    auto = curate_corpus(
+        pool,
+        min_tokens=5,
+        min_alpha_ratio=0.0,
+        max_dup_2gram_ratio=1.0,
+        dsir_target_model=target,
+        dsir_top_n=2,
+        dsir_temperature=1e-6,
+    )
+    assert sorted(r["doc_id"] for r in auto.collect()) == [1, 2]
+
+
+def test_cli_curate_dsir(spark, tmp_path, capsys):
+    """End-to-end: lm-train the target model, then curate with the DSIR
+    flags selects the budgeted subset."""
+    import json as _json
+
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    target_path = str(tmp_path / "target.parquet")
+    _df(spark, TRAIN).write.parquet(target_path)
+    bg, uni = str(tmp_path / "bg"), str(tmp_path / "uni")
+    assert main([
+        "lm-train", "--input", target_path,
+        "--lm-bigrams", bg, "--lm-unigrams", uni,
+    ]) == 0
+    capsys.readouterr()
+
+    pool_path = str(tmp_path / "pool.parquet")
+    _df(spark, [
+        (1, "the cat sat on the mat and the dog sat on the rug"),
+        (2, "the dog sat on the rug and the cat ran home today"),
+        (3, "zz qq vv ww pp zz qq vv ww pp zz qq"),
+    ]).write.parquet(pool_path)
+    out_path = str(tmp_path / "curated")
+    assert main([
+        "curate", "--input", pool_path, "--output", out_path,
+        "--min-tokens", "5",
+        "--dsir-bigrams", bg, "--dsir-unigrams", uni,
+        "--dsir-top-n", "1", "--dsir-temperature", "1e-6",
+    ]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["kept"] == 1
+    kept = spark.read.parquet(out_path).collect()
+    assert len(kept) == 1 and kept[0]["doc_id"] in (1, 2)
