@@ -70,6 +70,7 @@ def curate_corpus(
     dsir_raw_model: tuple[DataFrame, DataFrame] | None = None,
     dsir_temperature: float = 1.0,
     dsir_seed: int = 42,
+    gopher_rules: dict | None = None,
 ) -> DataFrame:
     """Curate ``docs`` for training; returns surviving rows with the
     input schema. ``benchmark`` (optional) enables the decontamination
@@ -158,6 +159,17 @@ def curate_corpus(
     if lang_allow is not None:
         gate = gate & lang_id(F.col(text_col)).isin(*lang_allow)
     out = feats.filter(gate).select(*cols)
+
+    # 2.2 full Gopher rule family (optional): formatting + stop-word +
+    #     repetition thresholds beyond the basic gate above; pass
+    #     ``gopher_rules={}`` for the published defaults or override
+    #     any threshold (:func:`~.text_analysis.gopher_filter`)
+    if gopher_rules is not None:
+        from .text_analysis import gopher_filter
+
+        out = gopher_filter(
+            out, text_col=text_col, id_col=id_col, **gopher_rules
+        )
 
     # 2.5 LM-perplexity gate (optional, CCNet-style): keep the
     #     low-perplexity head under a reference bigram model — a hash

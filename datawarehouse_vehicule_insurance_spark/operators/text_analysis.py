@@ -828,3 +828,280 @@ def bpe_token_count(
         df, merges, num_merges, max_words, text_col, "__bpe_toks"
     )
     return enc.withColumn(out_col, F.size("__bpe_toks")).drop("__bpe_toks")
+
+
+# ------------------------------------------------------------- Gopher rules
+
+#: the Gopher stop-word presence list (Rae et al. 2021, A1.1): a
+#: document must contain at least 2 of these to count as prose.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+#: line prefixes treated as bullets by the formatting rule
+GOPHER_BULLETS = ("•", "‣", "▶", "-", "*")
+
+#: published repetition thresholds: fraction of characters in the most
+#: frequent n-gram (n=2..4) / in all duplicated n-grams (n=5..10)
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11,
+                        10: 0.10}
+
+
+def gopher_quality_features(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Append the cheap (per-row, shuffle-free) Gopher quality signals
+    (Rae et al. 2021, arXiv:2112.11446 A1.1) in ONE fused projection:
+
+    - ``n_words`` / ``mean_word_len`` — whitespace words of the
+      normalized text;
+    - ``symbol_word_ratio`` — '#'/ellipsis occurrences per word;
+    - ``bullet_line_ratio`` / ``ellipsis_line_ratio`` — fraction of RAW
+      lines starting with a bullet / ending with an ellipsis
+      (formatting lives in the raw text, so these split pre-trim);
+    - ``alpha_word_ratio`` — fraction of words containing a letter;
+    - ``stopword_hits`` — how many DISTINCT entries of
+      :data:`GOPHER_STOPWORDS` appear.
+
+    All native column expressions (codegen'd); the repetition family
+    needs per-document gram frequencies and lives in
+    :func:`gopher_repetition_features`."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_words = F.size(toks)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    bullet_starts = F.size(F.filter(
+        lines,
+        lambda l: F.substring(l, 1, 1).isin(*GOPHER_BULLETS),
+    ))
+    ellipsis_ends = F.size(F.filter(
+        lines,
+        lambda l: l.endswith("...") | l.endswith("…"),
+    ))
+    # one '#' or '…' char, or one literal '...' run, = one symbol
+    n_symbols = (
+        F.length(text) - F.length(F.regexp_replace(text, r"#|…", ""))
+        + F.size(F.split(text, r"\.\.\.", -1)) - 1
+    )
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    )
+    stop_hits = None
+    for s in GOPHER_STOPWORDS:
+        hit = F.array_contains(toks, s).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    return df.withColumns({
+        "n_words": n_words,
+        "mean_word_len": F.round(
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+            / n_words, 6,
+        ),
+        "symbol_word_ratio": F.round(n_symbols / n_words, 6),
+        "bullet_line_ratio": F.when(
+            n_lines > 0, F.round(bullet_starts / n_lines, 6)
+        ).otherwise(F.lit(0.0)),
+        "ellipsis_line_ratio": F.when(
+            n_lines > 0, F.round(ellipsis_ends / n_lines, 6)
+        ).otherwise(F.lit(0.0)),
+        "alpha_word_ratio": F.round(alpha_words / n_words, 6),
+        "stopword_hits": stop_hits,
+    })
+
+
+def gopher_repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Append the Gopher REPETITION signals, which need per-document
+    gram frequencies:
+
+    - ``dup_line_ratio`` / ``dup_line_char_ratio`` — fraction of
+      non-empty lines (/ their characters) that are repeats of an
+      earlier identical line;
+    - ``top_{n}gram_char_ratio`` (n in ``top_ns``) — characters covered
+      by ALL occurrences of the single most frequent word n-gram, over
+      the normalized text length;
+    - ``dup_{n}gram_char_ratio`` (n in ``dup_ns``) — characters covered
+      by every occurrence of every DUPLICATED n-gram. Like the open
+      implementations of this rule, overlapping occurrences are counted
+      per-occurrence (no interval union), so values can exceed 1 on
+      degenerate text — consumers threshold low (≤ ~0.15) where the
+      approximation is tight.
+
+    Scale shape: ONE union of narrow (id, n, gram-hash, char-len)
+    explodes — grams leave the scan as 8-byte hashes plus lengths,
+    never strings — then one (id, n, gram) count aggregation and one
+    per-(id, n) rollup, broadcast-joined back (row count = docs ×
+    |ns|). Line stats ride the same shape with n = 0."""
+    text = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    total_chars = F.length(norm)
+
+    base = df.select(id_col, text_col).withColumn("__total", total_chars)
+
+    parts = []
+    # n = 0: trimmed non-empty lines
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    parts.append(
+        base.select(
+            id_col, "__total", F.lit(0).alias("__n"),
+            F.explode(lines).alias("__g"),
+        ).select(
+            id_col, "__total", "__n",
+            F.xxhash64("__g").alias("__gh"),
+            F.length("__g").alias("__glen"),
+        )
+    )
+    toks = tokens(text)
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        grams = ngrams(toks, n)
+        parts.append(
+            base.select(
+                id_col, "__total", F.lit(int(n)).alias("__n"),
+                F.explode(grams).alias("__g"),
+            ).select(
+                id_col, "__total", "__n",
+                F.xxhash64("__g").alias("__gh"),
+                F.length("__g").alias("__glen"),
+            )
+        )
+    exploded = parts[0]
+    for p in parts[1:]:
+        exploded = exploded.unionByName(p)
+
+    per_gram = exploded.groupBy(id_col, "__n", "__gh").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.first("__glen").alias("__glen"),
+        F.first("__total").alias("__total"),
+    )
+    per_doc = per_gram.groupBy(id_col, "__n").agg(
+        F.sum("__cnt").alias("__occ"),
+        F.sum(
+            F.when(F.col("__cnt") > 1, F.col("__cnt") - 1).otherwise(0)
+        ).alias("__dup_occ"),
+        F.sum(
+            F.when(
+                F.col("__cnt") > 1,
+                (F.col("__cnt") - 1) * F.col("__glen"),
+            ).otherwise(0)
+        ).alias("__dup_line_chars"),
+        F.sum(
+            F.when(
+                F.col("__cnt") > 1, F.col("__cnt") * F.col("__glen")
+            ).otherwise(0)
+        ).alias("__dup_chars"),
+        F.max(F.struct(F.col("__cnt"), (F.col("__cnt") * F.col("__glen"))
+                       .alias("__covered"))).alias("__top"),
+        F.first("__total").alias("__total"),
+    )
+
+    # fold all (id, n) rows into ONE row per doc with a conditional
+    # aggregation — a single broadcastable join back instead of one
+    # join per gram size
+    line_ratio = F.when(
+        F.col("__n") == 0, F.col("__dup_occ") / F.col("__occ")
+    )
+    line_char = F.when(
+        (F.col("__n") == 0) & (F.col("__total") > 0),
+        F.col("__dup_line_chars") / F.col("__total"),
+    )
+    aggs = [
+        F.round(F.max(line_ratio), 6).alias("dup_line_ratio"),
+        F.round(F.max(line_char), 6).alias("dup_line_char_ratio"),
+    ]
+    for n in top_ns:
+        expr = F.when(
+            (F.col("__n") == int(n))
+            & (F.col("__total") > 0)
+            & (F.col("__top.__cnt") > 1),
+            F.col("__top.__covered") / F.col("__total"),
+        ).when(F.col("__n") == int(n), F.lit(0.0))
+        aggs.append(
+            F.round(F.max(expr), 6).alias(f"top_{n}gram_char_ratio")
+        )
+    for n in dup_ns:
+        expr = F.when(
+            (F.col("__n") == int(n)) & (F.col("__total") > 0),
+            F.col("__dup_chars") / F.col("__total"),
+        ).when(F.col("__n") == int(n), F.lit(0.0))
+        aggs.append(
+            F.round(F.max(expr), 6).alias(f"dup_{n}gram_char_ratio")
+        )
+    wide = per_doc.groupBy(id_col).agg(*aggs)
+    out = df.join(wide, id_col, "left")
+    fills = {
+        "dup_line_ratio": 0.0, "dup_line_char_ratio": 0.0,
+        **{f"top_{n}gram_char_ratio": 0.0 for n in top_ns},
+        **{f"dup_{n}gram_char_ratio": 0.0 for n in dup_ns},
+    }
+    return out.fillna(fills)
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_line_ratio: float = 0.3,
+    max_dup_line_char_ratio: float = 0.2,
+    top_ngram_max: dict | None = None,
+    dup_ngram_max: dict | None = None,
+) -> DataFrame:
+    """The full Gopher quality gate with the PUBLISHED thresholds as
+    defaults (every one a parameter — curation policy belongs to the
+    training run): word-count/word-length window, symbol and formatting
+    rules, stop-word presence, and the complete repetition family.
+    Returns surviving rows with the input schema. NULL text never
+    survives. The cheap per-row rules filter FIRST so the
+    gram-frequency shuffle prices only their survivors."""
+    top_ngram_max = dict(
+        GOPHER_TOP_NGRAM_MAX if top_ngram_max is None else top_ngram_max
+    )
+    dup_ngram_max = dict(
+        GOPHER_DUP_NGRAM_MAX if dup_ngram_max is None else dup_ngram_max
+    )
+    cols = df.columns
+    cheap = gopher_quality_features(df, text_col)
+    gate = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_ratio") <= max_bullet_line_ratio)
+        & (F.col("ellipsis_line_ratio") <= max_ellipsis_line_ratio)
+        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    out = cheap.filter(gate).select(*cols)
+    rep = gopher_repetition_features(
+        out, text_col, id_col,
+        top_ns=tuple(sorted(top_ngram_max)),
+        dup_ns=tuple(sorted(dup_ngram_max)),
+    )
+    rep_gate = (
+        (F.col("dup_line_ratio") <= max_dup_line_ratio)
+        & (F.col("dup_line_char_ratio") <= max_dup_line_char_ratio)
+    )
+    for n, t in top_ngram_max.items():
+        rep_gate = rep_gate & (F.col(f"top_{n}gram_char_ratio") <= t)
+    for n, t in dup_ngram_max.items():
+        rep_gate = rep_gate & (F.col(f"dup_{n}gram_char_ratio") <= t)
+    return rep.filter(rep_gate).select(*cols)

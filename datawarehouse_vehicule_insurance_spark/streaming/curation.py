@@ -684,6 +684,7 @@ def run_incremental_embedding_ingest(
     pq_ks: int = 16,
     pq_train_sample: int = 2048,
     pq_kmeans_iters: int = 5,
+    semantic_threshold: float | None = None,
 ):
     """The embedding-corpus twin of :func:`run_incremental_curation`:
     each ``availableNow`` run streams newly arrived vector files, drops
@@ -709,13 +710,24 @@ def run_incremental_embedding_ingest(
     every batch appends its survivors' codes
     (:func:`~..operators.similarity.pq_encode_table`) — consumers then
     run ``pq_topk(codebooks=..., codes=...)`` straight off the
-    persisted artifacts with no training or corpus encode."""
+    persisted artifacts with no training or corpus encode.
+
+    ``semantic_threshold`` (optional) additionally prunes each batch
+    WITHIN itself with
+    :func:`~..operators.similarity.semantic_dedup` against the loop's
+    own persisted centroids (the SemDeDup recipe on the stable index
+    geometry): batch vectors cosine-≥-threshold to an earlier kept
+    batch member in the same cell are dropped before anything is
+    appended. Runs after the vs-corpus rejection, so the corpus check
+    probes the full batch while the diversity prune pays only for
+    accepted vectors."""
     from ..operators.similarity import (
         ivf_assign_table,
         ivf_centroids_table,
         ivf_neardup_candidates,
         pq_codebooks_table,
         pq_encode_table,
+        semantic_dedup,
     )
 
     if (codebooks_path is None) != (codes_path is None):
@@ -786,6 +798,12 @@ def run_incremental_embedding_ingest(
                 F.col("id_a").alias(vec_id)
             ).distinct()
             survivors = batch.join(drop_ids, vec_id, "left_anti")
+        if semantic_threshold is not None:
+            survivors = semantic_dedup(
+                survivors, threshold=semantic_threshold,
+                centroids=cents, id_col=vec_id, vec_col=vec_col,
+                **ivf_kw,
+            )
         survivors = survivors.localCheckpoint(eager=True)
 
         def _append(df: DataFrame, path: str) -> None:

@@ -1,0 +1,193 @@
+"""Gopher quality-rule family (Rae et al. 2021 A1.1): per-row signals
+and repetition signals against a pure-python reference, and the full
+published-threshold gate."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+    GOPHER_STOPWORDS,
+    gopher_filter,
+    gopher_quality_features,
+    gopher_repetition_features,
+)
+
+
+def _norm(t):
+    return re.sub(r"\s+", " ", t.strip().lower())
+
+
+def _ref_repetition(t, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    norm = _norm(t)
+    total = len(norm)
+    toks = norm.split(" ")
+    out = {}
+    lines = [l.strip() for l in t.split("\n") if l.strip()]
+    lc = Counter(lines)
+    occ = len(lines)
+    out["dup_line_ratio"] = round(
+        sum(c - 1 for c in lc.values() if c > 1) / occ, 6
+    )
+    out["dup_line_char_ratio"] = round(
+        sum((c - 1) * len(l) for l, c in lc.items() if c > 1) / total, 6
+    )
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        gc = Counter(grams)
+        if n in top_ns:
+            key = f"top_{n}gram_char_ratio"
+            if gc and max(gc.values()) > 1:
+                mc = max(gc.values())
+                cov = max(mc * len(g) for g, c in gc.items() if c == mc)
+                out[key] = round(cov / total, 6)
+            else:
+                out[key] = 0.0
+        if n in dup_ns:
+            out[f"dup_{n}gram_char_ratio"] = round(
+                sum(c * len(g) for g, c in gc.items() if c > 1) / total, 6
+            )
+    return out
+
+
+GOOD = (
+    "The quick brown fox jumps over the lazy dog and runs to the river "
+    "with a friendly otter that swims along happily. They have spent "
+    "many days exploring the forest paths, discovering hidden clearings "
+    "and quiet streams that wind between ancient mossy stones. Each "
+    "morning brings a new adventure for the pair of unlikely friends."
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_quality_features_hand_computed(spark):
+    rows = [
+        (1, "The cat sat"),                         # 3 words
+        (2, "# tag and more... text … done"),       # 1 '#', 1 '...', 1 '…'
+                                                    # (7 ws-split words)
+        (3, "• first\n- second\nplain\nends..."),    # bullets + ellipsis
+        (4, "12 99 ++"),                            # no alpha words
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality_features(_df(spark, rows)).collect()
+    }
+    assert got[1]["n_words"] == 3
+    assert got[1]["mean_word_len"] == pytest.approx((3 + 3 + 3) / 3)
+    assert got[1]["stopword_hits"] == 1          # 'the'
+    assert got[2]["symbol_word_ratio"] == pytest.approx(3 / 7, abs=1e-5)
+    assert got[2]["stopword_hits"] == 1          # 'and'
+    assert got[3]["bullet_line_ratio"] == pytest.approx(2 / 4)
+    assert got[3]["ellipsis_line_ratio"] == pytest.approx(1 / 4)
+    assert got[4]["alpha_word_ratio"] == 0.0
+    assert got[1]["alpha_word_ratio"] == 1.0
+
+
+def test_repetition_features_match_python_reference(spark):
+    rows = [
+        (1, GOOD),
+        (2, "repeat me now\nrepeat me now\nunique line here\n"
+            "repeat me now"),
+        (3, "spam ham " * 30 + "end"),
+        (4, "all words here are completely distinct from one another "
+            "making nothing repeat at any gram size whatsoever"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in gopher_repetition_features(_df(spark, rows)).collect()
+    }
+    for i, t in rows:
+        ref = _ref_repetition(t)
+        for k, v in ref.items():
+            assert got[i][k] == pytest.approx(v, abs=2e-6), (i, k)
+    # sanity on magnitudes: the line-repeater and the 2-gram spammer
+    assert got[2]["dup_line_ratio"] == pytest.approx(2 / 4)
+    assert got[3]["top_2gram_char_ratio"] > 0.5
+    assert got[4]["dup_5gram_char_ratio"] == 0.0
+
+
+def test_gopher_filter_each_rule_drops_its_violator(spark):
+    long_tail = (
+        " The meadow stays calm while seven curious travelers wander "
+        "past old villages and tall hills, sharing stories that keep "
+        "everyone smiling through the whole journey together again."
+    )
+    rows = [
+        (1, GOOD),                                    # survives
+        (2, "short text with the and of"),            # < min words
+        (3, ("spam " * 60).strip() + long_tail),      # top-2gram blowout
+        (4, "\n".join(["the same line of text here"] * 40)),  # dup lines
+        (5, None),                                    # NULL
+        (6, ("## " * 30) + GOOD),                     # symbol ratio
+    ]
+    out = sorted(
+        r["doc_id"]
+        for r in gopher_filter(_df(spark, rows), min_words=40).collect()
+    )
+    assert out == [1]
+
+    # thresholds are policy: loosening the violated rules readmits docs
+    loose = sorted(
+        r["doc_id"]
+        for r in gopher_filter(
+            _df(spark, rows),
+            min_words=4,
+            max_symbol_word_ratio=1.0,
+            max_dup_line_ratio=1.0,
+            max_dup_line_char_ratio=2.0,
+            # overlap-naive coverage can exceed 1.0 on degenerate text
+            top_ngram_max={2: 99.0, 3: 99.0, 4: 99.0},
+            dup_ngram_max={5: 99.0},
+        ).collect()
+    )
+    assert 2 in loose and 3 in loose and 4 in loose
+    assert 5 not in loose  # NULL text never survives
+    assert gopher_filter(_df(spark, rows)).columns == ["doc_id", "text"]
+
+
+def test_gopher_filter_on_real_documents(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    kept = gopher_filter(docs, min_words=10, min_stopword_hits=0)
+    n, total = kept.count(), docs.count()
+    assert 0 < n <= total
+    # survivors are a subset of the input ids
+    ids = {r["doc_id"] for r in docs.collect()}
+    assert all(r["doc_id"] in ids for r in kept.collect())
+
+
+def test_curate_corpus_gopher_stage(spark):
+    """curate_corpus(gopher_rules=...) applies the full rule family
+    between the basic gates and the near-dup stage."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    rows = [
+        (1, GOOD),
+        (2, "\n".join(["the same line of text here"] * 40)),  # dup lines
+    ]
+    out = curate_corpus(
+        _df(spark, rows),
+        min_tokens=5,
+        min_alpha_ratio=0.0,
+        max_dup_2gram_ratio=1.0,
+        gopher_rules={"min_words": 40, "min_stopword_hits": 1},
+    )
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+    # without the stage, the repeater passes the basic gates
+    base = curate_corpus(
+        _df(spark, rows),
+        min_tokens=5,
+        min_alpha_ratio=0.0,
+        max_dup_2gram_ratio=1.0,
+    )
+    assert sorted(r["doc_id"] for r in base.collect()) == [1, 2]

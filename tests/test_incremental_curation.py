@@ -1462,3 +1462,61 @@ def test_cli_curate_stream_compact_every(spark, tmp_path, capsys):
     assert set(stats["compacted"]) == {bands, hashes}
     assert SC.loop_batch_partitions(spark, bands) == 1
     assert stats["corpus_rows"] == 3
+
+
+def test_embedding_loop_semantic_dedup_within_batch(spark, tmp_path):
+    """semantic_threshold prunes each batch within itself against the
+    loop's persisted centroids: two near-identical fresh vectors in one
+    batch admit only the first, on top of the vs-corpus rejection."""
+    from datawarehouse_vehicule_insurance_spark.streaming import (
+        curation as SC,
+    )
+
+    src = str(tmp_path / "src")
+    corpus_path = str(tmp_path / "corpus")
+    cent_path = str(tmp_path / "centroids")
+    asg_path = str(tmp_path / "assignments")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = SC.run_incremental_embedding_ingest(
+            spark, src, corpus_path, cent_path, asg_path, ckpt,
+            neardup_threshold=0.95, n_probe=2, n_cells=2,
+            semantic_threshold=0.9,
+        )
+        q.awaitTermination()
+
+    def corpus_ids():
+        df = SC._try_read_parquet(spark, corpus_path)
+        return sorted(r["vec_id"] for r in df.collect()) \
+            if df is not None else []
+
+    # batch 1: centroids bootstrap from the two lowest ids (distinct
+    # axes); 3 and 4 then land in 1's cell as semantic near-dups of it
+    # — the greedy admits only the earliest member of the group
+    b1 = _vecs(spark, [
+        (1, _unit_row(0)),
+        (2, _unit_row(1)),
+        (3, _unit_row(0, eps_axis=3, eps=0.05)),
+        (4, _unit_row(0, eps_axis=3, eps=0.09)),
+    ])
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert corpus_ids() == [1, 2]
+
+    # batch 2: 11 near-dups the CORPUS (dropped by the IVF probe), 12
+    # and 13 are fresh but near-dup each other (semantic prune keeps
+    # 12), 14 is fresh and distinct from both
+    b2 = _vecs(spark, [
+        (11, _unit_row(0, eps_axis=4, eps=0.02)),
+        (12, _unit_row(2, eps_axis=5, eps=0.05)),
+        (13, _unit_row(2, eps_axis=5, eps=0.08)),
+        (14, _unit_row(3)),
+    ])
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert corpus_ids() == [1, 2, 12, 14]
+
+    # assignments track exactly the accepted corpus
+    asg = spark.read.parquet(asg_path)
+    assert sorted(r["vec_id"] for r in asg.collect()) == [1, 2, 12, 14]
