@@ -114,6 +114,7 @@ def _run_curate(args: argparse.Namespace) -> int:
         dsir_target_model=dsir_target,
         dsir_top_n=args.dsir_top_n,
         dsir_temperature=args.dsir_temperature,
+        gopher_rules={} if args.gopher else None,
     )
     out.write.mode("overwrite").parquet(args.output)
     kept = spark.read.parquet(args.output).count()
@@ -147,6 +148,12 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
         if langs is not None:
             gate = gate & lang_id(F.col("text")).isin(*langs)
         out = quality_features(df, text_col="text").filter(gate).select(*cols)
+        if args.gopher:
+            from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+                gopher_filter,
+            )
+
+            out = gopher_filter(out)
         if lm_model is not None:
             from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
                 perplexity_filter,
@@ -425,6 +432,11 @@ def main(argv: list[str] | None = None) -> int:
         "--dsir-temperature", dest="dsir_temperature", type=float,
         default=1.0,
         help="curate: DSIR sampling temperature (small -> hard top-n)",
+    )
+    p.add_argument(
+        "--gopher", action="store_true",
+        help="curate/curate-stream: apply the full Gopher rule family "
+        "at its published thresholds after the basic gates",
     )
     p.add_argument(
         "--merges", help="bpe-train: output dir for the merges table"

@@ -71,6 +71,7 @@ def curate_corpus(
     dsir_temperature: float = 1.0,
     dsir_seed: int = 42,
     gopher_rules: dict | None = None,
+    near_dup_keep_by=None,
 ) -> DataFrame:
     """Curate ``docs`` for training; returns surviving rows with the
     input schema. ``benchmark`` (optional) enables the decontamination
@@ -186,13 +187,16 @@ def curate_corpus(
             text_col=text_col, id_col=id_col,
         )
 
-    # 3. near-dup removal over survivors only
+    # 3. near-dup removal over survivors only; ``near_dup_keep_by``
+    #    (optional column/expression) keeps the highest-scoring member
+    #    of each duplicate group instead of the lowest id
     out = minhash_dedup(
         out,
         text_col=text_col,
         id_col=id_col,
         threshold=jaccard_threshold,
         transitive=transitive,
+        keep_by=near_dup_keep_by,
     )
 
     # 3.5 verbatim span-overlap removal (optional): partial containment

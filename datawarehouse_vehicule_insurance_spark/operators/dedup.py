@@ -720,6 +720,7 @@ def minhash_dedup(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     transitive: bool = False,
+    keep_by: str | Column | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """End-to-end near-dup removal: LSH candidates → Jaccard verify →
@@ -727,6 +728,16 @@ def minhash_dedup(
     :func:`connected_components` first so chains A~B~C collapse to one
     survivor even when A~C was never a candidate pair; the default
     one-pass mode drops the higher id of each confirmed pair.
+
+    ``keep_by`` (optional) makes survivor selection quality-aware: a
+    column name or expression over ``df`` (e.g. a
+    :func:`~.mlprep.score_quality` score or a length heuristic) — each
+    duplicate pair/cluster keeps its HIGHEST-scoring member instead of
+    its lowest id (ties, and NULL scores ranked last, still break by
+    min id). Pairwise mode orients every confirmed pair by the strict
+    total order (score desc, id asc) and drops the later member — the
+    order's global first in any duplicate component always survives,
+    so quality ranking cannot cascade a cycle into zero survivors.
 
     The confirmed-pair table is ``localCheckpoint``-ed before the
     transitive closure: the iterative component loop would otherwise
@@ -742,13 +753,50 @@ def minhash_dedup(
         cand, df, id_col, text_col,
         n=lsh_kwargs.get("shingle_n", 3), threshold=threshold,
     )
+    quality = None
+    if keep_by is not None:
+        expr = F.col(keep_by) if isinstance(keep_by, str) else keep_by
+        # NULL-safe rank: unscored docs lose to any scored one
+        quality = df.select(
+            F.col(id_col).alias("__qid"),
+            F.coalesce(expr.cast("double"), F.lit(float("-inf")))
+            .alias("__q"),
+        )
     if transitive:
         comp = connected_components(confirmed.localCheckpoint(eager=False))
-        losers = comp.filter(F.col("id") != F.col("component")).select(
-            F.col("id").alias(id_col)
-        )
-    else:
+        if quality is None:
+            losers = comp.filter(F.col("id") != F.col("component")).select(
+                F.col("id").alias(id_col)
+            )
+        else:
+            scored = comp.join(
+                quality, comp["id"] == quality["__qid"]
+            ).select("id", "component", "__q")
+            best = scored.groupBy("component").agg(
+                F.max(F.struct(F.col("__q"), (-F.col("id")).alias("__nid")))
+                .alias("__best")
+            ).select(
+                "component", (-F.col("__best.__nid")).alias("__keep_id")
+            )
+            losers = scored.join(best, "component").filter(
+                F.col("id") != F.col("__keep_id")
+            ).select(F.col("id").alias(id_col))
+    elif quality is None:
         losers = confirmed.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        qa = quality.withColumnRenamed("__qid", "id_a") \
+                    .withColumnRenamed("__q", "__qa")
+        qb = quality.withColumnRenamed("__qid", "id_b") \
+                    .withColumnRenamed("__q", "__qb")
+        pair_loser = confirmed.join(qa, "id_a").join(qb, "id_b").select(
+            F.when(
+                (F.col("__qa") > F.col("__qb"))
+                | ((F.col("__qa") == F.col("__qb"))
+                   & (F.col("id_a") < F.col("id_b"))),
+                F.col("id_b"),
+            ).otherwise(F.col("id_a")).alias(id_col)
+        )
+        losers = pair_loser.distinct()
     return df.join(losers, id_col, "left_anti")
 
 

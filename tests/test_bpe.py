@@ -170,3 +170,45 @@ def test_cli_bpe_train(spark, tmp_path, capsys):
     a = bpe_encode(corpus, loaded, num_merges=20).orderBy("doc_id").collect()
     b = bpe_encode(corpus, direct, num_merges=20).orderBy("doc_id").collect()
     assert [r["bpe_tokens"] for r in a] == [r["bpe_tokens"] for r in b]
+
+
+def test_bpe_encode_property_random_corpora(spark):
+    """Property: for random word corpora, the distributed greedy-by-rank
+    encoder equals the replay-the-merges reference for every word, and
+    reconstruction is lossless. One Spark job per example batch."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcde", min_size=1, max_size=8)
+
+    @given(
+        st.lists(word, min_size=1, max_size=30),   # training words
+        st.lists(word, min_size=1, max_size=15),   # words to encode
+    )
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(train_words, encode_words):
+        corpus = spark.createDataFrame(
+            [(1, " ".join(train_words))], "doc_id long, text string"
+        )
+        merges_df = train_bpe(corpus, num_merges=25)
+        merges = [
+            (r["left"], r["right"])
+            for r in merges_df.orderBy("rank").collect()
+        ]
+        docs = spark.createDataFrame(
+            [(1, " ".join(encode_words))], "doc_id long, text string"
+        )
+        got = bpe_encode(docs, merges_df, num_merges=25).first()[
+            "bpe_tokens"
+        ]
+        expect = []
+        for w in encode_words:
+            expect += _ref_encode(w, merges)
+        assert got == expect
+        rebuilt = "".join(got).split(BPE_EOW)
+        assert rebuilt[:-1] == encode_words and rebuilt[-1] == ""
+
+    run()

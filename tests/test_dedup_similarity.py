@@ -998,3 +998,71 @@ def test_semantic_dedup_idempotent_on_survivors(spark):
     ).count()
     assert 0 < n1 <= emb.count()
     assert n2 == n1
+
+
+def test_minhash_dedup_keep_by_quality(spark):
+    """keep_by keeps the highest-scoring member of each near-dup group
+    (NULL scores lose; ties fall back to min id) in both pairwise and
+    transitive modes, and a quality cycle cannot drop every member."""
+    base = " ".join(f"w{i}" for i in range(40))
+
+    def near(i, repl):
+        ws = base.split()
+        ws[i] = repl
+        return " ".join(ws)
+
+    rows = [
+        (1, base, 1.0),
+        (2, near(3, "X"), 5.0),     # near-dup of 1, higher quality
+        (3, near(7, "Y"), None),    # near-dup of 1/2, unscored
+        (10, " ".join(f"z{i}" for i in range(40)), 0.0),  # fresh
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, score double"
+    )
+
+    default = sorted(
+        r["doc_id"]
+        for r in D.minhash_dedup(df, threshold=0.7, transitive=True).collect()
+    )
+    assert default == [1, 10]
+
+    by_quality = sorted(
+        r["doc_id"]
+        for r in D.minhash_dedup(
+            df, threshold=0.7, transitive=True, keep_by="score"
+        ).collect()
+    )
+    assert by_quality == [2, 10]
+
+    pairwise = sorted(
+        r["doc_id"]
+        for r in D.minhash_dedup(
+            df, threshold=0.7, keep_by=F.col("score")
+        ).collect()
+    )
+    assert pairwise == [2, 10]
+
+    # tie scores -> min id survives (matches the default orientation)
+    tied = df.withColumn("score", F.lit(1.0))
+    assert sorted(
+        r["doc_id"]
+        for r in D.minhash_dedup(
+            tied, threshold=0.7, transitive=True, keep_by="score"
+        ).collect()
+    ) == [1, 10]
+
+    # curate_corpus pass-through
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    out = curate_corpus(
+        df,
+        min_tokens=5,
+        min_alpha_ratio=0.0,
+        max_dup_2gram_ratio=1.0,
+        jaccard_threshold=0.7,
+        near_dup_keep_by="score",
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 10]

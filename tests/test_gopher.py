@@ -191,3 +191,25 @@ def test_curate_corpus_gopher_stage(spark):
         max_dup_2gram_ratio=1.0,
     )
     assert sorted(r["doc_id"] for r in base.collect()) == [1, 2]
+
+
+def test_cli_curate_gopher_flag(spark, tmp_path, capsys):
+    """curate --gopher applies the full rule family at published
+    thresholds."""
+    import json as _json
+
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    pool_path = str(tmp_path / "pool.parquet")
+    _df(spark, [
+        (1, GOOD),
+        (2, "\n".join(["the same line of text here"] * 40)),
+    ]).write.parquet(pool_path)
+    out_path = str(tmp_path / "curated")
+    assert main([
+        "curate", "--input", pool_path, "--output", out_path,
+        "--min-tokens", "5", "--gopher",
+    ]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["kept"] == 1
+    assert spark.read.parquet(out_path).first()["doc_id"] == 1
