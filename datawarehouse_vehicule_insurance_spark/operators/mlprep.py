@@ -472,3 +472,48 @@ def dsir_resample(
         .limit(n)
         .select(*cols)
     )
+
+
+def tokenize_and_pack(
+    docs: DataFrame,
+    merges: DataFrame,
+    max_len: int = 2048,
+    num_shards: int = 64,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 200,
+    max_words: int = 50_000,
+) -> DataFrame:
+    """The last mile of the training-data pipeline in one call: count
+    each document's REAL subword tokens under a trained BPE vocabulary
+    (:func:`~.text_analysis.bpe_token_count` against the persisted
+    merges table) and FFD-pack documents into ``max_len``-token
+    training sequences (:func:`pack_sequences`). Returns one row per
+    document: (id, bpe_token_count, seq_id, overflow).
+
+    Why this composition matters: packing against whitespace token
+    counts overfills sequences wherever the tokenizer splits words
+    (every sequence then truncates at load time); packing against the
+    actual vocabulary's counts is what makes ``max_len`` a real
+    contract. One Arrow-batched count pass + the sharded pack — text
+    never reaches the packer."""
+    from .text_analysis import bpe_token_count
+
+    counted = bpe_token_count(
+        docs, merges, num_merges=num_merges, max_words=max_words,
+        text_col=text_col, out_col="bpe_token_count",
+    ).filter(
+        # NULL text has no tokens to pack (legacy size() mode returns
+        # -1 instead of NULL — excluded either way)
+        F.col("bpe_token_count").isNotNull()
+        & (F.col("bpe_token_count") >= 0)
+    )
+    return pack_sequences(
+        counted.select(id_col, "bpe_token_count"),
+        id_col=id_col,
+        token_col="bpe_token_count",
+        max_len=max_len,
+        num_shards=num_shards,
+        seed=seed,
+    )

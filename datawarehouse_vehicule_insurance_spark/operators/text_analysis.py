@@ -705,7 +705,15 @@ def train_bpe(
     TakeOrdered — a bounded driver collect; the tail it drops is the
     long tail of rare words whose pair counts are dominated anyway.
     Merge learning itself (:func:`_bpe_learn`) is driver-side over that
-    bounded histogram."""
+    bounded histogram.
+
+    Contract note: like the original character-level formulation, the
+    end-of-word marker is a plain symbol — text whose words contain the
+    literal string ``</w>`` can train merges that assemble a colliding
+    symbol, making token→text reconstruction ambiguous for those words
+    (encoding still round-trips deterministically). Corpora with such
+    markup should strip it first (byte-level BPE is the collision-free
+    variant)."""
     hist = (
         train.select(F.explode(tokens(F.col(text_col))).alias("__w"))
         .filter(F.col("__w") != "")

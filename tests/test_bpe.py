@@ -212,3 +212,86 @@ def test_bpe_encode_property_random_corpora(spark):
         assert rebuilt[:-1] == encode_words and rebuilt[-1] == ""
 
     run()
+
+
+def test_tokenize_and_pack_end_to_end(spark):
+    """BPE-count → FFD-pack composition: every non-NULL doc lands in
+    exactly one sequence, budgets hold, counts are the real subword
+    counts."""
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        tokenize_and_pack,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(60)
+    docs = docs.union(
+        spark.createDataFrame([(99_999, None)], "doc_id long, text string")
+    )
+    merges = train_bpe(docs, num_merges=40)
+    packed = tokenize_and_pack(
+        docs, merges, max_len=512, num_shards=4, num_merges=40
+    )
+    rows = packed.collect()
+    assert len(rows) == 60                      # NULL doc excluded
+    assert len({r["doc_id"] for r in rows}) == 60
+
+    # per-sequence budget holds except flagged singletons
+    from collections import defaultdict
+    seqs = defaultdict(list)
+    for r in rows:
+        seqs[r["seq_id"]].append(r)
+    for members in seqs.values():
+        total = sum(m["bpe_token_count"] for m in members)
+        if any(m["overflow"] for m in members):
+            assert len(members) == 1
+        else:
+            assert total <= 512
+
+    # counts are the real vocabulary counts
+    direct = {
+        r["doc_id"]: r["bpe_token_count"]
+        for r in bpe_token_count(docs, merges, num_merges=40)
+        .filter("text is not null").collect()
+    }
+    for r in rows:
+        assert r["bpe_token_count"] == direct[r["doc_id"]]
+
+
+def test_new_operator_plan_shapes(spark):
+    """Scale claims pinned in the plans: dsir_resample ranks via
+    TakeOrderedAndProject (per-partition top-n, no global sort
+    exchange); semantic_dedup's only wide exchange is the single
+    cell-hash partitioning."""
+    from datawarehouse_vehicule_insurance_spark.operators import (
+        similarity as S,
+    )
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        dsir_resample,
+    )
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bigram_lm_tables,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(50)
+    model_t = bigram_lm_tables(docs.limit(20))
+    model_r = bigram_lm_tables(docs)
+    plan = dsir_resample(
+        docs, model_t, model_r, n=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(64)
+    ct = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6)],
+        "cell int, centroid array<double>",
+    ).withColumn(S.ANN_PARAMS_COL, F.lit(S.ivf_fingerprint(2, 0, 2048, 42)))
+    sd_plan = S.semantic_dedup(
+        emb, n_cells=2, centroids=ct
+    )._jdf.queryExecution().executedPlan().toString()
+    # one hashpartitioning exchange on the cell key for the greedy;
+    # the id-join back is broadcast or reuses that clustering
+    assert sd_plan.count("hashpartitioning(__cell") <= 2
