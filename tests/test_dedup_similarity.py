@@ -1066,3 +1066,58 @@ def test_minhash_dedup_keep_by_quality(spark):
         near_dup_keep_by="score",
     )
     assert sorted(r["doc_id"] for r in out.collect()) == [2, 10]
+
+
+def test_semantic_dedup_property_random_vectors(spark):
+    """Property: the distributed within-cell greedy equals a python
+    reference on random unit-ish vectors with fixed axis centroids."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    dim = 4
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0]]
+    coord = st.floats(
+        min_value=-1.0, max_value=1.0,
+        allow_nan=False, allow_infinity=False, width=32,
+    )
+    vec = st.lists(coord, min_size=dim, max_size=dim)
+
+    @given(st.lists(vec, min_size=1, max_size=12))
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(vectors):
+        rows = [(i, v) for i, v in enumerate(vectors)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        ctable = _cents_table(spark, cents, n_cells=3)
+        got = sorted(
+            r["vec_id"]
+            for r in S.semantic_dedup(
+                df, threshold=0.9, n_cells=3, centroids=ctable
+            ).collect()
+        )
+
+        C = np.array(cents)
+        M = np.array(vectors, dtype=np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        M = M / norms
+        cell = (M @ C.T).argmax(axis=1)
+        expect = []
+        for c in range(3):
+            kept = []
+            for k in range(len(vectors)):
+                if cell[k] != c:
+                    continue
+                if all(float(M[k] @ M[j]) < 0.9 for j in kept):
+                    kept.append(k)
+            expect += kept
+        assert got == sorted(expect)
+
+    run()

@@ -213,3 +213,28 @@ def test_cli_curate_gopher_flag(spark, tmp_path, capsys):
     stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["kept"] == 1
     assert spark.read.parquet(out_path).first()["doc_id"] == 1
+
+
+def test_repetition_property_random_texts(spark):
+    """Property: repetition ratios equal the python reference on random
+    multi-line texts drawn from a small word pool (repeats likely)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "longerword"])
+    line = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @given(st.lists(line, min_size=1, max_size=8))
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(lines):
+        text = "\n".join(lines)
+        got = gopher_repetition_features(
+            _df(spark, [(1, text)])
+        ).first().asDict()
+        for k, v in _ref_repetition(text).items():
+            assert got[k] == pytest.approx(v, abs=2e-6), k
+
+    run()
