@@ -187,6 +187,22 @@ def curate_corpus(
             text_col=text_col, id_col=id_col,
         )
 
+    # --- stage-boundary plan cut. Every stage references its input
+    # several times (reassembly joins, verify joins, anti-joins), so a
+    # fully-composed pipeline's LAZY plan grows as the PRODUCT of those
+    # fan-outs — large enough to OOM the driver inside Catalyst before
+    # a single row moves (found by the all-stages integration test).
+    # An eager=False localCheckpoint here bounds the tree the same way
+    # minhash_dedup's candidate checkpoint does; it materializes the
+    # already-gated intermediate on first use. Only taken when optional
+    # upstream stages are enabled — the plain pipeline stays one plan.
+    if (
+        line_dedup_min_freq is not None
+        or gopher_rules is not None
+        or lm_model is not None
+    ):
+        out = out.localCheckpoint(eager=False)
+
     # 3. near-dup removal over survivors only; ``near_dup_keep_by``
     #    (optional column/expression) keeps the highest-scoring member
     #    of each duplicate group instead of the lowest id
@@ -290,6 +306,10 @@ def curate_corpus(
         from .mlprep import dsir_resample
         from .text_analysis import bigram_lm_tables
 
+        # second plan cut: DSIR's two scoring passes reference the
+        # survivor frame three more times on top of stages 3-5.5's
+        # fan-out
+        out = out.localCheckpoint(eager=False)
         raw_model = dsir_raw_model
         if raw_model is None:
             raw_model = bigram_lm_tables(docs, text_col, id_col)

@@ -1520,3 +1520,102 @@ def test_embedding_loop_semantic_dedup_within_batch(spark, tmp_path):
     # assignments track exactly the accepted corpus
     asg = spark.read.parquet(asg_path)
     assert sorted(r["vec_id"] for r in asg.collect()) == [1, 2, 12, 14]
+
+
+def test_curate_corpus_all_stages_composed(spark):
+    """Kitchen-sink integration: EVERY optional curate stage enabled at
+    once — exact dedup, line dedup, basic gates, Gopher rules, LM
+    perplexity gate, quality-keyed near-dup, span overlap,
+    decontamination, incremental dedup against a corpus, and final DSIR
+    budget selection — each planted violator dies at its own stage and
+    the survivors come out in input schema. (Also the regression pin
+    for the composed-plan Catalyst OOM: without curate_corpus's
+    stage-boundary localCheckpoint cuts this test dies building the
+    plan, before any data moves.)"""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+    )
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bigram_lm_tables,
+        lm_perplexity,
+    )
+
+    def prose(tag, n=60):
+        return " ".join(
+            f"the {tag}{i} and some of that text have with more".split()[
+                i % 9
+            ] + f"{tag}{i}"
+            for i in range(n)
+        )
+
+    boiler = "subscribe to our newsletter today please"
+    good1 = prose("alpha")
+    good2 = prose("beta")
+    corpus_doc = prose("stored")
+    bench_doc = "unique benchmark secret passage of eight tokens exactly"
+    junk = " ".join(f"qx{i}zz" for i in range(40))
+    scrambled = " ".join(reversed(good1.split()))
+
+    rows = [
+        (1, good1 + "\n" + boiler),        # keep (boiler line cleaned)
+        (2, good2 + "\n" + boiler),        # near-dup loser of (2, 7)
+        (3, good1 + "\n" + boiler),        # exact dup of 1
+        (4, "short text"),                 # basic gate (min tokens)
+        (5, "\n".join(["the dup line here again ok"] * 40)),  # gopher
+        (6, junk),                         # perplexity gate (OOV junk)
+        # same line as 2 plus appended words: high Jaccard near-dup,
+        # but NOT an identical line (the C4 rule must not fire on it)
+        (7, good2 + " extra1 extra2 extra3"),
+        (8, prose("fresh") + " " + bench_doc),   # decontamination
+        (9, corpus_doc + "\ntrailing new words here"),  # vs-corpus dup
+        (10, scrambled),                   # keep: in-vocab, scrambled
+    ]
+    docs = _docs(spark, rows)
+    lm = bigram_lm_tables(
+        _docs(spark, [(100, good1), (101, good2), (102, corpus_doc)])
+    )
+    # threshold between the OOV junk's perplexity and the scrambled
+    # in-vocab doc's (robust to smoothing-constant drift)
+    ppl = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm_perplexity(
+            _docs(spark, [(6, junk), (10, scrambled)]), *lm
+        ).collect()
+    }
+    assert ppl[10] < ppl[6], "fixture: scrambled must beat junk"
+    max_ppl = float((ppl[6] * ppl[10]) ** 0.5)
+
+    existing = _docs(spark, [(1000, corpus_doc)])
+    benchmark = _docs(spark, [(2000, bench_doc)])
+
+    out = curate_corpus(
+        docs,
+        benchmark=benchmark,
+        min_tokens=5,
+        min_alpha_ratio=0.0,
+        max_dup_2gram_ratio=1.0,
+        jaccard_threshold=0.6,
+        line_dedup_min_freq=2,
+        gopher_rules={
+            "min_words": 20, "min_stopword_hits": 0,
+            "min_mean_word_len": 0.0, "max_mean_word_len": 99.0,
+            "min_alpha_word_ratio": 0.0,
+        },
+        lm_model=lm,
+        max_perplexity=max_ppl,
+        near_dup_keep_by=F.length("text"),
+        span_dedup_min_shared=30,
+        existing_corpus=existing,
+        dsir_target_model=lm,
+        dsir_top_n=3,
+        dsir_temperature=1e-6,
+    )
+    result = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert out.columns == ["doc_id", "text"]
+    # clean pool after every gate/dedup = {1, 7, 10}: the (2, 7)
+    # near-dup collapsed to 7 (keep_by=length keeps the longer member);
+    # DSIR's top-3 then takes the whole pool
+    assert set(result) == {1, 7, 10}
+    # line cleaning really ran on the stored survivors
+    assert all(boiler not in t for t in result.values())
+    assert good1 in result[1]  # unique lines untouched
