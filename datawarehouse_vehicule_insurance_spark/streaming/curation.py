@@ -930,3 +930,29 @@ def loop_batch_partitions(spark: SparkSession, index_path: str) -> int:
     if art is None or BATCH_COL not in art.columns:
         return 0
     return art.select(BATCH_COL).distinct().count()
+
+
+def compact_embedding_indexes(
+    spark: SparkSession,
+    corpus_path: str | None = None,
+    assignments_path: str | None = None,
+    codes_path: str | None = None,
+) -> dict:
+    """Embedding twin of :func:`compact_loop_indexes`: fold the vector
+    ingest loop's per-batch append partitions (corpus, IVF assignments,
+    PQ codes — all vec_id-keyed, duplicated only by replays) into the
+    reserved ``-1`` partition with duplicate rows dropped. Centroids
+    and codebooks are single-write artifacts and never need compaction.
+    Same run-between-loop-runs contract; returns
+    ``{path: {"before": n, "after": n}}``."""
+    out: dict = {}
+    for path in (corpus_path, assignments_path, codes_path):
+        if path is None:
+            continue
+        art = _read_artifact(spark, path)
+        if art is None:
+            raise ValueError(f"no artifact at {path}")
+        before = art.count()
+        after = _rewrite_artifact(spark, art.distinct(), path)
+        out[path] = {"before": before, "after": after}
+    return out

@@ -1619,3 +1619,65 @@ def test_curate_corpus_all_stages_composed(spark):
     # line cleaning really ran on the stored survivors
     assert all(boiler not in t for t in result.values())
     assert good1 in result[1]  # unique lines untouched
+
+
+def test_compact_embedding_indexes(spark, tmp_path):
+    """Embedding-artifact compaction folds batch partitions, collapses
+    replay duplicates, and leaves persisted-index probes identical."""
+    from datawarehouse_vehicule_insurance_spark.operators import (
+        similarity as S,
+    )
+
+    src = str(tmp_path / "src")
+    corpus_path = str(tmp_path / "corpus")
+    cent_path = str(tmp_path / "centroids")
+    asg_path = str(tmp_path / "assignments")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = SC.run_incremental_embedding_ingest(
+            spark, src, corpus_path, cent_path, asg_path, ckpt,
+            neardup_threshold=0.95, n_probe=2, n_cells=2,
+        )
+        q.awaitTermination()
+
+    _vecs(spark, [(1, _unit_row(0)), (2, _unit_row(1))]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+    _vecs(spark, [(11, _unit_row(2)), (12, _unit_row(3))]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+
+    # replay artifact: duplicate batch-0's assignment rows
+    dup = spark.read.parquet(asg_path).filter(F.col(SC.BATCH_COL) == 0)
+    dup.withColumn(SC.BATCH_COL, F.lit(9)).write.mode("append") \
+        .partitionBy(SC.BATCH_COL).parquet(asg_path)
+
+    queries = _vecs(spark, [(100, _unit_row(0, eps_axis=1, eps=0.3))]) \
+        .withColumnRenamed("vec_id", "query_id") \
+        .withColumnRenamed("embedding", "qvec")
+
+    def topk():
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in S.ivf_topk(
+                queries,
+                SC._read_artifact(spark, corpus_path),
+                k=2, n_cells=2, n_probe=2,
+                centroids=spark.read.parquet(cent_path),
+                assignments=SC._read_artifact(spark, asg_path)
+                .dropDuplicates(["vec_id"]),
+            ).collect()
+        )
+
+    before = topk()
+    stats = SC.compact_embedding_indexes(
+        spark, corpus_path, asg_path
+    )
+    assert stats[asg_path]["after"] < stats[asg_path]["before"]
+    assert stats[corpus_path]["after"] == stats[corpus_path]["before"]
+    assert SC.loop_batch_partitions(spark, asg_path) == 1
+    assert topk() == before
+
+    with pytest.raises(ValueError, match="no artifact"):
+        SC.compact_embedding_indexes(spark, str(tmp_path / "missing"))
