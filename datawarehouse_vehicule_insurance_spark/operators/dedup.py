@@ -1455,3 +1455,146 @@ def cross_corpus_verbatim_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
         .filter(F.col("n_shared_fingerprints") >= min_shared)
     )
+
+
+def duplicate_span_trim(
+    docs: DataFrame,
+    min_span: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus: DataFrame | None = None,
+    min_occurrences: int = 2,
+    keep: str = "first",
+) -> DataFrame:
+    """Exact-substring deduplication at the PASSAGE level (the
+    ExactSubstr recipe of Lee et al. 2021, arXiv:2107.06499, re-shaped
+    for Spark): any verbatim token run of at least ``min_span`` tokens
+    that occurs ``min_occurrences``+ times across the input (and the
+    optional ``corpus``) is REMOVED from the documents — the rest of
+    each document survives. This is the complement of
+    :func:`span_overlap_dedup`, which drops whole documents: trimming
+    is what you want when a good page embeds a widely-copied passage
+    (license block, quoted article, mirrored section).
+
+    ``keep='first'`` spares the globally first occurrence (corpus
+    occurrences outrank batch ones, then (id, position) order) — the
+    passage survives exactly once, as in the paper. ``keep='none'``
+    removes every occurrence (the C4 line rule's semantics, lifted to
+    token spans).
+
+    Mechanics, suffix-array-free: per token position, hash the
+    ``min_span``-token gram starting there (an ``xxhash64`` over a
+    ``lead`` chain — the winnowing machinery without its sampling, so
+    EVERY span is checked, not a sketch); one shuffle by gram hash
+    counts and ranks occurrences; a position is removed iff some
+    flagged gram start lies within the previous ``min_span−1``
+    positions — a sliding window max, no interval arithmetic. Survivor
+    text is reassembled in token order.
+
+    Contract: output text is whitespace-normalized (lowered + single
+    spaces — the same canonical form every dedup operator here hashes);
+    documents shorter than ``min_span`` tokens pass through in that
+    canonical form too. NULL text stays NULL. Cost is O(min_span) lead
+    columns per token — at the paper's span lengths (~50) that is real
+    but linear, and both shuffles are narrow (id- and hash-keyed).
+
+    Skew note: a passage shared by MILLIONS of documents makes its gram
+    hashes hot keys in the count/rank window — under ``keep='none'``
+    the rank is unused and the count could be salted, but ``'first'``
+    genuinely needs a global order per gram; for corpora with
+    pathological mega-duplicates run the C4 line rule or
+    :func:`span_overlap_dedup` first to shed them.
+    """
+    from pyspark.sql import Window
+
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be first|none, got {keep!r}")
+    L = int(min_span)
+    if L < 2:
+        raise ValueError("min_span must be >= 2")
+
+    def _tok_rows(df, side):
+        toks = F.split(
+            F.regexp_replace(
+                F.lower(F.trim(F.col(text_col))), r"\s+", " "
+            ),
+            " ",
+        )
+        return df.select(
+            F.lit(side).alias("__side"),
+            F.col(id_col).alias("__id"),
+            F.posexplode(toks).alias("__pos", "__tok"),
+        ).withColumn("__th", F.xxhash64("__tok"))
+
+    tok = _tok_rows(docs, 1)
+    w = Window.partitionBy("__side", "__id").orderBy("__pos")
+    lead_hashes = [F.col("__th")] + [
+        F.lead("__th", j).over(w) for j in range(1, L)
+    ]
+
+    def _grams(rows):
+        return (
+            rows.withColumn("__gh", F.xxhash64(*lead_hashes))
+            .withColumn("__full", lead_hashes[-1].isNotNull())
+            .filter(F.col("__full"))
+            .select("__side", "__id", "__pos", "__gh")
+        )
+
+    occ = _grams(tok)
+    if corpus is not None:
+        occ = occ.unionByName(_grams(_tok_rows(corpus, 0)))
+
+    gw = Window.partitionBy("__gh")
+    go = Window.partitionBy("__gh").orderBy("__side", "__id", "__pos")
+    flagged = occ.withColumn("__cnt", F.count(F.lit(1)).over(gw)) \
+                 .withColumn("__rn", F.row_number().over(go))
+    cond = F.col("__cnt") >= int(min_occurrences)
+    if keep == "first":
+        cond = cond & (F.col("__rn") > 1)
+    starts = (
+        flagged.filter(cond & (F.col("__side") == 1))
+        .select("__id", "__pos")
+        .withColumn("__ds", F.lit(1))
+    )
+
+    tok_flag = (
+        tok.filter(F.col("__side") == 1)
+        .join(starts, ["__id", "__pos"], "left")
+        .withColumn("__ds", F.coalesce(F.col("__ds"), F.lit(0)))
+    )
+    dw = Window.partitionBy("__id").orderBy("__pos") \
+               .rowsBetween(-(L - 1), 0)
+    kept = tok_flag.withColumn("__cov", F.max("__ds").over(dw)) \
+                   .filter(F.col("__cov") == 0)
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("__pos", "__tok"))
+                ),
+                lambda s: s["__tok"],
+            ),
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__kept_n"),
+    )
+    # docs whose every token was trimmed still had token rows upstream;
+    # they get an empty string (content existed, all of it duplicated),
+    # while NULL-text docs never produced rows and keep NULL
+    any_tok = tok.filter(F.col("__side") == 1).select(
+        F.col("__id")
+    ).distinct().withColumn("__had", F.lit(1))
+    out_cols = [
+        F.col(c) if c != text_col else
+        F.when(F.col("__had").isNotNull(),
+               F.coalesce(F.col("__clean"), F.lit("")))
+        .otherwise(F.lit(None).cast("string")).alias(text_col)
+        for c in docs.columns
+    ]
+    return (
+        docs.join(rebuilt, F.col(id_col) == rebuilt["__id"], "left")
+        .drop("__id")
+        .join(any_tok, F.col(id_col) == any_tok["__id"], "left")
+        .drop("__id")
+        .select(*out_cols)
+    )

@@ -1,0 +1,197 @@
+"""duplicate_span_trim (ExactSubstr-style passage removal): python
+reference parity, keep modes, corpus mode, and edge semantics."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+    duplicate_span_trim,
+)
+
+
+def _norm_toks(t):
+    if t is None:
+        return None
+    s = re.sub(r"\s+", " ", t.strip().lower())
+    return s.split(" ")
+
+
+def _ref_trim(rows, L, corpus=None, min_occ=2, keep="first"):
+    """Token-tuple reference of the operator's stated rule."""
+    sides = []
+    for side, rs in ((0, corpus or []), (1, rows)):
+        for i, t in rs:
+            toks = _norm_toks(t)
+            if toks is not None:
+                sides.append((side, i, toks))
+    occ = []
+    for side, i, toks in sides:
+        for p in range(len(toks) - L + 1):
+            occ.append((tuple(toks[p:p + L]), side, i, p))
+    from collections import Counter, defaultdict
+    cnt = Counter(g for g, *_ in occ)
+    # rank occurrences per gram in (side, id, pos) order
+    per_gram = defaultdict(list)
+    for g, side, i, p in occ:
+        per_gram[g].append((side, i, p))
+    flagged = defaultdict(set)
+    for g, occs in per_gram.items():
+        if cnt[g] < min_occ:
+            continue
+        occs.sort()
+        spare = 1 if keep == "first" else 0
+        for side, i, p in occs[spare:]:
+            if side == 1:
+                flagged[i].add(p)
+    out = {}
+    for side, i, toks in sides:
+        if side != 1:
+            continue
+        kept = [
+            tok for p, tok in enumerate(toks)
+            if not any(s in flagged[i] for s in range(p - L + 1, p + 1))
+        ]
+        out[i] = " ".join(kept)
+    for i, t in rows:
+        if _norm_toks(t) is None:
+            out[i] = None
+    return out
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+PASSAGE = " ".join(f"quote{i}" for i in range(12))
+
+
+def test_trim_matches_python_reference(spark):
+    rows = [
+        (1, "intro one " + PASSAGE + " outro one two three"),
+        (2, "different start here " + PASSAGE + " and a different end"),
+        (3, " ".join(f"fresh{i}" for i in range(20))),
+        (4, "short shared run " + " ".join(PASSAGE.split()[:6])),  # < L
+        (5, None),
+        (6, ""),
+    ]
+    for keep in ("first", "none"):
+        got = {
+            r["doc_id"]: r["text"]
+            for r in duplicate_span_trim(
+                _df(spark, rows), min_span=12, keep=keep
+            ).collect()
+        }
+        ref = _ref_trim(rows, 12, keep=keep)
+        assert got == ref, keep
+    # keep='first': doc 1 (lower id) retains the passage, doc 2 loses it
+    first = _ref_trim(rows, 12, keep="first")
+    assert PASSAGE in first[1] and PASSAGE not in first[2]
+    assert "different start here" in first[2]
+    none = _ref_trim(rows, 12, keep="none")
+    assert PASSAGE not in none[1] and PASSAGE not in none[2]
+    # the sub-threshold shared run survives everywhere
+    assert "short shared run" in first[4]
+    assert first[5] is None and first[6] == ""
+
+
+def test_trim_against_corpus(spark):
+    """Corpus occurrences outrank the batch: a batch doc repeating a
+    corpus passage is trimmed even under keep='first', and the corpus
+    frame itself is never rewritten."""
+    corpus_rows = [(100, "stored page with " + PASSAGE + " inside")]
+    rows = [
+        (1, "new page quoting " + PASSAGE + " verbatim"),
+        (2, "unrelated fresh content " + " ".join(
+            f"x{i}" for i in range(15))),
+    ]
+    got = {
+        r["doc_id"]: r["text"]
+        for r in duplicate_span_trim(
+            _df(spark, rows), min_span=12,
+            corpus=_df(spark, corpus_rows),
+        ).collect()
+    }
+    ref = _ref_trim(rows, 12, corpus=corpus_rows)
+    assert got == ref
+    assert PASSAGE not in got[1] and "new page quoting" in got[1]
+    assert "unrelated fresh content" in got[2]
+
+
+def test_trim_within_doc_repeat_and_validation(spark):
+    """A passage repeated INSIDE one document is trimmed down to its
+    first occurrence; parameter validation raises."""
+    body = PASSAGE + " middle words here " + PASSAGE
+    got = duplicate_span_trim(
+        _df(spark, [(1, body)]), min_span=12
+    ).first()["text"]
+    ref = _ref_trim([(1, body)], 12)
+    assert got == ref[1]
+    assert got.count("quote0") == 1
+    assert "middle words here" in got
+
+    with pytest.raises(ValueError, match="keep"):
+        duplicate_span_trim(_df(spark, [(1, "x")]), keep="bogus")
+    with pytest.raises(ValueError, match="min_span"):
+        duplicate_span_trim(_df(spark, [(1, "x")]), min_span=1)
+
+
+def test_trim_real_documents_matches_reference(spark):
+    """Real documents (which contain planted duplicate docs by
+    construction): the full output equals the python reference, the
+    planted cross-doc passage is removed, and rows are preserved."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(20)
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    rows += [(9001, "aa " + PASSAGE + " bb"), (9002, "cc " + PASSAGE + " dd")]
+    frame = _df(spark, rows)
+    for keep in ("first", "none"):
+        got = {
+            r["doc_id"]: r["text"]
+            for r in duplicate_span_trim(
+                frame, min_span=12, keep=keep
+            ).collect()
+        }
+        assert got == _ref_trim(rows, 12, keep=keep), keep
+        assert len(got) == 22
+    assert _ref_trim(rows, 12, keep="none")[9001] == "aa bb"
+
+
+def test_trim_property_random_small_vocab(spark):
+    """Property: output equals the reference on random corpora drawn
+    from a 4-word vocabulary (span repeats and self-overlaps are
+    likely), both keep modes, with and without a corpus side."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "c", "d"])
+    doc = st.lists(word, min_size=0, max_size=14).map(" ".join)
+
+    @given(
+        st.lists(doc, min_size=1, max_size=5),
+        st.lists(doc, min_size=0, max_size=2),
+        st.sampled_from(["first", "none"]),
+    )
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(texts, corpus_texts, keep):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        corpus_rows = [(100 + i, t) for i, t in enumerate(corpus_texts)]
+        got = {
+            r["doc_id"]: r["text"]
+            for r in duplicate_span_trim(
+                _df(spark, rows), min_span=3,
+                corpus=_df(spark, corpus_rows) if corpus_rows else None,
+                keep=keep,
+            ).collect()
+        }
+        ref = _ref_trim(rows, 3, corpus=corpus_rows or None, keep=keep)
+        assert got == ref
+
+    run()
