@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from .dedup import (
     cross_corpus_verbatim_pairs,
     drop_exact_corpus_matches,
+    duplicate_span_trim,
     exact_dedup_by_content,
     incremental_dedup,
     line_dedup_incremental,
@@ -72,6 +73,7 @@ def curate_corpus(
     dsir_seed: int = 42,
     gopher_rules: dict | None = None,
     near_dup_keep_by=None,
+    span_trim_min_span: int | None = None,
 ) -> DataFrame:
     """Curate ``docs`` for training; returns surviving rows with the
     input schema. ``benchmark`` (optional) enables the decontamination
@@ -108,6 +110,14 @@ def curate_corpus(
     ``existing_winnow`` (a persisted :func:`~.dedup.winnow_table`)
     additionally drops batch docs sharing verbatim runs with the
     CORPUS, with no corpus-side recompute.
+
+    ``span_trim_min_span`` (optional) enables exact-substring passage
+    TRIMMING (:func:`~.dedup.duplicate_span_trim`): verbatim runs of at
+    least that many tokens duplicated in the batch (or against
+    ``existing_corpus``) are cut out of the documents, first occurrence
+    spared — the complement of the document-dropping
+    ``span_dedup_min_shared`` stage. Note it canonicalizes surviving
+    text (lower + single spaces).
 
     ``dsir_target_model`` + ``dsir_top_n`` (together) enable the final
     DSIR budget-selection stage (:func:`~.mlprep.dsir_resample`):
@@ -147,6 +157,19 @@ def curate_corpus(
         raise ValueError(
             "existing_line_counts requires line_dedup_min_freq (the "
             "stage is otherwise off and the index would be ignored)"
+        )
+
+    # 1.7 exact-substring passage trimming (optional): remove verbatim
+    #     runs of >= span_trim_min_span tokens duplicated within the
+    #     batch or against the existing corpus (first occurrence
+    #     spared). Runs with the other TEXT-REWRITING stage (line
+    #     dedup) so every later signature/gate describes the text the
+    #     corpus will actually store.
+    if span_trim_min_span is not None:
+        out = duplicate_span_trim(
+            out, min_span=span_trim_min_span,
+            text_col=text_col, id_col=id_col,
+            corpus=existing_corpus,
         )
 
     # 2. quality + language gates — one fused projection, then restore

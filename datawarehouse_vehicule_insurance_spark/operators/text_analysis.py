@@ -1113,3 +1113,41 @@ def gopher_filter(
     for n, t in dup_ngram_max.items():
         rep_gate = rep_gate & (F.col(f"dup_{n}gram_char_ratio") <= t)
     return rep.filter(rep_gate).select(*cols)
+
+
+def corpus_stats(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """One-row corpus datasheet — the numbers a training-data release
+    documents: document/NULL counts, token totals and distribution
+    (exact percentiles via sort-free ``percentile``), character volume,
+    mean quality signals (alpha ratio, stopword ratio, within-doc
+    2-gram repetition), and per-language document counts (one pivoted
+    map). ONE aggregation over one fused feature projection — the scan
+    is the only pass, so the report costs what a count costs.
+
+    Languages come from :func:`lang_id`; NULL-text documents count in
+    ``n_docs``/``n_null_text`` and nothing else."""
+    feats = quality_features(df, text_col=text_col)
+    lang = lang_id(F.col(text_col))
+    langs = sorted(LANG_MARKERS) + ["und"]
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col(text_col).isNull(), 1)).alias("n_null_text"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_tokens"), 2).alias("mean_tokens"),
+        F.percentile(F.col("n_tokens"), F.lit(0.5)).alias("p50_tokens"),
+        F.percentile(F.col("n_tokens"), F.lit(0.95)).alias("p95_tokens"),
+        F.round(F.avg("alpha_ratio"), 6).alias("mean_alpha_ratio"),
+        F.round(F.avg("stopword_ratio"), 6).alias("mean_stopword_ratio"),
+        F.round(F.avg("dup_2gram_ratio"), 6).alias("mean_dup_2gram_ratio"),
+        F.map_from_arrays(
+            F.array(*[F.lit(l) for l in langs]),
+            F.array(*[
+                F.count(
+                    F.when(F.col(text_col).isNotNull() & (lang == l), 1)
+                ) for l in langs
+            ]),
+        ).alias("lang_counts"),
+    )

@@ -238,3 +238,34 @@ def test_repetition_property_random_texts(spark):
             assert got[k] == pytest.approx(v, abs=2e-6), k
 
     run()
+
+
+def test_corpus_stats_datasheet(spark):
+    """corpus_stats: one-row report whose numbers match directly
+    computed values."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        corpus_stats,
+    )
+
+    rows = [
+        (1, "the cat and the dog"),        # en markers
+        (2, "el perro y la casa de"),      # es markers
+        (3, None),
+        (4, "qq zz vv"),                   # no markers -> und
+    ]
+    r = corpus_stats(_df(spark, rows)).first()
+    assert r["n_docs"] == 4
+    assert r["n_null_text"] == 1
+    assert r["total_tokens"] == 5 + 6 + 3
+    assert r["mean_tokens"] == pytest.approx((5 + 6 + 3) / 3, abs=0.01)
+    assert r["lang_counts"]["en"] == 1
+    assert r["lang_counts"]["es"] == 1
+    assert r["lang_counts"]["und"] == 1
+    assert r["p50_tokens"] == 5.0
+
+    # bounded plan: global one-row aggregation — at most the single-
+    # partition exchange plus the sort-agg split the exact percentile
+    # forces; never a text-wide shuffle
+    plan = corpus_stats(_df(spark, rows))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") <= 2

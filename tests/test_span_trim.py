@@ -195,3 +195,47 @@ def test_trim_property_random_small_vocab(spark):
         assert got == ref
 
     run()
+
+
+def test_curate_corpus_span_trim_stage(spark):
+    """curate_corpus(span_trim_min_span=) trims duplicated passages
+    (vs batch and vs existing corpus) before the gates run."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    filler1 = " ".join(f"alpha{i}" for i in range(30))
+    filler2 = " ".join(f"beta{i}" for i in range(30))
+    stored = "stored page " + PASSAGE + " end of stored"
+    rows = [
+        (1, filler1 + " " + PASSAGE),    # passage spared (first in batch)
+        (2, filler2 + " " + PASSAGE),    # passage trimmed
+    ]
+    out = {
+        r["doc_id"]: r["text"]
+        for r in curate_corpus(
+            _df(spark, rows),
+            min_tokens=5,
+            min_alpha_ratio=0.0,
+            max_dup_2gram_ratio=1.0,
+            span_trim_min_span=12,
+        ).collect()
+    }
+    assert sorted(out) == [1, 2]
+    assert PASSAGE in out[1] and PASSAGE not in out[2]
+
+    # with an existing corpus holding the passage, BOTH batch docs lose
+    # it (corpus occurrence is the spared one)
+    inc = {
+        r["doc_id"]: r["text"]
+        for r in curate_corpus(
+            _df(spark, rows),
+            min_tokens=5,
+            min_alpha_ratio=0.0,
+            max_dup_2gram_ratio=1.0,
+            span_trim_min_span=12,
+            existing_corpus=_df(spark, [(100, stored)]),
+        ).collect()
+    }
+    assert PASSAGE not in inc[1] and PASSAGE not in inc[2]
+    assert inc[1].startswith("alpha0") and inc[2].startswith("beta0")
