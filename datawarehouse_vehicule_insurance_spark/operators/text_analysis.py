@@ -1151,3 +1151,103 @@ def corpus_stats(
             ]),
         ).alias("lang_counts"),
     )
+
+
+def bpe_vocab(
+    train: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 200,
+    max_words: int = 50_000,
+) -> DataFrame:
+    """The trained vocabulary as a persistable id table: (token_id,
+    token, __bpe_params) — base characters observed in the training
+    corpus (sorted, ids first), the end-of-word marker, then each merge
+    product in rank order. Deterministic for a fixed (corpus, merges),
+    so shard exports across machines agree on ids.
+
+    Scale shape: the character alphabet comes from ONE distinct over a
+    per-character explode of the corpus (bounded output — alphabets are
+    small); everything else derives from the ``num_merges``-row merges
+    table."""
+    _validate_bpe_stamp(merges, bpe_fingerprint(num_merges, max_words))
+    chars = sorted(
+        r[0]
+        for r in train.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.lower(F.trim(F.col(text_col))), r"\s+", " "
+                    ),
+                    "",
+                )
+            ).alias("c")
+        )
+        .filter((F.col("c") != "") & (F.col("c") != " "))
+        .distinct()
+        .collect()
+    )
+    toks = list(chars) + [BPE_EOW] + [
+        r["left"] + r["right"]
+        for r in merges.select("rank", "left", "right")
+        .orderBy("rank").collect()
+    ]
+    # merge products can collide with base symbols only when training
+    # text contains the literal marker (documented train_bpe contract);
+    # keep first occurrence's id
+    seen, uniq = set(), []
+    for t in toks:
+        if t not in seen:
+            seen.add(t)
+            uniq.append(t)
+    spark = train.sparkSession
+    fp = bpe_fingerprint(num_merges, max_words)
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(uniq)],
+        "token_id int, token string",
+    ).withColumn(BPE_PARAMS_COL, F.lit(fp))
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    out_col: str = "bpe_token_ids",
+    num_merges: int = 200,
+    max_words: int = 50_000,
+    unk_id: int = -1,
+) -> DataFrame:
+    """Append ``out_col`` (``array<int>``) — the document's subword
+    token IDS under a trained (merges, vocab) pair: what a shard export
+    actually ships to a trainer. Composition of :func:`bpe_encode` and
+    a broadcast vocab lookup; subword strings never leave the executor.
+    Tokens outside the vocabulary (unseen characters at encode time)
+    map to ``unk_id``. NULL text → NULL."""
+    import pandas as pd
+
+    _validate_bpe_stamp(vocab, bpe_fingerprint(num_merges, max_words))
+    mapping = {
+        r["token"]: r["token_id"]
+        for r in vocab.select("token", "token_id").collect()
+    }
+    b_map = df.sparkSession.sparkContext.broadcast(mapping)
+    enc = bpe_encode(
+        df, merges, num_merges, max_words, text_col, "__bpe_toks"
+    )
+
+    def _fn(batches):
+        m = b_map.value
+        for pdf in batches:
+            ids = [
+                None if toks is None
+                else [m.get(t, unk_id) for t in toks]
+                for toks in pdf["__bpe_toks"]
+            ]
+            yield pdf.drop(columns=["__bpe_toks"]).assign(**{out_col: ids})
+
+    out_fields = ", ".join(
+        f"`{c.name}` {c.dataType.simpleString()}"
+        for c in df.schema.fields
+    )
+    return enc.mapInPandas(_fn, f"{out_fields}, `{out_col}` array<int>")

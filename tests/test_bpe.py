@@ -295,3 +295,56 @@ def test_new_operator_plan_shapes(spark):
     # one hashpartitioning exchange on the cell key for the greedy;
     # the id-join back is broadcast or reuses that clustering
     assert sd_plan.count("hashpartitioning(__cell") <= 2
+
+
+def test_bpe_vocab_and_id_encoding(spark):
+    """Vocabulary ids are deterministic (chars, marker, merges by
+    rank); id encoding round-trips through the vocab; unseen characters
+    map to unk; stamp mismatch raises."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "low low lower lowest")], "doc_id long, text string"
+    )
+    merges = train_bpe(corpus, num_merges=10)
+    vocab = bpe_vocab(corpus, merges, num_merges=10)
+    rows = vocab.orderBy("token_id").collect()
+    tokens_list = [r["token"] for r in rows]
+    # base chars sorted first, then the marker, then merge products
+    chars = sorted(set("lowerst"))
+    assert tokens_list[:len(chars)] == chars
+    assert tokens_list[len(chars)] == BPE_EOW
+    assert [r["token_id"] for r in rows] == list(range(len(rows)))
+    m_products = [
+        r["left"] + r["right"]
+        for r in merges.orderBy("rank").collect()
+    ]
+    assert tokens_list[len(chars) + 1:] == m_products
+
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "quiz"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bpe_token_ids"]
+        for r in bpe_encode_ids(
+            docs, merges, vocab, num_merges=10
+        ).collect()
+    }
+    tok_strs = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(docs, merges, num_merges=10).collect()
+    }
+    idx = {t: i for i, t in enumerate(tokens_list)}
+    for d in (1, 2):
+        assert got[d] == [idx.get(t, -1) for t in tok_strs[d]]
+    assert got[3] is None
+    # 'q', 'u', 'i', 'z' unseen in training -> unk ids present
+    assert -1 in got[2]
+    assert -1 not in got[1]
+
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        bpe_encode_ids(docs, merges, vocab, num_merges=11)
