@@ -45,6 +45,13 @@ and reference-LM training for the perplexity gate (consumed by
     python -m datawarehouse_vehicule_insurance_spark lm-train \\
         --input <ref_docs.parquet> --lm-bigrams <dir> --lm-unigrams <dir>
 
+the embedding-corpus ingest loop (IVF-index near-dup rejection, with
+optional PQ maintenance and in-batch SemDeDup pruning) —
+
+    python -m datawarehouse_vehicule_insurance_spark embed-stream \\
+        --src <vec-dir> --corpus <dir> --centroids <dir> \\
+        --assignments <dir> --checkpoint <dir> [--semantic-threshold 0.95]
+
 BPE vocabulary training (persisted merges table for
 ``bpe_encode``/``bpe_token_count``) —
 
@@ -299,6 +306,35 @@ def _run_retract(args: argparse.Namespace) -> int:
     return 0
 
 
+def _run_embed_stream(args: argparse.Namespace) -> int:
+    """One incremental embedding-ingest run: the availableNow loop from
+    :mod:`.streaming.curation` — batch vectors near-dup-checked against
+    the persisted IVF index, survivors + assignments (and PQ codes,
+    when configured) appended. ``--semantic-threshold`` additionally
+    prunes each batch within itself (SemDeDup against the loop's
+    centroids). Prints one JSON line with the corpus size."""
+    from datawarehouse_vehicule_insurance_spark.streaming.curation import (
+        _try_read_parquet,
+        run_incremental_embedding_ingest,
+    )
+
+    spark = get_spark(app_name="insurance_embed_stream")
+    q = run_incremental_embedding_ingest(
+        spark, args.src, args.corpus, args.centroids, args.assignments,
+        args.checkpoint,
+        neardup_threshold=args.neardup_threshold,
+        n_probe=args.n_probe, n_cells=args.n_cells,
+        codebooks_path=args.codebooks, codes_path=args.codes,
+        semantic_threshold=args.semantic_threshold,
+    )
+    q.awaitTermination()
+    corpus = _try_read_parquet(spark, args.corpus)
+    print(json.dumps(
+        {"corpus_rows": 0 if corpus is None else corpus.count()}
+    ))
+    return 0
+
+
 def _run_bpe_train(args: argparse.Namespace) -> int:
     """Train a BPE subword vocabulary on a corpus and persist the
     merges table (consumed via
@@ -327,7 +363,7 @@ def main(argv: list[str] | None = None) -> int:
         "layer",
         choices=["bronze", "silver", "gold", "all", "curate",
                  "curate-stream", "index-maintain", "retract",
-                 "lm-train", "bpe-train"],
+                 "lm-train", "bpe-train", "embed-stream"],
     )
     p.add_argument("--root", help="lake root (path or s3a://)")
     p.add_argument("--csv-root", help="raw CSV dir (bronze only)")
@@ -442,6 +478,36 @@ def main(argv: list[str] | None = None) -> int:
         "--merges", help="bpe-train: output dir for the merges table"
     )
     p.add_argument(
+        "--centroids", help="embed-stream: IVF centroids dir"
+    )
+    p.add_argument(
+        "--assignments", help="embed-stream: IVF assignment-table dir"
+    )
+    p.add_argument(
+        "--codebooks", help="embed-stream: PQ codebooks dir (optional, "
+        "with --codes)",
+    )
+    p.add_argument("--codes", help="embed-stream: PQ code-table dir")
+    p.add_argument(
+        "--neardup-threshold", dest="neardup_threshold", type=float,
+        default=0.95,
+        help="embed-stream: reject batch vectors this cosine-close to "
+        "the corpus",
+    )
+    p.add_argument(
+        "--n-cells", dest="n_cells", type=int, default=16,
+        help="embed-stream: IVF cell count (index-lifetime)",
+    )
+    p.add_argument(
+        "--n-probe", dest="n_probe", type=int, default=4,
+        help="embed-stream: cells probed per batch vector",
+    )
+    p.add_argument(
+        "--semantic-threshold", dest="semantic_threshold", type=float,
+        help="embed-stream: also SemDeDup-prune each batch within "
+        "itself at this cosine threshold",
+    )
+    p.add_argument(
         "--num-merges", dest="num_merges", type=int, default=200,
         help="bpe-train: merge operations to learn",
     )
@@ -481,6 +547,14 @@ def main(argv: list[str] | None = None) -> int:
         if not (args.input and args.merges):
             p.error("bpe-train requires --input and --merges")
         return _run_bpe_train(args)
+    if args.layer == "embed-stream":
+        if not (args.src and args.corpus and args.centroids
+                and args.assignments and args.checkpoint):
+            p.error(
+                "embed-stream requires --src --corpus --centroids "
+                "--assignments --checkpoint"
+            )
+        return _run_embed_stream(args)
     if not args.root:
         p.error(f"{args.layer} requires --root")
 

@@ -1681,3 +1681,39 @@ def test_compact_embedding_indexes(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no artifact"):
         SC.compact_embedding_indexes(spark, str(tmp_path / "missing"))
+
+
+def test_cli_embed_stream(spark, tmp_path, capsys):
+    """embed-stream runs the vector ingest loop end-to-end: corpus
+    near-dups rejected, in-batch semantic prune applied, only new files
+    per run."""
+    import json as _json
+
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    src = str(tmp_path / "src")
+    cli = [
+        "embed-stream", "--src", src,
+        "--corpus", str(tmp_path / "corpus"),
+        "--centroids", str(tmp_path / "cents"),
+        "--assignments", str(tmp_path / "asg"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--n-cells", "2", "--n-probe", "2",
+        "--semantic-threshold", "0.9",
+    ]
+    _vecs(spark, [
+        (1, _unit_row(0)),
+        (2, _unit_row(1)),
+        (3, _unit_row(0, eps_axis=3, eps=0.05)),   # semantic dup of 1
+    ]).coalesce(1).write.mode("append").parquet(src)
+    assert main(cli) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["corpus_rows"] == 2
+
+    _vecs(spark, [
+        (11, _unit_row(0, eps_axis=4, eps=0.02)),  # corpus near-dup
+        (12, _unit_row(2)),                        # fresh
+    ]).coalesce(1).write.mode("append").parquet(src)
+    assert main(cli) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["corpus_rows"] == 3
