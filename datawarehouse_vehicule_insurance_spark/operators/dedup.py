@@ -1498,12 +1498,11 @@ def duplicate_span_trim(
     columns per token — at the paper's span lengths (~50) that is real
     but linear, and both shuffles are narrow (id- and hash-keyed).
 
-    Skew note: a passage shared by MILLIONS of documents makes its gram
-    hashes hot keys in the count/rank window — under ``keep='none'``
-    the rank is unused and the count could be salted, but ``'first'``
-    genuinely needs a global order per gram; for corpora with
-    pathological mega-duplicates run the C4 line rule or
-    :func:`span_overlap_dedup` first to shed them.
+    Skew note: occurrence stats are a partial-aggregatable
+    ``min(struct)``/``count`` groupBy, not a rank window — map-side
+    combine absorbs even a passage shared by millions of documents
+    (each task contributes one partial per gram), and the flagging join
+    back is an 8-byte-key equi-join.
     """
     from pyspark.sql import Window
 
@@ -1544,13 +1543,18 @@ def duplicate_span_trim(
     if corpus is not None:
         occ = occ.unionByName(_grams(_tok_rows(corpus, 0)))
 
-    gw = Window.partitionBy("__gh")
-    go = Window.partitionBy("__gh").orderBy("__side", "__id", "__pos")
-    flagged = occ.withColumn("__cnt", F.count(F.lit(1)).over(gw)) \
-                 .withColumn("__rn", F.row_number().over(go))
-    cond = F.col("__cnt") >= int(min_occurrences)
+    # per-gram occurrence stats via a partial-aggregatable groupBy —
+    # NOT a rank window: min(struct) and count combine map-side, so a
+    # passage shared by millions of documents stays a cheap hot key
+    # instead of a single-task sort
+    gram_stats = occ.groupBy("__gh").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct("__side", "__id", "__pos")).alias("__first"),
+    ).filter(F.col("__cnt") >= int(min_occurrences))
+    flagged = occ.join(gram_stats, "__gh")
+    cond = F.lit(True)
     if keep == "first":
-        cond = cond & (F.col("__rn") > 1)
+        cond = F.struct("__side", "__id", "__pos") != F.col("__first")
     starts = (
         flagged.filter(cond & (F.col("__side") == 1))
         .select("__id", "__pos")
