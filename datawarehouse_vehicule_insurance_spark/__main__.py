@@ -198,6 +198,9 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
                 shingles_path=args.shingles,
                 line_counts_path=args.line_counts,
                 winnow_path=args.winnow,
+                # a newly configured index may not exist until a batch
+                # with survivors lands — never fail the run over it
+                ignore_missing=True,
             )
     corpus = read_corpus(spark, args.corpus)
     print(json.dumps({

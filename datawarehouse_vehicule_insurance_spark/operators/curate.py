@@ -221,6 +221,7 @@ def curate_corpus(
     # upstream stages are enabled — the plain pipeline stays one plan.
     if (
         line_dedup_min_freq is not None
+        or span_trim_min_span is not None
         or gopher_rules is not None
         or lm_model is not None
     ):

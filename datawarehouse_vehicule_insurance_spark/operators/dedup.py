@@ -772,13 +772,20 @@ def minhash_dedup(
             scored = comp.join(
                 quality, comp["id"] == quality["__qid"]
             ).select("id", "component", "__q")
-            best = scored.groupBy("component").agg(
-                F.max(F.struct(F.col("__q"), (-F.col("id")).alias("__nid")))
-                .alias("__best")
-            ).select(
-                "component", (-F.col("__best.__nid")).alias("__keep_id")
+            # keeper = min id among the component's max-quality members —
+            # two partial-aggregatable steps, id-type-generic (an id
+            # negation trick would NULL out string ids and silently
+            # no-op the dedup)
+            best_q = scored.groupBy("component").agg(
+                F.max("__q").alias("__bq")
             )
-            losers = scored.join(best, "component").filter(
+            keeper = (
+                scored.join(best_q, "component")
+                .filter(F.col("__q") == F.col("__bq"))
+                .groupBy("component")
+                .agg(F.min("id").alias("__keep_id"))
+            )
+            losers = scored.join(keeper, "component").filter(
                 F.col("id") != F.col("__keep_id")
             ).select(F.col("id").alias(id_col))
     elif quality is None:
@@ -1539,9 +1546,15 @@ def duplicate_span_trim(
             .select("__side", "__id", "__pos", "__gh")
         )
 
+    # the token and gram frames are each referenced several times below
+    # (stats + flag join; flag + reassembly + had-tokens probe) — cut
+    # the lineage so the posexplode and the L-lead window run once, not
+    # per reference (minhash_dedup's candidate-checkpoint precedent)
+    tok = tok.localCheckpoint(eager=False)
     occ = _grams(tok)
     if corpus is not None:
         occ = occ.unionByName(_grams(_tok_rows(corpus, 0)))
+    occ = occ.localCheckpoint(eager=False)
 
     # per-gram occurrence stats via a partial-aggregatable groupBy —
     # NOT a rank window: min(struct) and count combine map-side, so a
@@ -1580,7 +1593,6 @@ def duplicate_span_trim(
                 lambda s: s["__tok"],
             ),
         ).alias("__clean"),
-        F.count(F.lit(1)).alias("__kept_n"),
     )
     # docs whose every token was trimmed still had token rows upstream;
     # they get an empty string (content existed, all of it duplicated),

@@ -867,6 +867,7 @@ def compact_loop_indexes(
     shingles_path: str | None = None,
     line_counts_path: str | None = None,
     winnow_path: str | None = None,
+    ignore_missing: bool = False,
 ) -> dict:
     """Scheduled maintenance for the crawl loop's persisted artifacts:
     one compaction rewrite per supplied index, folding the per-batch
@@ -893,31 +894,48 @@ def compact_loop_indexes(
     :func:`retract_documents` (at 100-TB this is a table-format
     ``OPTIMIZE``/rewrite job instead).
 
-    Returns ``{path: {"before": n, "after": n}}``.
+    Returns ``{path: {"before": n, "after": n}}``; with
+    ``ignore_missing`` a not-yet-created artifact maps to ``None``
+    instead of raising.
     """
     from ..operators.dedup import compact_band_table, merge_line_counts
 
     out: dict = {}
-
-    def _one(path, fn):
-        art = _read_artifact(spark, path)  # batch column already stripped
-        if art is None:
-            raise ValueError(f"no index at {path}")
-        before = art.count()
-        after = _rewrite_artifact(spark, fn(art), path)
-        out[path] = {"before": before, "after": after}
-
     if index_path is not None:
-        _one(index_path, compact_band_table)
+        _compact_one(spark, index_path, compact_band_table, out,
+                     ignore_missing)
     if hash_path is not None:
-        _one(hash_path, lambda df: df.distinct())
+        _compact_one(spark, hash_path, lambda df: df.distinct(), out,
+                     ignore_missing)
     if shingles_path is not None:
-        _one(shingles_path, lambda df: df.distinct())
+        _compact_one(spark, shingles_path, lambda df: df.distinct(), out,
+                     ignore_missing)
     if line_counts_path is not None:
-        _one(line_counts_path, lambda df: merge_line_counts(df))
+        _compact_one(spark, line_counts_path,
+                     lambda df: merge_line_counts(df), out, ignore_missing)
     if winnow_path is not None:
-        _one(winnow_path, lambda df: df.distinct())
+        _compact_one(spark, winnow_path, lambda df: df.distinct(), out,
+                     ignore_missing)
     return out
+
+
+def _compact_one(
+    spark: SparkSession, path: str, fn, out: dict, ignore_missing: bool
+) -> None:
+    """Shared compaction step: read (batch column stripped), transform,
+    rewrite in place, record before/after. ``ignore_missing`` records
+    ``None`` for a not-yet-created artifact instead of raising — the
+    CLI's shape, where a newly configured index may not exist until a
+    batch with survivors lands."""
+    art = _read_artifact(spark, path)
+    if art is None:
+        if ignore_missing:
+            out[path] = None
+            return
+        raise ValueError(f"no index at {path}")
+    before = art.count()
+    after = _rewrite_artifact(spark, fn(art), path)
+    out[path] = {"before": before, "after": after}
 
 
 def loop_batch_partitions(spark: SparkSession, index_path: str) -> int:
@@ -929,7 +947,12 @@ def loop_batch_partitions(spark: SparkSession, index_path: str) -> int:
     art = _try_read_parquet(spark, index_path)
     if art is None or BATCH_COL not in art.columns:
         return 0
-    return art.select(BATCH_COL).distinct().count()
+    return (
+        art.select(BATCH_COL)
+        .filter(F.col(BATCH_COL) != -1)  # reserved compaction partition
+        .distinct()
+        .count()
+    )
 
 
 def compact_embedding_indexes(
@@ -947,12 +970,8 @@ def compact_embedding_indexes(
     ``{path: {"before": n, "after": n}}``."""
     out: dict = {}
     for path in (corpus_path, assignments_path, codes_path):
-        if path is None:
-            continue
-        art = _read_artifact(spark, path)
-        if art is None:
-            raise ValueError(f"no artifact at {path}")
-        before = art.count()
-        after = _rewrite_artifact(spark, art.distinct(), path)
-        out[path] = {"before": before, "after": after}
+        if path is not None:
+            _compact_one(
+                spark, path, lambda df: df.distinct(), out, False
+            )
     return out

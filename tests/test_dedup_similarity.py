@@ -1121,3 +1121,31 @@ def test_semantic_dedup_property_random_vectors(spark):
         assert got == sorted(expect)
 
     run()
+
+
+def test_minhash_dedup_keep_by_string_ids(spark):
+    """Regression: transitive keep_by must work for NON-NUMERIC id
+    columns (an id-negation shortcut silently NULLed string ids and
+    no-opped the dedup)."""
+    base = " ".join(f"w{i}" for i in range(40))
+
+    def near(i, repl):
+        ws = base.split()
+        ws[i] = repl
+        return " ".join(ws)
+
+    df = spark.createDataFrame(
+        [
+            ("doc-a", base, 1.0),
+            ("doc-b", near(3, "X"), 5.0),   # near-dup, higher quality
+            ("doc-z", " ".join(f"z{i}" for i in range(40)), 0.0),
+        ],
+        "doc_id string, text string, score double",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in D.minhash_dedup(
+            df, threshold=0.7, transitive=True, keep_by="score"
+        ).collect()
+    )
+    assert kept == ["doc-b", "doc-z"]

@@ -1412,7 +1412,9 @@ def test_compact_loop_indexes_preserves_probes(spark, tmp_path):
     )
     assert stats[bands_path]["after"] < stats[bands_path]["before"]
     assert stats[hashes_path]["after"] == stats[hashes_path]["before"]
-    assert SC.loop_batch_partitions(spark, bands_path) == 1
+    # compacted: only the reserved -1 partition remains, which
+    # the scheduling signal does not count
+    assert SC.loop_batch_partitions(spark, bands_path) == 0
 
     after_probe = sorted(
         (r["id_a"], r["id_b"])
@@ -1460,7 +1462,7 @@ def test_cli_curate_stream_compact_every(spark, tmp_path, capsys):
     stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["compacted"] is not None
     assert set(stats["compacted"]) == {bands, hashes}
-    assert SC.loop_batch_partitions(spark, bands) == 1
+    assert SC.loop_batch_partitions(spark, bands) == 0
     assert stats["corpus_rows"] == 3
 
 
@@ -1676,10 +1678,10 @@ def test_compact_embedding_indexes(spark, tmp_path):
     )
     assert stats[asg_path]["after"] < stats[asg_path]["before"]
     assert stats[corpus_path]["after"] == stats[corpus_path]["before"]
-    assert SC.loop_batch_partitions(spark, asg_path) == 1
+    assert SC.loop_batch_partitions(spark, asg_path) == 0
     assert topk() == before
 
-    with pytest.raises(ValueError, match="no artifact"):
+    with pytest.raises(ValueError, match="no index"):
         SC.compact_embedding_indexes(spark, str(tmp_path / "missing"))
 
 
@@ -1717,3 +1719,38 @@ def test_cli_embed_stream(spark, tmp_path, capsys):
     assert main(cli) == 0
     stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["corpus_rows"] == 3
+
+
+def test_cli_compact_every_ignores_missing_artifacts(spark, tmp_path,
+                                                     capsys):
+    """Regression: --compact-every must not fail the run when a newly
+    configured artifact directory was never created (e.g. --winnow
+    added but no batch with survivors landed yet)."""
+    import json as _json
+
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    src = str(tmp_path / "src")
+    shingles = str(tmp_path / "never_created_shingles")
+    cli = [
+        "curate-stream", "--src", src,
+        "--corpus", str(tmp_path / "corpus"),
+        "--bands", str(tmp_path / "bands"),
+        "--hashes", str(tmp_path / "hashes"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--min-tokens", "5",
+    ]
+
+    _docs(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    assert main(cli) == 0
+    capsys.readouterr()
+
+    # second run: no new files (empty batch -> shingles never written),
+    # compaction due from run 1's append, shingles configured but absent
+    assert main(
+        cli + ["--compact-every", "1", "--shingles", shingles]
+    ) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["compacted"] is not None
+    assert stats["compacted"][shingles] is None  # skipped, not fatal
+    assert stats["compacted"][str(tmp_path / "bands")] is not None
