@@ -177,6 +177,7 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
         line_dedup_min_freq=args.line_dedup_freq,
         winnow_path=args.winnow,
         span_min_shared=args.span_min_shared,
+        trim_min_span=args.trim_min_span,
     )
     q.awaitTermination()
     compacted = None
@@ -420,6 +421,12 @@ def main(argv: list[str] | None = None) -> int:
         "--winnow",
         help="curate-stream/retract: winnow_table dir (verbatim "
         "span-overlap index; requires --span-min-shared on the stream)",
+    )
+    p.add_argument(
+        "--trim-min-span", dest="trim_min_span", type=int,
+        help="curate-stream: cut verbatim token runs of >= N tokens "
+        "duplicated in the batch or corpus out of incoming documents "
+        "(reads corpus text per batch)",
     )
     p.add_argument(
         "--span-min-shared", dest="span_min_shared", type=int,

@@ -37,6 +37,7 @@ from ..operators.dedup import (
     content_hash_table,
     cross_corpus_verbatim_pairs,
     drop_exact_corpus_matches,
+    duplicate_span_trim,
     exact_dedup_by_content,
     incremental_dedup,
     line_count_table,
@@ -116,6 +117,7 @@ def curate_batch_incremental(
     line_min_chars: int = 1,
     corpus_winnow: DataFrame | None = None,
     span_min_shared: int | None = None,
+    trim_min_span: int | None = None,
 ) -> DataFrame:
     """One batch's survivors: within-batch exact dedup (+ optional
     C4-style line cleaning when ``line_dedup_min_freq`` is set — batch
@@ -145,6 +147,19 @@ def curate_batch_incremental(
             min_chars=line_min_chars,
             text_col=text_col,
             id_col=id_col,
+        )
+    if trim_min_span is not None:
+        # exact-substring passage trimming vs batch AND corpus text
+        # (duplicate_span_trim has no sampled index — this stage reads
+        # corpus TEXT per batch, the one deliberate exception to the
+        # no-corpus-recompute contract; enable it only when partial
+        # containment matters more than that scan). Runs with the other
+        # text-rewriting stage so every later signature/index row
+        # describes the text the corpus will store.
+        out = duplicate_span_trim(
+            out, min_span=trim_min_span,
+            text_col=text_col, id_col=id_col,
+            corpus=corpus,
         )
     if within_batch_neardup:
         out = minhash_dedup(
@@ -270,6 +285,7 @@ def run_incremental_curation(
     line_min_chars: int = 1,
     winnow_path: str | None = None,
     span_min_shared: int | None = None,
+    trim_min_span: int | None = None,
 ):
     """One incremental curation run: stream the document directory with
     ``availableNow`` (process exactly the files the checkpoint hasn't
@@ -312,6 +328,14 @@ def run_incremental_curation(
     table of the stored corpus. Append-only asymmetry applies: a line
     crossing the threshold later is removed from later batches only
     (retroactive cleanup = corpus rewrite + index rebuild).
+
+    ``trim_min_span`` (optional) enables exact-substring passage
+    TRIMMING (:func:`~..operators.dedup.duplicate_span_trim`) of each
+    batch against itself and the corpus — the loop's one deliberate
+    corpus-TEXT read (the trimmer checks every span, so no sampled
+    index can serve it); survivors' index rows are built from the
+    trimmed text, so the stored corpus and its artifacts stay
+    consistent.
 
     ``winnow_path`` + ``span_min_shared`` (together) enable verbatim
     span-overlap rejection — within each batch AND batch-vs-corpus via
@@ -385,6 +409,7 @@ def run_incremental_curation(
             line_min_chars=line_min_chars,
             corpus_winnow=corpus_winnow,
             span_min_shared=span_min_shared,
+            trim_min_span=trim_min_span,
         )
         # One computation serving three writes: checkpoint the (small)
         # survivor set so corpus/index/hash appends don't re-run the

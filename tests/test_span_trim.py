@@ -239,3 +239,57 @@ def test_curate_corpus_span_trim_stage(spark):
     }
     assert PASSAGE not in inc[1] and PASSAGE not in inc[2]
     assert inc[1].startswith("alpha0") and inc[2].startswith("beta0")
+
+
+def test_streaming_loop_trim_min_span(spark, tmp_path):
+    """The crawl loop with trim_min_span: a batch doc quoting a stored
+    corpus passage arrives with the quote cut out (not rejected), and
+    the persisted indexes describe the TRIMMED text."""
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        validate_band_params,
+    )
+    from datawarehouse_vehicule_insurance_spark.streaming import (
+        curation as SC,
+    )
+
+    src = str(tmp_path / "src")
+    corpus_path = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    hashes = str(tmp_path / "hashes")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = SC.run_incremental_curation(
+            spark, src, corpus_path, bands, hashes, ckpt,
+            jaccard_threshold=0.8, trim_min_span=12,
+        )
+        q.awaitTermination()
+
+    filler1 = " ".join(f"alpha{i}" for i in range(40))
+    filler2 = " ".join(f"beta{i}" for i in range(40))
+    _df(spark, [(1, filler1 + " " + PASSAGE)]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+    got1 = {r["doc_id"]: r["text"]
+            for r in SC.read_corpus(spark, corpus_path).collect()}
+    assert PASSAGE in got1[1]  # first occurrence, nothing to trim vs
+
+    _df(spark, [(11, filler2 + " " + PASSAGE)]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+    got2 = {r["doc_id"]: r["text"]
+            for r in SC.read_corpus(spark, corpus_path).collect()}
+    assert sorted(got2) == [1, 11]
+    assert PASSAGE in got2[1]           # corpus copy untouched
+    assert PASSAGE not in got2[11]      # quote cut, doc kept
+    assert got2[11].startswith("beta0")
+
+    # the stored hash index matches the TRIMMED text, so re-submitting
+    # the trimmed form is recognized as an exact corpus match
+    import pyspark.sql.functions as F
+    hashed = spark.read.parquet(hashes).drop(SC.BATCH_COL)
+    stored = {r["doc_id"]: r["content_hash"] for r in hashed.collect()}
+    expect_11 = spark.createDataFrame(
+        [(0, got2[11])], "i long, text string"
+    ).select(F.md5("text")).first()[0]
+    assert stored[11] == expect_11
