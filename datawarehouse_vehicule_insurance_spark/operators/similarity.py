@@ -437,6 +437,9 @@ def _ivf_assign(
     import pandas as pd
 
     b = df.sparkSession.sparkContext.broadcast(cents)
+    # id-type-generic: mirror df's id field rather than hardcoding long
+    # (string vector ids must survive the round trip — r5 advice)
+    id_ddl = df.schema[id_name].dataType.simpleString()
 
     def _fn(batches):
         C = b.value
@@ -446,7 +449,7 @@ def _ivf_assign(
             norms[norms == 0.0] = 1.0
             M /= norms
             sims = M @ C.T
-            ids = pdf[id_name].to_numpy(dtype=np.int64)
+            ids = pdf[id_name].to_numpy()
             if top == 1:
                 yield pd.DataFrame({
                     id_name: ids, "__cell": sims.argmax(axis=1)
@@ -460,7 +463,7 @@ def _ivf_assign(
                 })
 
     return df.select(id_name, vec_name).mapInPandas(
-        _fn, f"{id_name} long, __cell int"
+        _fn, f"{id_name} {id_ddl}, __cell int"
     )
 
 
@@ -1064,7 +1067,10 @@ def semantic_dedup(
         df.select(id_col, vec_col), id_col
     )
     by_centroid = keep == "far_from_centroid"
-    out_schema = f"{id_col} long, cell int, centroid_sim double, kept boolean"
+    # id-type-generic output schema: mirror df's id field (long, string, …)
+    # instead of hardcoding long — same contract as minhash_dedup's keep_by.
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_ddl}, cell int, centroid_sim double, kept boolean"
 
     def _greedy(key, pdf):
         C = b_cents.value
@@ -1072,14 +1078,15 @@ def semantic_dedup(
         norms = np.linalg.norm(M, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
         M = M / norms
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        ids = pdf[id_col].to_numpy()
         cell = int(key[0])
         csim = M @ C[cell]
-        # scan order: the greedy keeps the FIRST member of each dup group
+        # scan order: the greedy keeps the FIRST member of each dup group.
+        # Stable two-pass sort (secondary key first) rather than np.lexsort,
+        # which rejects object-dtype (string) id arrays.
+        order = np.argsort(ids, kind="stable")
         if by_centroid:
-            order = np.lexsort((ids, csim))
-        else:
-            order = np.argsort(ids)
+            order = order[np.argsort(csim[order], kind="stable")]
         S = M @ M.T
         kept_pos: list[int] = []
         kept_flags = np.zeros(len(ids), dtype=bool)

@@ -785,6 +785,12 @@ def bpe_encode(
     failure mode the stamp exists to catch)."""
     import pandas as pd
 
+    if out_col in df.columns:
+        raise ValueError(
+            f"bpe_encode: out_col {out_col!r} already exists on the input "
+            "DataFrame — pick a different name (mirrors the "
+            "dsir_log_weights reserved-column guard)"
+        )
     _validate_bpe_stamp(merges, bpe_fingerprint(num_merges, max_words))
     rows = merges.select("rank", "left", "right").collect()
     ranks = {(r[1], r[2]): r[0] for r in rows}
@@ -832,6 +838,11 @@ def bpe_token_count(
     """Per-document subword token count under a TRAINED vocabulary — the
     budget number a pre-training mix is planned against (contrast
     :func:`bpe_ish_token_count`, the model-free regex estimate)."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"bpe_token_count: out_col {out_col!r} already exists on the "
+            "input DataFrame — pick a different name"
+        )
     enc = bpe_encode(
         df, merges, num_merges, max_words, text_col, "__bpe_toks"
     )
@@ -1159,17 +1170,30 @@ def corpus_stats(
     feats = quality_features(df, text_col=text_col)
     lang = lang_id(F.col(text_col))
     langs = sorted(LANG_MARKERS) + ["und"]
+    # NULL-text guard: under spark.sql.legacy.sizeOfNull=true, size(NULL)
+    # is -1 (not NULL), so an unguarded sum/avg/percentile over n_tokens
+    # (and the ratios derived from it) would let NULL docs skew every
+    # statistic — breaking the documented "NULL docs count in
+    # n_docs/n_null_text and nothing else" contract. Gate each feature on
+    # text IS NOT NULL, as tokenize_and_pack already does.
+    has_text = F.col(text_col).isNotNull()
+
+    def _t(c: str):
+        return F.when(has_text, F.col(c))
+
     return feats.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(F.col(text_col).isNull(), 1)).alias("n_null_text"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg("n_tokens"), 2).alias("mean_tokens"),
-        F.percentile(F.col("n_tokens"), F.lit(0.5)).alias("p50_tokens"),
-        F.percentile(F.col("n_tokens"), F.lit(0.95)).alias("p95_tokens"),
-        F.round(F.avg("alpha_ratio"), 6).alias("mean_alpha_ratio"),
-        F.round(F.avg("stopword_ratio"), 6).alias("mean_stopword_ratio"),
-        F.round(F.avg("dup_2gram_ratio"), 6).alias("mean_dup_2gram_ratio"),
+        F.sum(_t("n_tokens")).alias("total_tokens"),
+        F.sum(_t("n_chars")).alias("total_chars"),
+        F.round(F.avg(_t("n_tokens")), 2).alias("mean_tokens"),
+        F.percentile(_t("n_tokens"), F.lit(0.5)).alias("p50_tokens"),
+        F.percentile(_t("n_tokens"), F.lit(0.95)).alias("p95_tokens"),
+        F.round(F.avg(_t("alpha_ratio")), 6).alias("mean_alpha_ratio"),
+        F.round(F.avg(_t("stopword_ratio")), 6).alias("mean_stopword_ratio"),
+        F.round(
+            F.avg(_t("dup_2gram_ratio")), 6
+        ).alias("mean_dup_2gram_ratio"),
         F.map_from_arrays(
             F.array(*[F.lit(l) for l in langs]),
             F.array(*[
@@ -1254,6 +1278,11 @@ def bpe_encode_ids(
     map to ``unk_id``. NULL text → NULL."""
     import pandas as pd
 
+    if out_col in df.columns:
+        raise ValueError(
+            f"bpe_encode_ids: out_col {out_col!r} already exists on the "
+            "input DataFrame — pick a different name"
+        )
     _validate_bpe_stamp(vocab, bpe_fingerprint(num_merges, max_words))
     mapping = {
         r["token"]: r["token_id"]

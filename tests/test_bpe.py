@@ -119,6 +119,39 @@ def test_persistence_round_trip_and_stamp(spark, tmp_path):
         bpe_encode(docs, loaded, num_merges=9, max_words=100)
 
 
+def test_encode_out_col_collision_raises(spark):
+    """r5 advice: bpe_encode / bpe_token_count / bpe_encode_ids raise up
+    front when out_col already exists on the input frame instead of
+    producing a duplicate-column result."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis \
+        import bpe_encode_ids, bpe_vocab
+
+    corpus = spark.createDataFrame(
+        [(1, "aa ab aa ba")], "doc_id long, text string"
+    )
+    merges = train_bpe(corpus, num_merges=4, max_words=100)
+    taken = corpus.withColumn("bpe_tokens", F.lit("x"))
+    with pytest.raises(ValueError, match="already exists"):
+        bpe_encode(taken, merges, num_merges=4, max_words=100)
+    # the internal temp column is also guarded
+    with pytest.raises(ValueError, match="already exists"):
+        bpe_token_count(
+            corpus.withColumn("__bpe_toks", F.lit("x")),
+            merges, num_merges=4, max_words=100,
+        )
+    with pytest.raises(ValueError, match="already exists"):
+        bpe_token_count(
+            corpus.withColumn("bpe_token_count", F.lit(1)),
+            merges, num_merges=4, max_words=100,
+        )
+    vocab = bpe_vocab(corpus, merges, num_merges=4, max_words=100)
+    with pytest.raises(ValueError, match="already exists"):
+        bpe_encode_ids(
+            corpus.withColumn("bpe_token_ids", F.lit(1)),
+            merges, vocab, num_merges=4, max_words=100,
+        )
+
+
 def test_token_count_and_real_docs_reconstruction(spark):
     """Train on the documents table; encoding must be lossless — joining
     a doc's subword tokens and splitting on the end-of-word marker

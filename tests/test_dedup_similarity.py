@@ -956,6 +956,36 @@ def test_semantic_dedup_keep_far_from_centroid(spark):
     assert kept_far == [2]
 
 
+def test_semantic_dedup_string_ids(spark):
+    """r5 advice: the applyInPandas schema derives the id type from the
+    input frame instead of hardcoding long, so string vector ids work;
+    greedy order is lexicographic on the string id."""
+    cents = [[1.0, 0.0, 0.0, 0.0]]
+    df = spark.createDataFrame(
+        [
+            ("doc-b", [1.0, 0.01, 0.0, 0.0]),  # near-dup of doc-a
+            ("doc-a", [1.0, 0.02, 0.0, 0.0]),  # min string id — survives
+            ("doc-c", [0.0, 0.0, 1.0, 0.0]),   # distinct
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    ctable = _cents_table(spark, cents, n_cells=1)
+    kept = sorted(
+        r["vec_id"]
+        for r in S.semantic_dedup(
+            df, threshold=0.9, n_cells=1, centroids=ctable
+        ).collect()
+    )
+    assert kept == ["doc-a", "doc-c"]
+    dec = S.semantic_dedup(
+        df, threshold=0.9, n_cells=1, centroids=ctable,
+        return_decisions=True,
+    )
+    assert dict(dec.dtypes)["vec_id"] == "string"
+    assert {r["vec_id"] for r in dec.collect() if r["kept"]} == \
+        {"doc-a", "doc-c"}
+
+
 def test_semantic_dedup_decisions_and_validation(spark):
     """return_decisions emits one row per input consistent with the
     survivor set; a persisted-centroid parameter mismatch raises; an

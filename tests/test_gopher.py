@@ -269,3 +269,36 @@ def test_corpus_stats_datasheet(spark):
     plan = corpus_stats(_df(spark, rows))._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") <= 2
+
+
+def test_corpus_stats_legacy_size_of_null(spark):
+    """r5 advice: under spark.sql.legacy.sizeOfNull=true, size(NULL) is
+    -1 — corpus_stats must still honor the 'NULL docs count in
+    n_docs/n_null_text and nothing else' contract (no -1 leaking into
+    totals, means, or percentiles)."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        corpus_stats,
+    )
+
+    rows = [
+        (1, "the cat and the dog"),
+        (2, None),
+        (3, "qq zz vv"),
+    ]
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    try:
+        r = corpus_stats(_df(spark, rows)).first()
+    finally:
+        spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
+    assert r["n_docs"] == 3
+    assert r["n_null_text"] == 1
+    assert r["total_tokens"] == 5 + 3
+    assert r["mean_tokens"] == pytest.approx((5 + 3) / 2, abs=0.01)
+    assert r["p50_tokens"] == 4.0  # median of {5, 3}, never of {-1,5,3}
+    assert r["mean_stopword_ratio"] is not None
+    # ratios stay in [0,1] — the -1/-1 == 1.0 legacy artifact would
+    # still be in range, so pin the exact guarded value: doc1 has 3
+    # stopword tokens ('the' ×2 + 'and') of 5, doc3 has 0 of 3
+    assert r["mean_stopword_ratio"] == pytest.approx(
+        (3 / 5 + 0 / 3) / 2, abs=2e-6
+    )
