@@ -801,6 +801,25 @@ def bpe_encode(
         f"`{c.name}` {c.dataType.simpleString()}" for c in df.schema.fields
     )
     out_schema = f"{out_fields}, `{out_col}` array<string>"
+    eow = BPE_EOW
+
+    # nested (pickled BY VALUE) twin of _bpe_encode_word: a module-level
+    # reference would pickle by name and require the worker to import
+    # this package — which only works when the driver's cwd happens to
+    # put the repo on the workers' sys.path. Closures here must be
+    # self-contained (same contract as every other mapInPandas below).
+    def _enc_word(word: str, R: dict) -> list:
+        sym = list(word) + [eow]
+        while len(sym) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(sym) - 1):
+                r = R.get((sym[i], sym[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        return sym
 
     def _fn(batches):
         R = b_ranks.value
@@ -818,7 +837,7 @@ def bpe_encode(
                         continue
                     got = memo.get(w)
                     if got is None:
-                        got = _bpe_encode_word(w, R)
+                        got = _enc_word(w, R)
                         memo[w] = got
                     toks_out.extend(got)
                 encoded.append(toks_out)

@@ -2228,12 +2228,497 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# round-6 rotation gates: DuckDB oracles over the round-5 operator surface
+# (r5 VERDICT #1 — the registry is capped at 50, so six function-showcase /
+# agg-shape-overlap slots rotate out in favor of hard independent-engine
+# verification of line_dedup, the Gopher rule family, bigram-LM perplexity,
+# DSIR importance weights, trained-BPE token counting, and exact-substring
+# span trimming. The rotated-out queries stay importable for bench/tests.)
+# ---------------------------------------------------------------------------
+
+#: normalized whitespace tokens — the DuckDB twin of text_analysis.tokens()
+_SQL_TOKENS = (
+    r"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-line boilerplate removal (the C4 rule,
+    ``operators.dedup.line_dedup``) at WORD granularity: the corpus has
+    no newlines, so ``sep=' '`` makes every word a 'line' and the rule
+    removes words appearing in >= 78% of documents from every document,
+    preserving order. The threshold is corpus-fraction-relative
+    (footer row count — no extra scan) so the gate stays meaningful at
+    sf0.01, sf0.1, and the 10x replica alike. Exercises the full
+    machinery: trimmed-line hash counting, distinct-doc frequency, the
+    anti-join, order-preserving reassembly, and drop_empty."""
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = _parquet_num_rows(f"{sf_dir}/documents.parquet")
+    if n_docs is None:
+        n_docs = docs.count()
+    thr = max(2, (39 * n_docs) // 50)  # exact int arithmetic both engines
+    return line_dedup(docs, sep=" ", min_doc_freq=thr).select(
+        "doc_id", "text"
+    )
+
+
+SQL_LINE_DEDUP = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+pos AS (
+  SELECT doc_id, i, t[i] AS line
+  FROM tok, unnest(generate_series(1, len(t))) AS u(i)
+),
+counted AS (
+  SELECT trim(line) AS tl, count(DISTINCT doc_id) AS nd
+  FROM pos WHERE length(trim(line)) >= 1 GROUP BY 1
+),
+repeated AS (
+  SELECT tl FROM counted
+  WHERE nd >= greatest(2, (39 * (SELECT count(*) FROM documents)) // 50)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text
+  FROM pos WHERE trim(line) NOT IN (SELECT tl FROM repeated)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(r.text, '') END AS text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+WHERE d.text IS NULL OR r.text IS NOT NULL
+"""
+
+
+_GOPHER_TOP_NS = (2, 3, 4)
+_GOPHER_DUP_NS = (5, 10)
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule family (Rae et al. 2021 A1.1) end-to-end:
+    per-row quality signals (``gopher_quality_features``) joined with
+    the per-document gram repetition family
+    (``gopher_repetition_features`` — the codegen'd lead-chain/stack
+    rewrite) for top-{2,3,4}-gram and duplicated-{5,10}-gram character
+    ratios. The oracle recomputes every ratio from string grams."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        gopher_quality_features,
+        gopher_repetition_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    quality = gopher_quality_features(docs).drop("text")
+    rep = gopher_repetition_features(
+        docs, top_ns=_GOPHER_TOP_NS, dup_ns=_GOPHER_DUP_NS
+    ).drop("text", "dup_line_ratio", "dup_line_char_ratio")
+    return quality.join(rep, "doc_id")
+
+
+def _sql_gopher_quality() -> str:
+    stops = " + ".join(
+        f"(CASE WHEN list_contains(t, '{s}') THEN 1 ELSE 0 END)"
+        for s in [
+            "the", "be", "to", "of", "and", "that", "have", "with"
+        ]  # GOPHER_STOPWORDS
+    )
+    bullets = ", ".join(f"'{b}'" for b in ("•", "‣", "▶", "-", "*"))
+    ns = sorted(set(_GOPHER_TOP_NS) | set(_GOPHER_DUP_NS))
+    gram_selects = "\n  UNION ALL\n".join(
+        f"""  SELECT doc_id, {n} AS n, array_to_string(t[i:i+{n - 1}], ' ') AS g
+  FROM base, unnest(generate_series(1, len(t) - {n} + 1)) AS u(i)
+  WHERE len(t) >= {n}"""
+        for n in ns
+    )
+    top_cols = ",\n".join(
+        f"""       coalesce(max(CASE WHEN n = {n} AND total > 0 AND top[1] > 1
+                    THEN round(top[2] / total, 6)
+                    WHEN n = {n} THEN 0.0 END), 0.0)
+         AS top_{n}gram_char_ratio"""
+        for n in _GOPHER_TOP_NS
+    )
+    dup_cols = ",\n".join(
+        f"""       coalesce(max(CASE WHEN n = {n} AND total > 0
+                    THEN round(dup_chars / total, 6)
+                    WHEN n = {n} THEN 0.0 END), 0.0)
+         AS dup_{n}gram_char_ratio"""
+        for n in _GOPHER_DUP_NS
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS t,
+         length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS total,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines
+  FROM documents
+),
+quality AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_words,
+         round(list_sum(list_transform(t, x -> length(x))) / len(t), 6)
+           AS mean_word_len,
+         round((length(text)
+                - length(regexp_replace(text, '#|…', '', 'g'))
+                + len(string_split_regex(text, '\.\.\.')) - 1)
+               / len(t), 6) AS symbol_word_ratio,
+         CASE WHEN len(lines) > 0
+              THEN round(len(list_filter(lines,
+                     l -> substr(l, 1, 1) IN ({bullets}))) / len(lines), 6)
+              ELSE 0.0 END AS bullet_line_ratio,
+         CASE WHEN len(lines) > 0
+              THEN round(len(list_filter(lines,
+                     l -> l LIKE '%...' OR l LIKE '%…')) / len(lines), 6)
+              ELSE 0.0 END AS ellipsis_line_ratio,
+         round(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+               / len(t), 6) AS alpha_word_ratio,
+         CAST({stops} AS INT) AS stopword_hits
+  FROM base
+),
+grams AS (
+{gram_selects}
+),
+per_gram AS (
+  SELECT doc_id, n, g, count(*) AS c, length(any_value(g)) AS glen
+  FROM grams GROUP BY doc_id, n, g
+),
+per_doc AS (
+  SELECT doc_id, n,
+         max([c, c * glen]) AS top,
+         sum(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS dup_chars
+  FROM per_gram GROUP BY doc_id, n
+),
+rep AS (
+  SELECT p.doc_id,
+{top_cols},
+{dup_cols}
+  FROM per_doc p JOIN base b USING (doc_id)
+  GROUP BY p.doc_id
+)
+SELECT q.doc_id, q.n_words, q.mean_word_len, q.symbol_word_ratio,
+       q.bullet_line_ratio, q.ellipsis_line_ratio, q.alpha_word_ratio,
+       q.stopword_hits,
+       coalesce(r.top_2gram_char_ratio, 0.0) AS top_2gram_char_ratio,
+       coalesce(r.top_3gram_char_ratio, 0.0) AS top_3gram_char_ratio,
+       coalesce(r.top_4gram_char_ratio, 0.0) AS top_4gram_char_ratio,
+       coalesce(r.dup_5gram_char_ratio, 0.0) AS dup_5gram_char_ratio,
+       coalesce(r.dup_10gram_char_ratio, 0.0) AS dup_10gram_char_ratio
+FROM quality q LEFT JOIN rep r USING (doc_id)
+"""
+
+
+SQL_GOPHER_QUALITY = _sql_gopher_quality()
+
+
+def _sql_lm_avg(alias: str, train_where: str) -> str:
+    """CTE chain fragment computing per-document mean bigram log-prob
+    under a Jelinek-Mercer + add-k bigram LM trained on ``documents
+    WHERE {train_where}`` and scored over ALL documents — the DuckDB
+    twin of text_analysis.bigram_lm_tables + lm_perplexity (k=0.1,
+    λ=0.7; the 1−λ literal is the Python double so both engines use
+    bit-identical coefficients). Emits CTEs prefixed ``{alias}_``; the
+    final one is ``{alias}_avg(doc_id, a)``. Expects a ``pos`` CTE
+    (doc_id, i, w, n) over all documents to exist."""
+    one_minus_lam = repr(1.0 - 0.7)
+    return f"""{alias}_tpos AS (
+  SELECT doc_id, i, w, n FROM pos
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE {train_where})
+),
+{alias}_uni AS (
+  SELECT w, count(*) AS n_tok,
+         count(*) FILTER (WHERE i < n) AS n_prev
+  FROM {alias}_tpos GROUP BY w
+),
+{alias}_tot AS (
+  SELECT count(*) AS v, sum(n_tok) AS nn FROM {alias}_uni
+),
+{alias}_bgc AS (
+  SELECT a.w AS prev, b.w AS cur, count(*) AS n_pair
+  FROM {alias}_tpos a
+  JOIN {alias}_tpos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY 1, 2
+),
+{alias}_scored AS (
+  SELECT g.doc_id,
+         ln(0.7 * (coalesce(c.n_pair, 0) + 0.1)
+              / (coalesce(up.n_prev, 0) + 0.1 * t.v)
+            + {one_minus_lam} * (coalesce(uc.n_tok, 0) + 0.1)
+              / (t.nn + 0.1 * t.v)) AS logp
+  FROM bg g
+  LEFT JOIN {alias}_bgc c ON c.prev = g.prev AND c.cur = g.cur
+  LEFT JOIN {alias}_uni up ON up.w = g.prev
+  LEFT JOIN {alias}_uni uc ON uc.w = g.cur
+  CROSS JOIN {alias}_tot t
+),
+{alias}_avg AS (
+  SELECT doc_id, avg(logp) AS a FROM {alias}_scored GROUP BY doc_id
+)"""
+
+
+#: shared scoring-side CTEs: normalized token positions and adjacent
+#: bigrams of EVERY document (the candidates every model scores)
+_SQL_LM_POS = f"""pos AS (
+  SELECT doc_id, i, t[i] AS w, len(t) AS n
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t
+        FROM documents WHERE text IS NOT NULL) tok,
+       unnest(generate_series(1, len(t))) AS u(i)
+),
+bg AS (
+  SELECT a.doc_id, a.w AS prev, b.w AS cur
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+)"""
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity gating (the CCNet-style quality signal,
+    ``text_analysis.bigram_lm_tables`` + ``lm_perplexity``): train on
+    the corpus itself, score every document. Deterministic given the
+    count tables; outputs round to 6dp on both engines (log/exp agree
+    to ~1 ulp, sum order wobble ~1e-13 « the 5e-7 rounding boundary)."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bigram_lm_tables,
+        lm_perplexity,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bigrams, unigrams = bigram_lm_tables(docs)
+    return lm_perplexity(docs, bigrams, unigrams).select(
+        "doc_id",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
+SQL_LM_PERPLEXITY = f"""
+WITH {_SQL_LM_POS},
+{_sql_lm_avg('m', 'TRUE')}
+SELECT d.doc_id, round(m.a, 6) AS avg_logp,
+       round(exp(-m.a), 6) AS perplexity
+FROM documents d LEFT JOIN m_avg m USING (doc_id)
+"""
+
+
+def q_dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023,
+    ``mlprep.dsir_log_weights``): target LM trained on the English
+    slice, raw LM on the full pool, ``log w = (avg_t − avg_r) ×
+    bigram positions`` per candidate. The oracle trains and scores
+    both models independently in SQL."""
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        dsir_log_weights,
+    )
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bigram_lm_tables,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    proj = docs.select("doc_id", "text")
+    target = bigram_lm_tables(
+        docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    )
+    raw = bigram_lm_tables(proj)
+    return dsir_log_weights(proj, target, raw).select(
+        "doc_id", "log_weight"
+    )
+
+
+SQL_DSIR_LOG_WEIGHTS = f"""
+WITH {_SQL_LM_POS},
+{_sql_lm_avg('t', "lang = 'en'")},
+{_sql_lm_avg('r', 'TRUE')},
+npos AS (
+  SELECT doc_id, max(n) - 1 AS n_pos FROM pos GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round((t.a - r.a) * np.n_pos, 6) AS log_weight
+FROM documents d
+LEFT JOIN t_avg t USING (doc_id)
+LEFT JOIN r_avg r USING (doc_id)
+LEFT JOIN npos np USING (doc_id)
+"""
+
+
+#: BPE gate fixture: a pinned training corpus over the testdata
+#: vocabulary. The oracle replays the LITERAL merge list below, so the
+#: gate simultaneously pins (a) train_bpe reproducing exactly these
+#: merges from this corpus and (b) bpe_encode matching an independent
+#: SQL replay of lowest-rank-first merging.
+_BPE_FIXTURE = [
+    "the table scan the table sort the batch merge the table scan",
+    "customer query window stream value key part query window value",
+    "fast slow big small data hash join filter group order line agg row "
+    "spark column vector dup a the",
+]
+#: _bpe_learn output on the fixture histogram (num_merges=16) — keep in
+#: sync with tests/test_oracle_parity.py::test_bpe_gate_fixture_merges
+_BPE_FIXTURE_MERGES = [
+    ("e", "</w>"), ("e", "r"), ("h", "e</w>"), ("t", "he</w>"),
+    ("i", "n"), ("o", "w"), ("ow", "</w>"), ("t", "a"),
+    ("a", "l"), ("b", "l"), ("bl", "e</w>"), ("er", "</w>"),
+    ("n", "</w>"), ("o", "r"), ("s", "t"), ("ta", "ble</w>"),
+]
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword token counting under a TRAINED BPE vocabulary
+    (``text_analysis.train_bpe`` + ``bpe_token_count``): train 16
+    merges on the pinned fixture corpus, encode every document, count
+    tokens. The SQL oracle re-encodes every distinct word with a
+    recursive CTE applying the pinned merge list lowest-rank-first —
+    an independent replay of the whole encode loop."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bpe_token_count,
+        train_bpe,
+    )
+
+    fixture = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_FIXTURE)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(fixture, num_merges=16)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_token_count(docs, merges, num_merges=16).select(
+        "doc_id", "bpe_token_count"
+    )
+
+
+def _sql_bpe_token_count() -> str:
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    cases = "\n          ".join(
+        f"WHEN syms[i] = '{esc(a)}' AND syms[i+1] = '{esc(b)}' "
+        f"THEN [[{r}, i]]"
+        for r, (a, b) in enumerate(_BPE_FIXTURE_MERGES)
+    )
+    return rf"""
+WITH RECURSIVE
+words AS (
+  SELECT DISTINCT unnest({_SQL_TOKENS}) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+enc AS (
+  SELECT w, list_append(string_split(w, ''), '</w>') AS syms
+  FROM words WHERE w <> ''
+  UNION ALL
+  SELECT w,
+         list_concat(list_concat(
+             list_slice(syms, 1, best[2] - 1),
+             [syms[best[2]] || syms[best[2] + 1]]),
+             list_slice(syms, best[2] + 2, len(syms))) AS syms
+  FROM (
+    SELECT w, syms,
+      list_sort(flatten(list_transform(generate_series(1, len(syms) - 1),
+        i -> CASE
+          {cases}
+          ELSE [] END)))[1] AS best
+    FROM enc
+  ) WHERE best IS NOT NULL
+),
+final AS (
+  SELECT w, len(syms) AS n_sub FROM (
+    SELECT w, syms,
+           row_number() OVER (PARTITION BY w ORDER BY len(syms)) AS rn
+    FROM enc) WHERE rn = 1
+),
+docw AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+per_doc AS (
+  SELECT d.doc_id, sum(f.n_sub) AS n
+  FROM docw d JOIN final f USING (w)
+  WHERE d.w <> ''
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE CAST(coalesce(p.n, 0) AS INT) END AS bpe_token_count
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+SQL_BPE_TOKEN_COUNT = _sql_bpe_token_count()
+
+
+def q_duplicate_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring passage trimming (Lee et al. 2021 ExactSubstr,
+    ``dedup.duplicate_span_trim``): any verbatim 10-token run occurring
+    twice or more across the corpus is removed from every document but
+    the globally first occurrence; survivors reassemble in canonical
+    (lowered, single-space) form. The oracle recomputes with string
+    grams + the same sliding-window-max coverage rule."""
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        duplicate_span_trim,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_span_trim(docs, min_span=10)
+
+
+SQL_DUPLICATE_SPAN_TRIM = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t
+  FROM documents WHERE text IS NOT NULL
+),
+pos AS (
+  SELECT doc_id, i, t[i] AS w
+  FROM tok, unnest(generate_series(1, len(t))) AS u(i)
+),
+grams AS (
+  SELECT doc_id, i, array_to_string(t[i:i+9], ' ') AS g
+  FROM tok, unnest(generate_series(1, len(t) - 9)) AS u(i)
+  WHERE len(t) >= 10
+),
+stats AS (
+  SELECT g, count(*) AS c,
+         min({{'d': doc_id, 'i': i}}) AS first
+  FROM grams GROUP BY g
+),
+starts AS (
+  SELECT gr.doc_id, gr.i
+  FROM grams gr JOIN stats s USING (g)
+  WHERE s.c >= 2
+    AND NOT (gr.doc_id = s.first.d AND gr.i = s.first.i)
+),
+covered AS (
+  SELECT p.doc_id, p.i, p.w,
+         max(CASE WHEN st.i IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY p.doc_id ORDER BY p.i
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS cov
+  FROM pos p
+  LEFT JOIN starts st ON st.doc_id = p.doc_id AND st.i = p.i
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text
+  FROM covered WHERE cov = 0 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(r.text, '') END AS text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 # The grading driver gates AT MOST the first 50 registry entries (round-1
 # CORRECTNESS had exactly the first 50, in insertion order) — keep this
 # registry at ≤50 entries so EVERY query gets a driver correctness row.
+#
+# Round-6 rotation (r5 VERDICT #1): string_functions / array_functions /
+# price_histogram / top_spenders / running_revenue / token_frequencies
+# rotated OUT (function showcases and agg shapes other gates already pin:
+# heavy_hitter_tokens keeps deterministic top-k covered, sessionize_batch
+# keeps running window sums covered, silver/regex/title gates keep string
+# functions covered) in favor of DuckDB oracles over the round-5 operator
+# surface. The rotated-out queries remain importable and benchmarked.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "client_summary": q_client_summary,
     "dim_customer_enrich": q_dim_customer_enrich,
@@ -2266,21 +2751,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "union_by_name_evolution": q_union_by_name_evolution,
     "pricing_grouping_sets": q_pricing_grouping_sets,
-    "string_functions": q_string_functions,
+    "line_dedup": q_line_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "array_functions": q_array_functions,
+    "gopher_quality": q_gopher_quality,
     "zscore_by_segment": q_zscore_by_segment,
-    "top_spenders": q_top_spenders,
+    "lm_perplexity": q_lm_perplexity,
     "segment_stats": q_segment_stats,
-    "token_frequencies": q_token_frequencies,
+    "dsir_log_weights": q_dsir_log_weights,
     "customer_set_ops": q_customer_set_ops,
     "sketch_aggregates": q_sketch_aggregates,
     "contamination_check": q_contamination_check,
-    "price_histogram": q_price_histogram,
+    "bpe_token_count": q_bpe_token_count,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "sessionize_batch": q_sessionize_batch,
     "window_analytics": q_window_analytics,
-    "running_revenue": q_running_revenue,
+    "duplicate_span_trim": q_duplicate_span_trim,
     "pivot_linestatus": q_pivot_linestatus,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_signatures": q_simhash_signatures,
@@ -2319,21 +2804,21 @@ ORACLES: dict[str, str] = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "union_by_name_evolution": SQL_UNION_BY_NAME_EVOLUTION,
     "pricing_grouping_sets": SQL_PRICING_GROUPING_SETS,
-    "string_functions": SQL_STRING_FUNCTIONS,
+    "line_dedup": SQL_LINE_DEDUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
-    "array_functions": SQL_ARRAY_FUNCTIONS,
+    "gopher_quality": SQL_GOPHER_QUALITY,
     "zscore_by_segment": SQL_ZSCORE_BY_SEGMENT,
-    "top_spenders": SQL_TOP_SPENDERS,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
     "segment_stats": SQL_SEGMENT_STATS,
-    "token_frequencies": SQL_TOKEN_FREQUENCIES,
+    "dsir_log_weights": SQL_DSIR_LOG_WEIGHTS,
     "customer_set_ops": SQL_CUSTOMER_SET_OPS,
     "sketch_aggregates": SQL_SKETCH_AGGREGATES,
     "contamination_check": SQL_CONTAMINATION_CHECK,
-    "price_histogram": SQL_PRICE_HISTOGRAM,
+    "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
     "sessionize_batch": SQL_SESSIONIZE_BATCH,
     "window_analytics": SQL_WINDOW_ANALYTICS,
-    "running_revenue": SQL_RUNNING_REVENUE,
+    "duplicate_span_trim": SQL_DUPLICATE_SPAN_TRIM,
     "pivot_linestatus": SQL_PIVOT_LINESTATUS,
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,

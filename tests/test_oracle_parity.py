@@ -82,3 +82,34 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert "client_id" in df.columns
+
+
+def test_bpe_gate_fixture_merges(spark):
+    """The bpe_token_count oracle replays a LITERAL merge list; this
+    pins train_bpe on the fixture corpus to exactly that literal, so
+    trainer drift breaks here (named test) before it breaks the gate."""
+    from datawarehouse_vehicule_insurance_spark import queries as Q
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        train_bpe,
+    )
+
+    fixture = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(Q._BPE_FIXTURE)],
+        "doc_id long, text string",
+    )
+    trained = [
+        (r["left"], r["right"])
+        for r in train_bpe(fixture, num_merges=16)
+        .orderBy("rank").collect()
+    ]
+    assert trained == list(Q._BPE_FIXTURE_MERGES)
+
+
+def test_registry_at_driver_cap(spark):
+    """The grading driver gates the first 50 registry entries; the
+    round-6 rotation must keep the registry exactly at the cap with a
+    1:1 oracle mapping (every query hash-gated, none silently unchecked)."""
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) == 50
+    assert set(oracles) == set(qs)
