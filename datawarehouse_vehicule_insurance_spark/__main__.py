@@ -178,6 +178,7 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
         winnow_path=args.winnow,
         span_min_shared=args.span_min_shared,
         trim_min_span=args.trim_min_span,
+        span_grams_path=args.span_grams,
     )
     q.awaitTermination()
     compacted = None
@@ -199,6 +200,7 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
                 shingles_path=args.shingles,
                 line_counts_path=args.line_counts,
                 winnow_path=args.winnow,
+                span_grams_path=args.span_grams,
                 # a newly configured index may not exist until a batch
                 # with survivors lands — never fail the run over it
                 ignore_missing=True,
@@ -305,6 +307,8 @@ def _run_retract(args: argparse.Namespace) -> int:
         line_min_chars=args.line_min_chars,
         line_scope_col=args.line_scope,
         winnow_path=args.winnow,
+        span_grams_path=args.span_grams,
+        trim_min_span=args.trim_min_span,
     )
     print(json.dumps({"rows_after": out}))
     return 0
@@ -426,7 +430,13 @@ def main(argv: list[str] | None = None) -> int:
         "--trim-min-span", dest="trim_min_span", type=int,
         help="curate-stream: cut verbatim token runs of >= N tokens "
         "duplicated in the batch or corpus out of incoming documents "
-        "(reads corpus text per batch)",
+        "(reads corpus text per batch unless --span-grams is set)",
+    )
+    p.add_argument(
+        "--span-grams", dest="span_grams",
+        help="curate-stream/retract: span_gram_table dir (exact-"
+        "substring trim index; with it the trim stage reads no corpus "
+        "text; requires --trim-min-span)",
     )
     p.add_argument(
         "--span-min-shared", dest="span_min_shared", type=int,

@@ -22,6 +22,8 @@ Cost ordering rationale (the 100-TB argument):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -344,3 +346,66 @@ def curate_corpus(
         )
 
     return out
+
+
+def checkpoint_baseline(spark) -> set:
+    """Snapshot of the session's persistent-RDD ids, taken BEFORE a
+    composed run — :func:`release_checkpoints` frees everything created
+    since. (``localCheckpoint`` RDDs register in this map exactly like
+    caches do.)"""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def release_checkpoints(spark, baseline: set) -> int:
+    """Free the executor storage a composed run's
+    ``localCheckpoint(eager=False)`` plan cuts left behind, AFTER the
+    caller's sink action.
+
+    Why: the stage-boundary cuts :func:`curate_corpus` and operators
+    like ``minhash_dedup`` / ``duplicate_span_trim`` take to bound the
+    Catalyst tree materialize as RDD blocks on first use and stay in
+    the block manager until the driver happens to GC the wrapping
+    DataFrames — so BACK-TO-BACK composed runs in one session
+    accumulate blocks until OOM (NOTES "kitchen-sink" gotcha; the CLI's
+    fresh-session-per-corpus shape dodges it, the library path needs an
+    explicit release). Walking the final plan can't find them all —
+    each cut truncates lineage, hiding every EARLIER cut's node — so
+    the complete mechanism is the delta against a
+    :func:`checkpoint_baseline` snapshot.
+
+    Unpersists every persistent RDD not in ``baseline`` and returns how
+    many. The run's DataFrames MUST NOT be used afterward: checkpoint
+    lineage is truncated by construction, so a later action raises
+    instead of silently recomputing. Anything the caller persisted
+    BEFORE the baseline snapshot is untouched; frames the caller
+    cached DURING the run are released with it (scope the run
+    accordingly). Prefer :func:`curation_run`, which scopes this to
+    the sink action."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for entry in jmap.entrySet().toArray():
+        if int(entry.getKey()) not in baseline:
+            entry.getValue().unpersist(False)
+            n += 1
+    return n
+
+
+@contextmanager
+def curation_run(docs: DataFrame, **kwargs):
+    """Context-managed :func:`curate_corpus`: yields the curated frame;
+    on exit, releases every checkpoint block the run created
+    (:func:`release_checkpoints`) so repeated composed runs in ONE
+    session hold no residual executor storage::
+
+        with curation_run(docs, gopher_rules={}, ...) as curated:
+            curated.write.parquet(out_path)   # the sink action
+        # blocks freed here; do not reuse `curated` past this point
+    """
+    spark = docs.sparkSession
+    baseline = checkpoint_baseline(spark)
+    out = curate_corpus(docs, **kwargs)
+    try:
+        yield out
+    finally:
+        release_checkpoints(spark, baseline)

@@ -1464,6 +1464,167 @@ def cross_corpus_verbatim_pairs(
     )
 
 
+def _span_tok_rows(
+    df: DataFrame, side: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(__side, __id, __pos, __tok, __th) — canonical-form token rows
+    with xxhash64 token hashes (the exact-substring machinery's input;
+    ``side`` 0 = corpus, 1 = batch, so corpus occurrences outrank batch
+    ones under the (side, id, pos) order)."""
+    toks = F.split(
+        F.regexp_replace(
+            F.lower(F.trim(F.col(text_col))), r"\s+", " "
+        ),
+        " ",
+    )
+    return df.select(
+        F.lit(side).alias("__side"),
+        F.col(id_col).alias("__id"),
+        F.posexplode(toks).alias("__pos", "__tok"),
+    ).withColumn("__th", F.xxhash64("__tok"))
+
+
+def _span_grams_from_tok(tok: DataFrame, min_span: int) -> DataFrame:
+    """(__side, __id, __pos, __gh) — the FULL ``min_span``-token gram
+    hash starting at every position (xxhash64 over a ``lead`` chain of
+    token hashes; positions within min_span−1 of the document end have
+    no full gram and emit nothing)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__side", "__id").orderBy("__pos")
+    lead_hashes = [F.col("__th")] + [
+        F.lead("__th", j).over(w) for j in range(1, int(min_span))
+    ]
+    return (
+        tok.withColumn("__gh", F.xxhash64(*lead_hashes))
+        .withColumn("__full", lead_hashes[-1].isNotNull())
+        .filter(F.col("__full"))
+        .select("__side", "__id", "__pos", "__gh")
+    )
+
+
+SPAN_PARAMS_COL = "__span_params"
+
+
+def span_gram_fingerprint(min_span: int) -> str:
+    """Canonical fingerprint of the span-gram layout (v1 = canonical
+    whitespace tokens, xxhash64 token + gram hashes), stamped into
+    :func:`span_gram_table` and validated when a persisted table feeds
+    :func:`duplicate_span_trim` — gram hashes computed under a
+    different span length are meaningless to the probe."""
+    return f"span-grams/v1/ws-tokens/xxhash64/L={int(min_span)}"
+
+
+def span_gram_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span: int = 50,
+) -> DataFrame:
+    """The persistable exact-substring index of a corpus: (gram_hash,
+    n_occ, first_id, first_pos, __span_params) — for every distinct
+    full ``min_span``-token gram, how often it occurs and its first
+    (id, position) occurrence. The sixth artifact next to band /
+    content-hash / shingle / line-count / winnow tables, and the
+    distributed analogue of ExactSubstr's suffix array (Lee et al.
+    2021): an ingest loop appends each accepted batch's partial, and
+    because a document lives in exactly one batch, per-batch ``n_occ``
+    values SUM and per-batch first occurrences MIN to the corpus-wide
+    stats (:func:`merge_span_gram_tables`) — so
+    :func:`duplicate_span_trim` (``corpus_grams=``) trims new batches
+    against the whole corpus with NO corpus-text re-read, closing the
+    crawl loop's last per-batch corpus scan.
+
+    Scale shape: one narrow explode + one id-keyed window pass builds
+    the gram hashes (identical cost to trimming the same docs); the
+    aggregation shuffles (8-byte hash, count, id, pos) rows with
+    map-side combine — gram TEXT never exists, token text never
+    shuffles."""
+    L = int(min_span)
+    if L < 2:
+        raise ValueError("min_span must be >= 2")
+    rows = _span_grams_from_tok(
+        _span_tok_rows(docs, 0, text_col, id_col), L
+    )
+    return (
+        rows.groupBy("__gh")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("__id", "__pos")).alias("__f"),
+        )
+        .select(
+            F.col("__gh").alias("gram_hash"),
+            "n_occ",
+            F.col("__f.__id").alias("first_id"),
+            F.col("__f.__pos").alias("first_pos"),
+        )
+        .withColumn(SPAN_PARAMS_COL, F.lit(span_gram_fingerprint(L)))
+    )
+
+
+def validate_span_params(grams: DataFrame, min_span: int) -> None:
+    """Limit-1 stamp check, same contract as
+    :func:`validate_band_params` (intra-table uniformity is the
+    writer's contract)."""
+    if SPAN_PARAMS_COL not in grams.columns:
+        return
+    row = grams.select(SPAN_PARAMS_COL).first()
+    if row is None:
+        return
+    expected = span_gram_fingerprint(min_span)
+    if row[0] != expected:
+        raise ValueError(
+            f"span-gram table parameter mismatch: index was built with "
+            f"{row[0]!r} but the probe uses {expected!r} — gram hashes "
+            f"from mismatched span lengths are meaningless"
+        )
+
+
+def merge_span_gram_tables(*tables: DataFrame) -> DataFrame:
+    """Merge per-batch :func:`span_gram_table` partials into corpus
+    totals: ``n_occ`` sums and the first occurrence is the MIN of
+    per-batch (first_id, first_pos) minima, because each document
+    lives in exactly one batch. Mixed parameter stamps raise (gram
+    hashes under different span lengths must not be summed) — one
+    limit-1 read per table, same contract as
+    :func:`merge_line_counts`."""
+    if not tables:
+        raise ValueError("merge_span_gram_tables needs at least one table")
+    stamps = set()
+    for t in tables:
+        if SPAN_PARAMS_COL in t.columns:
+            row = t.select(SPAN_PARAMS_COL).first()
+            if row is not None:
+                stamps.add(row[0])
+    if len(stamps) > 1:
+        raise ValueError(
+            f"span-gram tables hold mixed parameters "
+            f"{sorted(stamps)} — rebuild before merging"
+        )
+    stamp = next(iter(stamps)) if stamps else None
+    merged = tables[0].drop(SPAN_PARAMS_COL)
+    for t in tables[1:]:
+        merged = merged.unionByName(t.drop(SPAN_PARAMS_COL))
+    out = (
+        merged.groupBy("gram_hash")
+        .agg(
+            F.sum("n_occ").alias("n_occ"),
+            F.min(F.struct(
+                F.col("first_id").alias("__id"),
+                F.col("first_pos").alias("__pos"),
+            )).alias("__f"),
+        )
+        .select(
+            "gram_hash", "n_occ",
+            F.col("__f.__id").alias("first_id"),
+            F.col("__f.__pos").alias("first_pos"),
+        )
+    )
+    if stamp is not None:
+        out = out.withColumn(SPAN_PARAMS_COL, F.lit(stamp))
+    return out
+
+
 def duplicate_span_trim(
     docs: DataFrame,
     min_span: int = 50,
@@ -1472,6 +1633,8 @@ def duplicate_span_trim(
     corpus: DataFrame | None = None,
     min_occurrences: int = 2,
     keep: str = "first",
+    corpus_grams: DataFrame | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Exact-substring deduplication at the PASSAGE level (the
     ExactSubstr recipe of Lee et al. 2021, arXiv:2107.06499, re-shaped
@@ -1510,6 +1673,15 @@ def duplicate_span_trim(
     combine absorbs even a passage shared by millions of documents
     (each task contributes one partial per gram), and the flagging join
     back is an 8-byte-key equi-join.
+
+    ``corpus_grams`` (optional, exclusive with ``corpus``): a persisted
+    :func:`span_gram_table` supplying the corpus side's occurrence
+    stats instead of corpus text — the batch's per-gram partials merge
+    with the index's (counts sum, first occurrences min, with corpus
+    stamped side 0 so it keeps outranking the batch), and the corpus is
+    neither scanned nor re-windowed. Its parameter stamp is validated
+    against ``min_span`` (``validate=False`` skips the limit-1 read for
+    callers that built the frame themselves).
     """
     from pyspark.sql import Window
 
@@ -1518,52 +1690,63 @@ def duplicate_span_trim(
     L = int(min_span)
     if L < 2:
         raise ValueError("min_span must be >= 2")
-
-    def _tok_rows(df, side):
-        toks = F.split(
-            F.regexp_replace(
-                F.lower(F.trim(F.col(text_col))), r"\s+", " "
-            ),
-            " ",
-        )
-        return df.select(
-            F.lit(side).alias("__side"),
-            F.col(id_col).alias("__id"),
-            F.posexplode(toks).alias("__pos", "__tok"),
-        ).withColumn("__th", F.xxhash64("__tok"))
-
-    tok = _tok_rows(docs, 1)
-    w = Window.partitionBy("__side", "__id").orderBy("__pos")
-    lead_hashes = [F.col("__th")] + [
-        F.lead("__th", j).over(w) for j in range(1, L)
-    ]
-
-    def _grams(rows):
-        return (
-            rows.withColumn("__gh", F.xxhash64(*lead_hashes))
-            .withColumn("__full", lead_hashes[-1].isNotNull())
-            .filter(F.col("__full"))
-            .select("__side", "__id", "__pos", "__gh")
+    if corpus is not None and corpus_grams is not None:
+        raise ValueError(
+            "pass at most one of corpus (text re-scan) or corpus_grams "
+            "(persisted span_gram_table)"
         )
 
     # the token and gram frames are each referenced several times below
     # (stats + flag join; flag + reassembly + had-tokens probe) — cut
     # the lineage so the posexplode and the L-lead window run once, not
     # per reference (minhash_dedup's candidate-checkpoint precedent)
-    tok = tok.localCheckpoint(eager=False)
-    occ = _grams(tok)
-    if corpus is not None:
-        occ = occ.unionByName(_grams(_tok_rows(corpus, 0)))
-    occ = occ.localCheckpoint(eager=False)
+    tok = _span_tok_rows(docs, 1, text_col, id_col).localCheckpoint(
+        eager=False
+    )
 
     # per-gram occurrence stats via a partial-aggregatable groupBy —
     # NOT a rank window: min(struct) and count combine map-side, so a
     # passage shared by millions of documents stays a cheap hot key
     # instead of a single-task sort
-    gram_stats = occ.groupBy("__gh").agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        F.min(F.struct("__side", "__id", "__pos")).alias("__first"),
-    ).filter(F.col("__cnt") >= int(min_occurrences))
+    if corpus_grams is not None:
+        if validate:
+            validate_span_params(corpus_grams, L)
+        occ = _span_grams_from_tok(tok, L).localCheckpoint(eager=False)
+        b_part = occ.groupBy("__gh").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct("__side", "__id", "__pos")).alias("__first"),
+        )
+        c_part = (
+            corpus_grams.groupBy(F.col("gram_hash").alias("__gh"))
+            .agg(
+                F.sum("n_occ").alias("__cnt"),
+                F.min(F.struct(
+                    F.lit(0).alias("__side"),
+                    F.col("first_id").alias("__id"),
+                    F.col("first_pos").alias("__pos"),
+                )).alias("__first"),
+            )
+        )
+        gram_stats = (
+            b_part.unionByName(c_part)
+            .groupBy("__gh")
+            .agg(
+                F.sum("__cnt").alias("__cnt"),
+                F.min("__first").alias("__first"),
+            )
+            .filter(F.col("__cnt") >= int(min_occurrences))
+        )
+    else:
+        occ = _span_grams_from_tok(tok, L)
+        if corpus is not None:
+            occ = occ.unionByName(_span_grams_from_tok(
+                _span_tok_rows(corpus, 0, text_col, id_col), L
+            ))
+        occ = occ.localCheckpoint(eager=False)
+        gram_stats = occ.groupBy("__gh").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct("__side", "__id", "__pos")).alias("__first"),
+        ).filter(F.col("__cnt") >= int(min_occurrences))
     flagged = occ.join(gram_stats, "__gh")
     cond = F.lit(True)
     if keep == "first":

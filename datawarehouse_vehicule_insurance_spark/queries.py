@@ -2329,23 +2329,44 @@ def _sql_gopher_quality() -> str:
     )
     bullets = ", ".join(f"'{b}'" for b in ("•", "‣", "▶", "-", "*"))
     ns = sorted(set(_GOPHER_TOP_NS) | set(_GOPHER_DUP_NS))
-    gram_selects = "\n  UNION ALL\n".join(
-        f"""  SELECT doc_id, {n} AS n, array_to_string(t[i:i+{n - 1}], ' ') AS g
+    # one independent CTE chain per gram size, each collapsing to one
+    # row per doc before the next size's aggregation starts — a single
+    # combined (doc, n, gram) aggregation held ~150M group states at
+    # the 10x replica and OOM'd DuckDB (no spill on an in-memory
+    # connection). Grouping is on a 64-bit gram hash so gram strings
+    # stay transient (same collision approximation as the Spark side's
+    # xxhash64 gram keys).
+    gram_chains = ",\n".join(
+        f"""pg{n} AS (
+  SELECT doc_id, hash(array_to_string(t[i:i+{n - 1}], ' ')) AS gh,
+         count(*) AS c,
+         min(length(array_to_string(t[i:i+{n - 1}], ' '))) AS glen
   FROM base, unnest(generate_series(1, len(t) - {n} + 1)) AS u(i)
-  WHERE len(t) >= {n}"""
+  WHERE len(t) >= {n}
+  GROUP BY doc_id, gh
+),
+pd{n} AS (
+  SELECT doc_id,
+         max([c, c * glen]) AS top,
+         sum(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS dup_chars
+  FROM pg{n} GROUP BY doc_id
+)"""
         for n in ns
     )
+    rep_joins = "\n".join(
+        f"LEFT JOIN pd{n} USING (doc_id)" for n in ns
+    )
     top_cols = ",\n".join(
-        f"""       coalesce(max(CASE WHEN n = {n} AND total > 0 AND top[1] > 1
-                    THEN round(top[2] / total, 6)
-                    WHEN n = {n} THEN 0.0 END), 0.0)
+        f"""       coalesce(CASE WHEN total > 0 AND pd{n}.top[1] > 1
+                 THEN round(pd{n}.top[2] / total, 6)
+                 WHEN pd{n}.top IS NOT NULL THEN 0.0 END, 0.0)
          AS top_{n}gram_char_ratio"""
         for n in _GOPHER_TOP_NS
     )
     dup_cols = ",\n".join(
-        f"""       coalesce(max(CASE WHEN n = {n} AND total > 0
-                    THEN round(dup_chars / total, 6)
-                    WHEN n = {n} THEN 0.0 END), 0.0)
+        f"""       coalesce(CASE WHEN total > 0
+                 THEN round(pd{n}.dup_chars / total, 6)
+                 WHEN pd{n}.dup_chars IS NOT NULL THEN 0.0 END, 0.0)
          AS dup_{n}gram_char_ratio"""
         for n in _GOPHER_DUP_NS
     )
@@ -2379,35 +2400,15 @@ quality AS (
          CAST({stops} AS INT) AS stopword_hits
   FROM base
 ),
-grams AS (
-{gram_selects}
-),
-per_gram AS (
-  SELECT doc_id, n, g, count(*) AS c, length(any_value(g)) AS glen
-  FROM grams GROUP BY doc_id, n, g
-),
-per_doc AS (
-  SELECT doc_id, n,
-         max([c, c * glen]) AS top,
-         sum(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS dup_chars
-  FROM per_gram GROUP BY doc_id, n
-),
-rep AS (
-  SELECT p.doc_id,
-{top_cols},
-{dup_cols}
-  FROM per_doc p JOIN base b USING (doc_id)
-  GROUP BY p.doc_id
-)
+{gram_chains}
 SELECT q.doc_id, q.n_words, q.mean_word_len, q.symbol_word_ratio,
        q.bullet_line_ratio, q.ellipsis_line_ratio, q.alpha_word_ratio,
        q.stopword_hits,
-       coalesce(r.top_2gram_char_ratio, 0.0) AS top_2gram_char_ratio,
-       coalesce(r.top_3gram_char_ratio, 0.0) AS top_3gram_char_ratio,
-       coalesce(r.top_4gram_char_ratio, 0.0) AS top_4gram_char_ratio,
-       coalesce(r.dup_5gram_char_ratio, 0.0) AS dup_5gram_char_ratio,
-       coalesce(r.dup_10gram_char_ratio, 0.0) AS dup_10gram_char_ratio
-FROM quality q LEFT JOIN rep r USING (doc_id)
+{top_cols},
+{dup_cols}
+FROM quality q
+JOIN base USING (doc_id)
+{rep_joins}
 """
 
 
@@ -2670,18 +2671,22 @@ pos AS (
   FROM tok, unnest(generate_series(1, len(t))) AS u(i)
 ),
 grams AS (
-  SELECT doc_id, i, array_to_string(t[i:i+9], ' ') AS g
+  -- group on a 64-bit gram hash, not the gram STRING: at the 10x
+  -- replica the ~150M wide string keys OOM'd DuckDB, while hashes
+  -- keep the aggregation narrow (same collision approximation as the
+  -- Spark side's xxhash64 gram keys, gopher-oracle precedent)
+  SELECT doc_id, i, hash(array_to_string(t[i:i+9], ' ')) AS gh
   FROM tok, unnest(generate_series(1, len(t) - 9)) AS u(i)
   WHERE len(t) >= 10
 ),
 stats AS (
-  SELECT g, count(*) AS c,
+  SELECT gh, count(*) AS c,
          min({{'d': doc_id, 'i': i}}) AS first
-  FROM grams GROUP BY g
+  FROM grams GROUP BY gh
 ),
 starts AS (
   SELECT gr.doc_id, gr.i
-  FROM grams gr JOIN stats s USING (g)
+  FROM grams gr JOIN stats s USING (gh)
   WHERE s.c >= 2
     AND NOT (gr.doc_id = s.first.d AND gr.i = s.first.i)
 ),

@@ -548,10 +548,28 @@ def test_streaming_embedding_ingest_pq_artifacts(spark, tmp_path):
         "append"
     ).parquet(src)
     run()
-    emb.filter(F.col("vec_id") >= 60).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    run()
+
+    # batches 2 and 3 run with TRAINING poisoned: centroids and
+    # codebooks are index-lifetime geometry trained exactly once (batch
+    # 1) — any later batch that retrains would silently mis-pair codes
+    # against drifted geometry (r5 verdict #3's done-criterion)
+    def _poisoned(*a, **k):
+        raise AssertionError("train ran after batch 1")
+
+    real_ivf, real_pq = S._train_ivf, S._train_pq
+    try:
+        S._train_ivf = _poisoned
+        S._train_pq = _poisoned
+        emb.filter(
+            (F.col("vec_id") >= 60) & (F.col("vec_id") < 80)
+        ).coalesce(1).write.mode("append").parquet(src)
+        run()
+        emb.filter(F.col("vec_id") >= 80).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run()
+    finally:
+        S._train_ivf, S._train_pq = real_ivf, real_pq
 
     corpus = spark.read.parquet(paths["corpus"]).drop(SC.BATCH_COL)
     books = spark.read.parquet(paths["books"])
@@ -1754,3 +1772,179 @@ def test_cli_compact_every_ignores_missing_artifacts(spark, tmp_path,
     assert stats["compacted"] is not None
     assert stats["compacted"][shingles] is None  # skipped, not fatal
     assert stats["compacted"][str(tmp_path / "bands")] is not None
+
+
+def test_streaming_curation_span_gram_index(spark, tmp_path):
+    """The loop's sixth persisted index (exact-substring trim): with
+    span_grams_path a later batch quoting a stored passage is trimmed
+    with NO corpus-side tokenization (spy probe), the per-batch index
+    partials merge to exactly span_gram_table of the stored corpus,
+    compaction preserves that equality, and retraction rebuilds the
+    index from survivors."""
+    src, corpus_path, bands_path, hashes_path, _ = _paths(tmp_path)
+    sg_path = str(tmp_path / "spangrams")
+    kw = dict(trim_min_span=12, span_grams_path=sg_path)
+
+    passage = " ".join(f"quote{i}" for i in range(14))
+    b1 = [(1, _fresh("alpha") + " " + passage), (2, _fresh("other"))]
+    b2 = [(11, _fresh("beta") + " " + passage + " " + _fresh("gamma")),
+          (12, _fresh("fresh"))]
+
+    _docs(spark, b1).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, **kw)
+    assert _corpus_ids(spark, tmp_path) == [1, 2]
+
+    seen: list[set] = []
+    real = D._span_tok_rows
+
+    def spy(df, side, text_col, id_col):
+        seen.append({r[0] for r in df.select(id_col).distinct().collect()})
+        return real(df, side, text_col, id_col)
+
+    _docs(spark, b2).coalesce(1).write.mode("append").parquet(src)
+    try:
+        D._span_tok_rows = spy
+        _run(spark, tmp_path, **kw)
+    finally:
+        D._span_tok_rows = real
+    got = {r["doc_id"]: r["text"]
+           for r in SC.read_corpus(spark, corpus_path).collect()}
+    assert sorted(got) == [1, 2, 11, 12]
+    assert passage in got[1]        # first occurrence keeps the passage
+    assert passage not in got[11]   # the quote is cut, the doc kept
+    # tokenization ran over batch frames / survivor appends only —
+    # never the stored corpus docs
+    assert seen, "span tokenizer never ran"
+    for ids in seen:
+        assert ids <= {11, 12}, f"corpus-side token re-scan: {ids}"
+
+    # the text-scan twin loop (no index) stores the identical corpus
+    src2 = str(tmp_path / "src2")
+    for b in (b1, b2):
+        _docs(spark, b).coalesce(1).write.mode("append").parquet(src2)
+    q = SC.run_incremental_curation(
+        spark, src2, str(tmp_path / "corpus2"), str(tmp_path / "bands2"),
+        str(tmp_path / "hashes2"), str(tmp_path / "ckpt2"),
+        trim_min_span=12,
+    )
+    q.awaitTermination()
+    twin = {r["doc_id"]: r["text"]
+            for r in SC.read_corpus(
+                spark, str(tmp_path / "corpus2")).collect()}
+    assert twin == got
+
+    # loop invariant: merged per-batch partials == span_gram_table of
+    # the corpus as stored
+    def _index_rows():
+        merged = D.merge_span_gram_tables(
+            spark.read.parquet(sg_path).drop(SC.BATCH_COL)
+        )
+        return sorted(map(tuple, merged.select(
+            "gram_hash", "n_occ", "first_id", "first_pos").collect()))
+
+    def _direct_rows():
+        stored = SC.read_corpus(spark, corpus_path)
+        return sorted(map(tuple, D.span_gram_table(
+            stored, min_span=12).select(
+            "gram_hash", "n_occ", "first_id", "first_pos").collect()))
+
+    assert _index_rows() == _direct_rows()
+
+    # compaction folds partials without changing the merged stats
+    res = SC.compact_loop_indexes(spark, span_grams_path=sg_path)
+    assert res[sg_path]["after"] <= res[sg_path]["before"]
+    assert SC.loop_batch_partitions(spark, sg_path) == 0
+    assert _index_rows() == _direct_rows()
+
+    # retraction rebuilds the span index from the survivors
+    SC.retract_documents(
+        spark, spark.createDataFrame([(1,)], "doc_id long"),
+        corpus_path, index_path=bands_path, hash_path=hashes_path,
+        span_grams_path=sg_path, trim_min_span=12,
+    )
+    assert _corpus_ids(spark, tmp_path) == [2, 11, 12]
+    assert _index_rows() == _direct_rows()
+
+    # misconfiguration: an index nothing probes raises; retract without
+    # the span length raises before touching anything
+    with pytest.raises(ValueError, match="trim_min_span"):
+        SC.run_incremental_curation(
+            spark, src, corpus_path, bands_path, hashes_path,
+            str(tmp_path / "ck3"), span_grams_path=sg_path,
+        )
+    with pytest.raises(ValueError, match="trim_min_span"):
+        SC.retract_documents(
+            spark, spark.createDataFrame([(2,)], "doc_id long"),
+            corpus_path, span_grams_path=sg_path,
+        )
+
+
+def test_rebuild_includes_span_grams(spark, tmp_path):
+    """rebuild_corpus_indexes(span_grams_path=...) regenerates the trim
+    index from the stored corpus (bootstrap/recovery path)."""
+    src, corpus_path, bands_path, hashes_path, _ = _paths(tmp_path)
+    sg_path = str(tmp_path / "spangrams")
+    _docs(spark, [(1, _fresh("aa")), (2, _fresh("bb"))]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _run(spark, tmp_path)
+    counts = SC.rebuild_corpus_indexes(
+        spark, corpus_path, bands_path, hashes_path,
+        span_grams_path=sg_path, trim_min_span=12,
+    )
+    assert counts[sg_path] > 0
+    stored = SC.read_corpus(spark, corpus_path)
+    want = sorted(map(tuple, D.span_gram_table(
+        stored, min_span=12).select(
+        "gram_hash", "n_occ", "first_id", "first_pos").collect()))
+    got = sorted(map(tuple, spark.read.parquet(sg_path)
+                 .select("gram_hash", "n_occ", "first_id", "first_pos")
+                 .collect()))
+    assert got == want
+
+
+def test_curation_run_releases_checkpoint_blocks(spark):
+    """The NOTES kitchen-sink gotcha: back-to-back composed runs in ONE
+    session used to accumulate localCheckpoint blocks until OOM. The
+    curation_run context manager releases each run's blocks after the
+    sink action, so the session's persistent-RDD set returns exactly
+    to baseline — twice in a row."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        checkpoint_baseline,
+        curation_run,
+    )
+
+    boiler = "subscribe to our newsletter today please"
+    passage = " ".join(f"quote{i}" for i in range(14))
+    rows = [
+        (1, _fresh("alpha") + "\n" + boiler),
+        (2, _fresh("beta") + "\n" + boiler),
+        (3, _fresh("alpha") + "\n" + boiler),      # exact dup of 1
+        (4, _fresh("gamma") + " " + passage),      # passage source
+        (5, _fresh("delta") + " " + passage),      # quote gets trimmed
+    ]
+    docs = _docs(spark, rows)
+    kwargs = dict(
+        min_tokens=5, min_alpha_ratio=0.0, max_dup_2gram_ratio=1.0,
+        line_dedup_min_freq=2, span_trim_min_span=12,
+        gopher_rules={
+            "min_words": 10, "min_stopword_hits": 0,
+            "min_mean_word_len": 0.0, "max_mean_word_len": 99.0,
+            "min_alpha_word_ratio": 0.0,
+        },
+    )
+    # compare via set DIFFERENCE, not equality: Spark's async
+    # ContextCleaner may GC an earlier test's lingering RDD mid-run,
+    # shrinking the baseline set — the invariant under test is "no NEW
+    # blocks survive the context manager", not "the session's exact
+    # RDD set is frozen"
+    base = checkpoint_baseline(spark)
+    for _ in range(2):
+        with curation_run(docs, **kwargs) as out:
+            got = {r["doc_id"]: r["text"] for r in out.collect()}  # sink
+            # the run held checkpoint blocks while alive
+            assert checkpoint_baseline(spark) - base
+        # ...and released every one of them on exit
+        assert checkpoint_baseline(spark) - base == set()
+    assert sorted(got) == [1, 2, 4, 5]
+    assert passage in got[4] and passage not in got[5]
+    assert all(boiler not in t for t in got.values())

@@ -293,3 +293,119 @@ def test_streaming_loop_trim_min_span(spark, tmp_path):
         [(0, got2[11])], "i long, text string"
     ).select(F.md5("text")).first()[0]
     assert stored[11] == expect_11
+
+
+def test_span_gram_index_path_equivalence(spark):
+    """The persisted span_gram_table path: trimming a batch against the
+    index ≡ trimming against corpus text ≡ the python reference — the
+    index changes the plan, never the result — including the
+    corpus-outranks-batch keep='first' rule and batch-internal repeats
+    the index knows nothing about."""
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        span_gram_table,
+    )
+
+    corpus_rows = [
+        (100, "stored page with " + PASSAGE + " inside"),
+        (101, "another stored page " + " ".join(
+            f"c{i}" for i in range(20))),
+    ]
+    batch2 = " ".join(f"y{i}" for i in range(14))
+    rows = [
+        (1, "new page quoting " + PASSAGE + " verbatim"),
+        # batch-internal repeat (no corpus involvement)
+        (2, batch2 + " sep " + batch2),
+        (3, "unrelated fresh content " + " ".join(
+            f"x{i}" for i in range(15))),
+        (4, None),
+        (5, ""),
+    ]
+    corpus = _df(spark, corpus_rows)
+    grams = span_gram_table(corpus, min_span=12)
+    ref = _ref_trim(rows, 12, corpus=corpus_rows)
+    via_text = {
+        r["doc_id"]: r["text"]
+        for r in duplicate_span_trim(
+            _df(spark, rows), min_span=12, corpus=corpus
+        ).collect()
+    }
+    via_index = {
+        r["doc_id"]: r["text"]
+        for r in duplicate_span_trim(
+            _df(spark, rows), min_span=12, corpus_grams=grams
+        ).collect()
+    }
+    assert via_text == ref
+    assert via_index == ref
+    assert PASSAGE not in via_index[1]  # corpus copy outranks the batch
+    assert via_index[2].count("y0") == 1  # within-batch repeat collapsed
+
+    # keep='none' composes with the index too
+    none_index = {
+        r["doc_id"]: r["text"]
+        for r in duplicate_span_trim(
+            _df(spark, rows), min_span=12, corpus_grams=grams,
+            keep="none",
+        ).collect()
+    }
+    assert none_index == _ref_trim(rows, 12, corpus=corpus_rows,
+                                   keep="none")
+
+
+def test_span_gram_table_merge_and_round_trip(spark, tmp_path):
+    """Per-batch span_gram_table partials merge (counts sum, first
+    occurrences min) to exactly the whole-corpus table, surviving a
+    parquet round trip — the loop's append-only maintenance contract."""
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        SPAN_PARAMS_COL,
+        merge_span_gram_tables,
+        span_gram_table,
+    )
+
+    b1 = [(1, "lead in " + PASSAGE + " tail"),
+          (2, " ".join(f"a{i}" for i in range(18)))]
+    b2 = [(11, "other intro " + PASSAGE + " other outro"),
+          (12, " ".join(f"b{i}" for i in range(18)))]
+    full = span_gram_table(_df(spark, b1 + b2), min_span=12)
+    p1 = str(tmp_path / "g1")
+    p2 = str(tmp_path / "g2")
+    span_gram_table(_df(spark, b1), min_span=12).write.parquet(p1)
+    span_gram_table(_df(spark, b2), min_span=12).write.parquet(p2)
+    merged = merge_span_gram_tables(
+        spark.read.parquet(p1), spark.read.parquet(p2)
+    )
+    cols = ["gram_hash", "n_occ", "first_id", "first_pos"]
+    assert sorted(map(tuple, merged.select(*cols).collect())) == \
+        sorted(map(tuple, full.select(*cols).collect()))
+    # the stamp survives the merge
+    assert merged.select(SPAN_PARAMS_COL).first()[0] == \
+        full.select(SPAN_PARAMS_COL).first()[0]
+    # the shared passage's first occurrence is batch-1's doc 1
+    shared = merged.filter(F.col("n_occ") >= 2).collect()
+    assert shared and all(r["first_id"] == 1 for r in shared)
+
+
+def test_span_gram_validation(spark):
+    """Parameter-stamp mismatches and conflicting corpus inputs raise;
+    mixed-stamp merges raise."""
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        merge_span_gram_tables,
+        span_gram_table,
+    )
+
+    corpus = _df(spark, [(100, PASSAGE + " stored here")])
+    g12 = span_gram_table(corpus, min_span=12)
+    g10 = span_gram_table(corpus, min_span=10)
+    batch = _df(spark, [(1, PASSAGE + " quoted again")])
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        duplicate_span_trim(batch, min_span=10, corpus_grams=g12)
+    with pytest.raises(ValueError, match="at most one"):
+        duplicate_span_trim(
+            batch, min_span=12, corpus=corpus, corpus_grams=g12
+        )
+    with pytest.raises(ValueError, match="mixed parameters"):
+        merge_span_gram_tables(g12, g10)
+    with pytest.raises(ValueError, match="at least one"):
+        merge_span_gram_tables()
+    with pytest.raises(ValueError, match="min_span"):
+        span_gram_table(corpus, min_span=1)

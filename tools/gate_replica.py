@@ -50,6 +50,14 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 
 con = duckdb.connect()
+# in-memory DuckDB disables spilling unless a temp_directory is set —
+# without one, the 10x-replica gopher/span-trim oracles (hundreds of
+# millions of gram groups) OOM-kill the process instead of spilling
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
+con.execute("SET memory_limit='48GB'")
+# row order is irrelevant here (compares sort, checksums aggregate) and
+# preserving it forces full materialization of large intermediates
+con.execute("SET preserve_insertion_order=false")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
