@@ -2347,19 +2347,25 @@ def _sql_gopher_quality() -> str:
 ),
 pd{n} AS (
   SELECT doc_id,
-         max([c, c * glen]) AS top,
+         max(c * 8589934592 + c * glen) AS topp,
          sum(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS dup_chars
   FROM pg{n} GROUP BY doc_id
 )"""
         for n in ns
     )
+    # top gram stats packed into ONE BIGINT (c * 2^33 + c*glen, exact
+    # while c*glen < 2^33 — chars per doc are orders of magnitude
+    # below): lexicographically identical to max([c, c*glen]), and the
+    # LIST aggregate's element access through the join below is what
+    # blew DuckDB past 70GB at the 10x replica (same planner pathology
+    # as the span-trim oracle's struct min)
     rep_joins = "\n".join(
         f"LEFT JOIN pd{n} USING (doc_id)" for n in ns
     )
     top_cols = ",\n".join(
-        f"""       coalesce(CASE WHEN total > 0 AND pd{n}.top[1] > 1
-                 THEN round(pd{n}.top[2] / total, 6)
-                 WHEN pd{n}.top IS NOT NULL THEN 0.0 END, 0.0)
+        f"""       coalesce(CASE WHEN total > 0 AND pd{n}.topp // 8589934592 > 1
+                 THEN round((pd{n}.topp % 8589934592) / total, 6)
+                 WHEN pd{n}.topp IS NOT NULL THEN 0.0 END, 0.0)
          AS top_{n}gram_char_ratio"""
         for n in _GOPHER_TOP_NS
     )
@@ -2680,15 +2686,20 @@ grams AS (
   WHERE len(t) >= 10
 ),
 stats AS (
-  SELECT gh, count(*) AS c,
-         min({{'d': doc_id, 'i': i}}) AS first
+  -- first occurrence as min over doc_id * 2^20 + i, NOT min(struct):
+  -- lexicographically identical while i < 2^20 (positions here are
+  -- token indexes, orders of magnitude below that), and the struct
+  -- version's field-access join predicate below sent DuckDB's planner
+  -- into a >70GB many-to-many plan at the 10x replica where the
+  -- packed-int comparison stays a plain hash join filter
+  SELECT gh, count(*) AS c, min(doc_id * 1048576 + i) AS fdi
   FROM grams GROUP BY gh
 ),
 starts AS (
   SELECT gr.doc_id, gr.i
   FROM grams gr JOIN stats s USING (gh)
   WHERE s.c >= 2
-    AND NOT (gr.doc_id = s.first.d AND gr.i = s.first.i)
+    AND gr.doc_id * 1048576 + gr.i <> s.fdi
 ),
 covered AS (
   SELECT p.doc_id, p.i, p.w,
