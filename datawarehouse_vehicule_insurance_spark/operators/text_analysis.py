@@ -642,16 +642,22 @@ def bpe_fingerprint(num_merges: int, max_words: int) -> str:
     return f"bpe/v1/num_merges={num_merges}/max_words={max_words}"
 
 
-def _bpe_learn(word_freqs: list, num_merges: int) -> list:
+def _bpe_learn(word_freqs: list, num_merges: int, to_symbols=None) -> list:
     """Classic byte-pair-encoding merge learning (Sennrich et al. 2016,
     arXiv:1508.07909) over a word-frequency histogram: each word is a
-    symbol sequence (characters + end-of-word marker); repeatedly merge
-    the most frequent adjacent symbol pair. Ties break lexicographically
-    so training is deterministic. Driver-side by design — the histogram
-    is bounded (``max_words`` rows), not data-scale."""
+    symbol sequence (by default characters + end-of-word marker;
+    ``to_symbols`` overrides — the byte-level variant passes its
+    byte-alphabet mapping); repeatedly merge the most frequent adjacent
+    symbol pair. Ties break lexicographically so training is
+    deterministic. Driver-side by design — the histogram is bounded
+    (``max_words`` rows), not data-scale."""
     from collections import Counter
 
-    words = {w: (tuple(w) + (BPE_EOW,), f) for w, f in word_freqs}
+    if to_symbols is None:
+        def to_symbols(w):
+            return tuple(w) + (BPE_EOW,)
+
+    words = {w: (to_symbols(w), f) for w, f in word_freqs}
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         pairs: Counter = Counter()
@@ -684,6 +690,26 @@ def _bpe_learn(word_freqs: list, num_merges: int) -> list:
     return merges
 
 
+def _word_histogram(train: DataFrame, text_col: str, max_words: int) -> list:
+    """The bounded (word, freq) histogram both BPE trainers learn from:
+    one narrow explode + hash aggregation, truncated to the
+    ``max_words`` most frequent words (ties: token ascending) via
+    TakeOrdered — the ONLY driver collect in BPE training, bounded by
+    construction, which is what makes training corpus-size-independent."""
+    return [
+        (r[0], r[1])
+        for r in (
+            train.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+            .filter(F.col("__w") != "")
+            .groupBy("__w")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .orderBy(F.col("__f").desc(), F.col("__w").asc())
+            .limit(max_words)
+            .collect()
+        )
+    ]
+
+
 def train_bpe(
     train: DataFrame,
     num_merges: int = 200,
@@ -712,18 +738,10 @@ def train_bpe(
     literal string ``</w>`` can train merges that assemble a colliding
     symbol, making token→text reconstruction ambiguous for those words
     (encoding still round-trips deterministically). Corpora with such
-    markup should strip it first (byte-level BPE is the collision-free
-    variant)."""
-    hist = (
-        train.select(F.explode(tokens(F.col(text_col))).alias("__w"))
-        .filter(F.col("__w") != "")
-        .groupBy("__w")
-        .agg(F.count(F.lit(1)).alias("__f"))
-        .orderBy(F.col("__f").desc(), F.col("__w").asc())
-        .limit(max_words)
-        .collect()
-    )
-    merges = _bpe_learn([(r[0], r[1]) for r in hist], num_merges)
+    markup should strip it first or use :func:`train_bpe_bytes`, the
+    collision-free byte-level variant."""
+    hist = _word_histogram(train, text_col, max_words)
+    merges = _bpe_learn(hist, num_merges)
     spark = train.sparkSession
     fp = bpe_fingerprint(num_merges, max_words)
     schema = "rank int, left string, right string"
@@ -866,6 +884,165 @@ def bpe_token_count(
         df, merges, num_merges, max_words, text_col, "__bpe_toks"
     )
     return enc.withColumn(out_col, F.size("__bpe_toks")).drop("__bpe_toks")
+
+
+# --------------------------------------------------------- byte-level BPE
+
+
+def _bytes_to_unicode() -> dict:
+    """The byte ↔ printable-unicode bijection of GPT-2's byte-level BPE
+    (Radford et al. 2019; the published encoder recipe): visible
+    ASCII/Latin-1 bytes map to themselves, the remaining bytes to
+    256+offset code points. Every byte becomes exactly ONE unicode
+    character, so byte-level symbols stay plain strings and merges stay
+    string concatenation — and because the base alphabet is exactly the
+    256 bytes, no input text can collide with a marker symbol (the
+    ``</w>`` caveat :func:`train_bpe` documents does not exist here)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+def bpe_bytes_fingerprint(num_merges: int, max_words: int) -> str:
+    """Stamp for byte-level merges tables — deliberately distinct from
+    :func:`bpe_fingerprint` so character-level and byte-level tables
+    can never be applied to each other."""
+    return f"bpe-bytes/v1/num_merges={num_merges}/max_words={max_words}"
+
+
+def train_bpe_bytes(
+    train: DataFrame,
+    num_merges: int = 200,
+    max_words: int = 50_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-level BPE training — the collision-free variant of
+    :func:`train_bpe` (same bounded-histogram distributed shape, same
+    persistable (rank, left, right) merges contract, distinct stamp).
+
+    Every word trains in its SPACE-PREFIXED UTF-8 byte form (GPT-2's
+    leading-space convention, uniformly applied): symbols are the
+    mapped bytes of ``" " + word``, there is no end-of-word marker, and
+    decoding is the exact inverse — concatenate token symbols, unmap to
+    bytes, UTF-8-decode, drop the first document's leading space
+    (:func:`bpe_decode_bytes`). Because the base alphabet is the 256
+    bytes themselves, ``decode(encode(text))`` equals the canonical
+    text for EVERY input, including text containing the literal
+    ``</w>`` that makes the character-level variant's reconstruction
+    ambiguous."""
+    b2u = _bytes_to_unicode()
+
+    def to_sym(w):
+        return tuple(b2u[b] for b in (" " + w).encode("utf-8"))
+
+    hist = _word_histogram(train, text_col, max_words)
+    merges = _bpe_learn(hist, num_merges, to_symbols=to_sym)
+    spark = train.sparkSession
+    fp = bpe_bytes_fingerprint(num_merges, max_words)
+    schema = "rank int, left string, right string"
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    if not rows:
+        return spark.createDataFrame([], schema).withColumn(
+            BPE_PARAMS_COL, F.lit(fp)
+        )
+    return spark.createDataFrame(rows, schema).withColumn(
+        BPE_PARAMS_COL, F.lit(fp)
+    )
+
+
+def bpe_encode_bytes(
+    df: DataFrame,
+    merges: DataFrame,
+    num_merges: int = 200,
+    max_words: int = 50_000,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a :func:`train_bpe_bytes` merges table — same Arrow-batched
+    ``mapInPandas`` + per-batch word memo shape as :func:`bpe_encode`,
+    with byte-mapped space-prefixed symbols and no end-of-word marker.
+    NULL text encodes to NULL; the stamp is validated."""
+    import pandas as pd
+
+    if out_col in df.columns:
+        raise ValueError(
+            f"bpe_encode_bytes: out_col {out_col!r} already exists on the "
+            "input DataFrame — pick a different name"
+        )
+    _validate_bpe_stamp(merges, bpe_bytes_fingerprint(num_merges, max_words))
+    rows = merges.select("rank", "left", "right").collect()
+    ranks = {(r[1], r[2]): r[0] for r in rows}
+    b_ranks = df.sparkSession.sparkContext.broadcast(ranks)
+    import re as _re
+
+    out_fields = ", ".join(
+        f"`{c.name}` {c.dataType.simpleString()}" for c in df.schema.fields
+    )
+    out_schema = f"{out_fields}, `{out_col}` array<string>"
+    # the bijection is tiny and deterministic — rebuild it inside the
+    # closure so the worker needs no package import (the same
+    # self-contained contract as every mapInPandas here)
+    b2u_items = sorted(_bytes_to_unicode().items())
+
+    def _fn(batches):
+        R = b_ranks.value
+        b2u = dict(b2u_items)
+        memo: dict = {}
+
+        def _enc_word(word: str) -> list:
+            sym = [b2u[b] for b in (" " + word).encode("utf-8")]
+            while len(sym) > 1:
+                best_rank, best_i = None, None
+                for i in range(len(sym) - 1):
+                    r = R.get((sym[i], sym[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_i is None:
+                    break
+                sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+            return sym
+
+        for pdf in batches:
+            encoded = []
+            for t in pdf[text_col]:
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    encoded.append(None)
+                    continue
+                norm = _re.sub(r"\s+", " ", str(t).strip().lower())
+                toks_out: list = []
+                for w in norm.split(" "):
+                    if w == "":
+                        continue
+                    got = memo.get(w)
+                    if got is None:
+                        got = _enc_word(w)
+                        memo[w] = got
+                    toks_out.extend(got)
+                encoded.append(toks_out)
+            yield pdf.assign(**{out_col: encoded})
+
+    return df.mapInPandas(_fn, out_schema)
+
+
+def bpe_decode_bytes(tokens: list) -> str:
+    """Exact inverse of :func:`bpe_encode_bytes` for one document's
+    token list: unmap every symbol character back to its byte, UTF-8
+    decode, drop the leading space the first word carried. A pure
+    driver/test helper — the round-trip it witnesses is the byte-level
+    variant's collision-freedom claim."""
+    u2b = {c: b for b, c in _bytes_to_unicode().items()}
+    data = bytes(u2b[ch] for tok in tokens for ch in tok)
+    return data.decode("utf-8")[1:]
 
 
 # ------------------------------------------------------------- Gopher rules

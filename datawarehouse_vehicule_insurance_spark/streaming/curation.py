@@ -138,20 +138,34 @@ def curate_batch_incremental(
     near-dup stages (their signatures then describe the text the
     corpus will actually store). Pure plan construction (shared by the
     streaming loop and its batch oracle in tests)."""
-    out = exact_dedup_by_content(batch, text_col=text_col, id_col=id_col)
+    # stage-boundary plan cuts, curate_corpus's precedent applied to
+    # the loop: every stage references its input 2-3x (signatures /
+    # gram rows + the join back), so an UNCUT chain re-executes the
+    # whole upstream once per reference — and on batch 2+ the upstream
+    # includes the corpus-merged line/trim stages, making the
+    # re-execution product the dominant batch cost (stage-toggle
+    # probe: the five-stage batch-2 premium was plan re-execution, not
+    # any single stage's own work). The blocks these cuts materialize
+    # are released per batch by run_incremental_curation.
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False)
+
+    out = _cut(
+        exact_dedup_by_content(batch, text_col=text_col, id_col=id_col)
+    )
     if line_dedup_min_freq is not None:
         if corpus is not None or corpus_hashes is not None:
             out = drop_exact_corpus_matches(
                 out, corpus, corpus_hashes, text_col, id_col
             )
-        out = line_dedup_incremental(
+        out = _cut(line_dedup_incremental(
             out,
             corpus_line_counts,
             min_doc_freq=line_dedup_min_freq,
             min_chars=line_min_chars,
             text_col=text_col,
             id_col=id_col,
-        )
+        ))
     if trim_min_span is not None:
         # exact-substring passage trimming vs batch AND corpus. With a
         # persisted corpus_span_grams (span_gram_table) the corpus side
@@ -160,34 +174,34 @@ def curate_batch_incremental(
         # the pre-index cost). Runs with the other text-rewriting stage
         # so every later signature/index row describes the text the
         # corpus will actually store.
-        out = duplicate_span_trim(
+        out = _cut(duplicate_span_trim(
             out, min_span=trim_min_span,
             text_col=text_col, id_col=id_col,
             corpus=corpus if corpus_span_grams is None else None,
             corpus_grams=corpus_span_grams,
-        )
+        ))
     if within_batch_neardup:
-        out = minhash_dedup(
+        out = _cut(minhash_dedup(
             out, text_col=text_col, id_col=id_col,
             threshold=jaccard_threshold,
             k=k, bands=bands, shingle_n=shingle_n, seed=seed,
-        )
+        ))
     if span_min_shared is not None:
         # within-batch verbatim-run dedup (partial containment the
         # set-based near-dup can't see)
-        out = span_overlap_dedup(
+        out = _cut(span_overlap_dedup(
             out, text_col=text_col, id_col=id_col,
             min_shared=span_min_shared,
-        )
+        ))
     if corpus is not None:
-        out = incremental_dedup(
+        out = _cut(incremental_dedup(
             out, corpus,
             text_col=text_col, id_col=id_col,
             jaccard_threshold=jaccard_threshold,
             k=k, bands=bands, shingle_n=shingle_n, seed=seed,
             corpus_bands=corpus_bands, corpus_hashes=corpus_hashes,
             corpus_shingles=corpus_shingles,
-        )
+        ))
     if span_min_shared is not None and (
         corpus_winnow is not None or corpus is not None
     ):
@@ -391,9 +405,7 @@ def run_incremental_curation(
         .load(src_path)
     )
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    def _process_body(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         batch = transform(batch_df) if transform is not None else batch_df
         # snapshot semantics: exclude this batch id from every artifact
@@ -492,6 +504,26 @@ def run_incremental_curation(
                 ),
                 span_grams_path,
             )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ..operators.curate import (
+            checkpoint_baseline,
+            release_checkpoints,
+        )
+
+        # free the stage-cut checkpoint blocks this batch materialized
+        # once its writes have landed — an availableNow run draining
+        # many batches would otherwise hold every batch's blocks for
+        # the life of the session (the curation_run contract, applied
+        # per loop batch)
+        sess = batch_df.sparkSession
+        base_rdds = checkpoint_baseline(sess)
+        try:
+            _process_body(batch_df, batch_id)
+        finally:
+            release_checkpoints(sess, base_rdds)
 
     return (
         stream.writeStream.foreachBatch(_process)

@@ -381,3 +381,106 @@ def test_bpe_vocab_and_id_encoding(spark):
 
     with pytest.raises(ValueError, match="parameter mismatch"):
         bpe_encode_ids(docs, merges, vocab, num_merges=11)
+
+
+# ----------------------------------------------------------- byte level
+
+
+def test_bytes_bijection_is_total():
+    """Every byte maps to a distinct single character and back."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        _bytes_to_unicode,
+    )
+
+    b2u = _bytes_to_unicode()
+    assert sorted(b2u) == list(range(256))
+    assert len(set(b2u.values())) == 256
+    assert all(len(c) == 1 for c in b2u.values())
+
+
+def test_bytes_train_encode_decode_round_trip(spark):
+    """decode(encode(text)) == canonical text — including text whose
+    words contain the literal end-of-word marker that makes the
+    character-level variant's reconstruction ambiguous, and non-ASCII
+    (multi-byte UTF-8) words."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bpe_decode_bytes,
+        bpe_encode_bytes,
+        train_bpe_bytes,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "markup</w>heavy tokens</w> survive byte level",
+        "café naïve über søren 中文",
+        "  Mixed   CASE \t and \n whitespace  ",
+        "the the the the repetition trains merges",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] + [(99, None)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe_bytes(docs, num_merges=64)
+    enc = {
+        r["doc_id"]: r["toks"]
+        for r in bpe_encode_bytes(
+            docs, merges, num_merges=64, out_col="toks"
+        ).collect()
+    }
+    assert enc[99] is None
+    for i, t in enumerate(texts):
+        canonical = re.sub(r"\s+", " ", t.strip().lower())
+        assert bpe_decode_bytes(enc[i]) == canonical, t
+
+
+def test_bytes_learns_mapped_space_prefixed_merges():
+    """Hand check on a two-word histogram: the most frequent pair is
+    the space-prefix byte followed by the first letter (every 'ab'
+    occurrence), so the first merge is ('Ġ', 'a') in GPT-2's
+    mapped alphabet where chr(0x120) is the mapped space."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        _bpe_learn,
+        _bytes_to_unicode,
+    )
+
+    b2u = _bytes_to_unicode()
+
+    def to_sym(w):
+        return tuple(b2u[b] for b in (" " + w).encode("utf-8"))
+
+    merges = _bpe_learn([("ab", 5), ("ax", 3)], 2, to_symbols=to_sym)
+    assert merges[0] == (b2u[ord(" ")], "a")
+    assert merges[1] == (b2u[ord(" ")] + "a", "b")
+
+
+def test_bytes_stamp_rejects_char_level_table(spark):
+    """Character-level and byte-level merges tables must never be
+    interchangeable — distinct fingerprints, validated on encode."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bpe_encode_bytes,
+        train_bpe,
+        train_bpe_bytes,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    char_merges = train_bpe(docs, num_merges=8)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        bpe_encode_bytes(docs, char_merges, num_merges=8)
+    byte_merges = train_bpe_bytes(docs, num_merges=8)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        bpe_encode(docs, byte_merges, num_merges=8)
+
+
+def test_bytes_training_deterministic(spark):
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        train_bpe_bytes,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    a = sorted(map(tuple, train_bpe_bytes(docs, num_merges=32)
+                   .select("rank", "left", "right").collect()))
+    b = sorted(map(tuple, train_bpe_bytes(docs, num_merges=32)
+                   .select("rank", "left", "right").collect()))
+    assert a == b and len(a) == 32

@@ -1,0 +1,206 @@
+"""Scale audit for the operator surface the DuckDB gate can't express.
+
+`tools/gate_replica.py` re-verifies every driver-gate query against a
+scaled replica; this sibling covers the pytest-pinned operators that
+have no SQL oracle — the checks here are the same python-reference /
+invariant checks the unit tests pin, rerun against the (much larger)
+replica so the operators' correctness claims are re-established AT
+SCALE, not just at fixture size:
+
+- semantic_dedup: collect the N most-populated k-means cells and replay
+  the per-cell greedy cosine prune in pure numpy — survivor sets must
+  match exactly (SemDeDup's decisions are deterministic given geometry).
+- ivf_topk with n_probe == n_cells: must equal brute-force cosine top-k
+  row-for-row (probing every cell removes the approximation).
+- pq_topk determinism: re-encoding the corpus against the same persisted
+  codebooks yields byte-identical codes.
+- tokenize_and_pack: conservation invariants over the FULL replica —
+  every doc packed exactly once, no sequence overfilled past max_len,
+  overflow flagged exactly for docs longer than max_len.
+- span_overlap_dedup: a planted pair sharing a passage far above the
+  winnowing guarantee length must still be caught when buried in the
+  replica corpus (detection guarantees don't dilute with scale).
+
+Usage: python tools/op_replica.py [sf_dir] [check ...]
+Prints one ok/FAIL line per check (with wall time), exits 1 on failure.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+args = sys.argv[1:]
+sf_dir = args[0] if args else "/tmp/sfx10"
+only = set(args[1:])
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.driver.memory", "16g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from datawarehouse_vehicule_insurance_spark.operators import similarity as S  # noqa: E402
+from datawarehouse_vehicule_insurance_spark.operators.dedup import span_overlap_dedup  # noqa: E402
+from datawarehouse_vehicule_insurance_spark.operators.mlprep import tokenize_and_pack  # noqa: E402
+from datawarehouse_vehicule_insurance_spark.operators.text_analysis import train_bpe  # noqa: E402
+
+docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+fails = []
+
+
+def check(name):
+    def deco(fn):
+        fn.__check_name__ = name
+        return fn
+    return deco
+
+
+@check("semantic_dedup_cell_parity")
+def check_semantic():
+    """Replay the greedy per-cell prune in numpy for the 3 biggest
+    cells; survivor ids must match the operator's exactly."""
+    thr, n_cells = 0.9, 32
+    dec = S.semantic_dedup(
+        emb, threshold=thr, n_cells=n_cells, return_decisions=True
+    ).localCheckpoint()
+    big = [r[0] for r in dec.groupBy("cell").count()
+           .orderBy(F.desc("count"), "cell").limit(3).collect()]
+    rows = (
+        dec.filter(F.col("cell").isin(big))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("cell", "vec_id", "kept", "embedding")
+        .collect()
+    )
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        members.sort(key=lambda r: r["vec_id"])  # keep="min_id" order
+        M = np.array([r["embedding"] for r in members], dtype=np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        kept_idx = []
+        for i in range(len(members)):
+            if not kept_idx or float(
+                np.max(M[kept_idx] @ M[i])
+            ) < thr:
+                kept_idx.append(i)
+        want = {members[i]["vec_id"] for i in kept_idx}
+        got = {r["vec_id"] for r in members if r["kept"]}
+        if want != got:
+            return (f"cell {cell}: reference kept {len(want)}, "
+                    f"operator kept {len(got)}, diff "
+                    f"{sorted(want ^ got)[:5]}")
+    return None
+
+
+@check("ivf_exhaustive_equals_brute")
+def check_ivf():
+    """n_probe == n_cells removes the approximation — results must be
+    row-identical to brute force."""
+    q = (emb.orderBy("vec_id").limit(5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec")))
+    brute = {tuple(r) for r in S.cosine_topk(q, emb, k=10).collect()}
+    ivf = {tuple(r) for r in S.ivf_topk(
+        q, emb, k=10, n_cells=16, n_probe=16
+    ).collect()}
+    if brute != ivf:
+        return f"{len(brute ^ ivf)} row diffs between brute and ivf"
+    return None
+
+
+@check("pq_encode_deterministic")
+def check_pq():
+    """Re-encoding against the same persisted codebooks is
+    byte-identical (the build-once/probe-many contract holds at
+    replica size)."""
+    books = S.pq_codebooks_table(emb, m=8, ks=16).localCheckpoint()
+    a = S.pq_encode_table(emb, books).select("vec_id", "code")
+    b = S.pq_encode_table(emb, books).select("vec_id", "code")
+    n = a.count()
+    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    if diff or n != emb.count():
+        return f"{diff} code-row diffs between encodes ({n} rows)"
+    return None
+
+
+@check("tokenize_and_pack_conservation")
+def check_pack():
+    """Mass-conservation invariants over the full replica: each doc
+    packed once; no sequence overfilled; overflow flag exact."""
+    max_len = 512
+    merges = train_bpe(docs.limit(2000), num_merges=200)
+    packed = tokenize_and_pack(
+        docs, merges, max_len=max_len, num_merges=200
+    ).localCheckpoint()
+    n_in = docs.filter(F.col("text").isNotNull()).count()
+    n_out = packed.count()
+    n_distinct = packed.select("doc_id").distinct().count()
+    if not (n_out == n_distinct == n_in):
+        return f"doc multiplicity: in={n_in} out={n_out} distinct={n_distinct}"
+    overfilled = (
+        packed.filter(~F.col("overflow"))
+        .groupBy("seq_id").agg(F.sum("bpe_token_count").alias("fill"))
+        .filter(F.col("fill") > max_len).count()
+    )
+    if overfilled:
+        return f"{overfilled} sequences packed past max_len"
+    bad_flag = packed.filter(
+        (F.col("bpe_token_count") > max_len) != F.col("overflow")
+    ).count()
+    if bad_flag:
+        return f"{bad_flag} rows with wrong overflow flag"
+    return None
+
+
+@check("span_overlap_planted_pair")
+def check_winnow():
+    """A planted pair sharing a 64-token passage (far above the
+    window + w_select - 1 winnowing guarantee) must be caught with the
+    pair buried in the replica corpus."""
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    passage = " ".join(f"plantedtok{i}" for i in range(64))
+    extra = spark.createDataFrame(
+        [(hi + 1, "unique lead for the source document " + passage),
+         (hi + 2, passage + " unique tail for the quoting document")],
+        "doc_id long, text string",
+    )
+    pool = docs.select("doc_id", "text").unionByName(extra)
+    out = span_overlap_dedup(pool, window=8, w_select=4, min_shared=1)
+    kept = {r[0] for r in out.filter(
+        F.col("doc_id").isin(hi + 1, hi + 2)
+    ).select("doc_id").collect()}
+    if kept != {hi + 1}:
+        return f"expected only the earlier doc to survive, kept={kept}"
+    return None
+
+
+checks = [v for v in list(globals().values())
+          if callable(v) and hasattr(v, "__check_name__")]
+for fn in checks:
+    name = fn.__check_name__
+    if only and name not in only:
+        continue
+    t0 = time.time()
+    try:
+        err = fn()
+    except Exception as e:  # noqa: BLE001 — audit must report, not die
+        err = f"{type(e).__name__}: {e}"
+    dt = time.time() - t0
+    if err:
+        fails.append((name, err))
+        print(f"{name:32s} FAIL ({dt:.1f}s): {err}")
+    else:
+        print(f"{name:32s} ok ({dt:.1f}s)")
+
+print(f"\n=== {len(fails)} failed of {len([f for f in checks if not only or f.__check_name__ in only])} ===")
+sys.exit(1 if fails else 0)
