@@ -350,10 +350,12 @@ def _run_bpe_train(args: argparse.Namespace) -> int:
     :func:`~.operators.text_analysis.bpe_token_count`)."""
     from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
         train_bpe,
+        train_bpe_bytes,
     )
 
     spark = get_spark(app_name="insurance_bpe_train")
-    merges = train_bpe(
+    trainer = train_bpe_bytes if args.byte_level else train_bpe
+    merges = trainer(
         spark.read.parquet(args.input),
         num_merges=args.num_merges,
         max_words=args.max_words,
@@ -534,6 +536,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--max-words", dest="max_words", type=int, default=50_000,
         help="bpe-train: word-histogram truncation (most frequent N)",
+    )
+    p.add_argument(
+        "--byte-level", dest="byte_level", action="store_true",
+        help="bpe-train: learn the byte-level (collision-free, "
+        "exact-round-trip) variant; stamps bpe-bytes/v1 so the table "
+        "only applies through bpe_encode_bytes",
     )
     args = p.parse_args(argv)
 

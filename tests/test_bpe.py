@@ -484,3 +484,37 @@ def test_bytes_training_deterministic(spark):
     b = sorted(map(tuple, train_bpe_bytes(docs, num_merges=32)
                    .select("rank", "left", "right").collect()))
     assert a == b and len(a) == 32
+
+
+def test_cli_bpe_train_byte_level(spark, tmp_path, capsys):
+    """--byte-level persists a bpe-bytes table whose encodes round-trip
+    exactly; the stamp rejects character-level application."""
+    import json as _json
+
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bpe_decode_bytes,
+        bpe_encode_bytes,
+    )
+
+    docs_path = str(tmp_path / "docs.parquet")
+    corpus = spark.createDataFrame(
+        [(1, "low low lower lowest"), (2, "markup</w>survives here")],
+        "doc_id long, text string",
+    )
+    corpus.write.parquet(docs_path)
+    merges_path = str(tmp_path / "bmerges")
+    assert main([
+        "bpe-train", "--input", docs_path, "--merges", merges_path,
+        "--num-merges", "20", "--byte-level",
+    ]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < stats["merges"] <= 20
+
+    loaded = spark.read.parquet(merges_path)
+    enc = bpe_encode_bytes(
+        corpus, loaded, num_merges=20, out_col="toks"
+    ).orderBy("doc_id").collect()
+    assert bpe_decode_bytes(enc[1]["toks"]) == "markup</w>survives here"
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        bpe_encode(corpus, loaded, num_merges=20)
