@@ -459,10 +459,16 @@ def bigram_lm_tables(
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .withColumn(LM_PARAMS_COL, stamp)
     )
-    toks = tokens(F.col(text_col))
+    # tokenize ONCE per document in a pre-projection: putting
+    # size(tokens(text)) next to posexplode(tokens(text)) makes the
+    # Generate node re-evaluate the regex split per OUTPUT row — the
+    # whole tokenization re-ran once per token (profiled 16x the
+    # bigram side's cost on identical input)
     tok_rows = train.select(
-        F.posexplode(toks).alias("__pos", "__tok"),
-        (F.size(toks) - 1).alias("__last"),
+        tokens(F.col(text_col)).alias("__ts")
+    ).select(
+        F.posexplode("__ts").alias("__pos", "__tok"),
+        (F.size("__ts") - 1).alias("__last"),
     ).select(
         F.xxhash64(F.col("__tok")).alias("tok_hash"),
         F.when(F.col("__pos") < F.col("__last"), 1)
@@ -566,6 +572,13 @@ def lm_perplexity(
     NULLs."""
     _validate_lm_stamp(bigrams, "bigram")
     _validate_lm_stamp(unigrams, "unigram")
+    # NOTE the unigram table feeds THREE references below (the
+    # vocab/total frame, the context side, the current-token side): a
+    # model trained in the SAME plan re-runs its training aggregation
+    # per reference, because a lazy cut can't help inside one action.
+    # Callers composing train-and-score in one query should eagerly
+    # localCheckpoint the (tiny) model tables first — parquet-backed
+    # models (the production shape) just re-scan a small file.
     bigrams = bigrams.drop(LM_PARAMS_COL)
     uni = unigrams.drop(LM_PARAMS_COL)
     v_frame = uni.agg(

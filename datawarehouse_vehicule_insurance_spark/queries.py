@@ -2492,7 +2492,14 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # eager checkpoint of the (vocab-sized) model tables: scoring
+    # references the unigram table three times, and inside ONE action a
+    # lazy cut can't stop the training aggregation re-running per
+    # reference — pinning the tables first is the train-and-score
+    # composition's minhash-candidates precedent (5.0s -> ~1.1s sf0.1)
     bigrams, unigrams = bigram_lm_tables(docs)
+    bigrams = bigrams.localCheckpoint()
+    unigrams = unigrams.localCheckpoint()
     return lm_perplexity(docs, bigrams, unigrams).select(
         "doc_id",
         F.round("avg_logp", 6).alias("avg_logp"),
@@ -2524,10 +2531,12 @@ def q_dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     proj = docs.select("doc_id", "text")
-    target = bigram_lm_tables(
+    # both models eagerly pinned before the two scoring passes (see
+    # q_lm_perplexity — per-reference training re-runs otherwise)
+    target = tuple(t.localCheckpoint() for t in bigram_lm_tables(
         docs.filter(F.col("lang") == "en").select("doc_id", "text")
-    )
-    raw = bigram_lm_tables(proj)
+    ))
+    raw = tuple(t.localCheckpoint() for t in bigram_lm_tables(proj))
     return dsir_log_weights(proj, target, raw).select(
         "doc_id", "log_weight"
     )
