@@ -46,8 +46,9 @@ def main() -> None:
     # load spikes that can inflate a single cold run 3-10x; min-of-2
     # measures the engine (steady-state plan execution), not the noise
     timings: dict[str, float] = {}
+    bench_set = {**Q.QUERIES, **getattr(Q, "BENCH_EXTRA", {})}
     for _pass in range(2):
-        for name, fn in Q.QUERIES.items():
+        for name, fn in bench_set.items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 4)

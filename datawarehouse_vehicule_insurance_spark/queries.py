@@ -2797,6 +2797,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "title_exact_normalize": q_title_exact_normalize,
 }
 
+# The round-6 rotation's six retired gate queries: out of the 50-slot
+# driver registry (QUERIES) but still part of the benchmarked surface —
+# bench.py runs QUERIES ∪ BENCH_EXTRA so their performance stays
+# tracked round over round.
+BENCH_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "string_functions": q_string_functions,
+    "array_functions": q_array_functions,
+    "price_histogram": q_price_histogram,
+    "top_spenders": q_top_spenders,
+    "running_revenue": q_running_revenue,
+    "token_frequencies": q_token_frequencies,
+}
+
 ORACLES: dict[str, str] = {
     "client_summary": SQL_CLIENT_SUMMARY,
     "dim_customer_enrich": SQL_DIM_CUSTOMER_ENRICH,
