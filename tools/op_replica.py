@@ -184,6 +184,67 @@ def check_winnow():
     return None
 
 
+@check("chunk_reconstruction")
+def check_chunk():
+    """Overlap-aware reassembly of every document's chunks equals its
+    canonical token stream — over the FULL replica, in one Spark pass
+    (drop each non-first chunk's leading `overlap` tokens, concat in
+    chunk order, compare to the canonical text)."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    chunk_tokens, overlap = 64, 16
+    chunks = chunk_documents(
+        docs.filter(F.col("text").isNotNull()),
+        chunk_tokens=chunk_tokens, overlap=overlap,
+    )
+    rebuilt = (
+        chunks.withColumn(
+            "__tail",
+            F.when(
+                F.col("chunk_id") == 0, F.col("chunk_text")
+            ).otherwise(
+                F.array_join(
+                    F.slice(
+                        F.split(F.col("chunk_text"), " "),
+                        overlap + 1,
+                        chunk_tokens,
+                    ),
+                    " ",
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("chunk_id", "__tail")
+                )),
+                lambda s: s["__tail"],
+            ),
+            " ",
+        ).alias("__rebuilt"))
+    )
+    canon = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.trim(F.col("text"))), r"\s+", " "
+        ).alias("__canon"),
+    )
+    bad = (
+        canon.join(rebuilt, "doc_id", "left")
+        .filter(
+            F.col("__rebuilt").isNull()
+            | (F.col("__rebuilt") != F.col("__canon"))
+        )
+        .count()
+    )
+    if bad:
+        return f"{bad} documents fail chunk reassembly"
+    return None
+
+
 checks = [v for v in list(globals().values())
           if callable(v) and hasattr(v, "__check_name__")]
 for fn in checks:
