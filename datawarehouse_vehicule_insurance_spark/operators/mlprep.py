@@ -81,6 +81,70 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 
 
+def extract_domain(url):
+    """Lowercased host extracted from a URL-ish string (scheme and
+    userinfo optional; port and path are dropped) — the grouping key for
+    per-source frequency capping. Pure regexp (codegen, no UDF);
+    NULL stays NULL, an unparseable string yields an empty string."""
+    return F.lower(F.regexp_extract(
+        url, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@\s]*@)?([^/:?#\s]+)", 1
+    ))
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    max_per_key: int,
+    order_by=None,
+    id_col: str = "doc_id",
+    salt: int = 16,
+) -> DataFrame:
+    """Per-source frequency capping (the crawl-pipeline 'at most N
+    documents per domain' rule): keep the top ``max_per_key`` rows of
+    every ``key_col`` group, deterministically.
+
+    Retention order: ``order_by`` (a Column, descending-is-better
+    semantics are the caller's — pass e.g. ``F.col("quality")`` to keep
+    the highest-quality N) with ``id_col`` ascending as the tiebreak;
+    with ``order_by=None`` the choice is a seeded pseudo-random but
+    reproducible subset (ordered by ``xxhash64(id)``).
+
+    Scale shape — the reason this is not one ``row_number`` window: a
+    mega-domain (every crawl has one) would sort ALL its rows in a
+    single task. Instead the standard two-phase salted top-N: phase 1
+    ranks within (key, hash-salt) — each partition holds ~1/``salt`` of
+    a hot key — and keeps ``max_per_key`` per salt bucket; phase 2
+    ranks the surviving ≤ ``salt · max_per_key`` candidates per key,
+    which is bounded regardless of key skew. Results are EXACTLY equal
+    to the single-window form (phase 1 can never evict a global top-N
+    row, because a row's global rank is ≥ its rank within its own salt
+    bucket)."""
+    from pyspark.sql import Window
+
+    if max_per_key < 1:
+        raise ValueError("max_per_key must be >= 1")
+    ord_cols = (
+        [order_by.desc(), F.col(id_col).asc()]
+        if order_by is not None
+        else [F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()]
+    )
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col), F.lit(1)), F.lit(salt))
+    )
+    w1 = Window.partitionBy(key_col, "__salt").orderBy(*ord_cols)
+    cands = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= max_per_key)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*ord_cols)
+    return (
+        cands.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= max_per_key)
+        .drop("__r2")
+    )
+
+
 def export_training_shards(
     df: DataFrame,
     path: str,

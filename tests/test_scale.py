@@ -809,3 +809,78 @@ def test_score_quality_rejects_reserved_score_col(spark):
                 "rawPrediction"):
         with pytest.raises(ValueError, match="reserved"):
             MP.score_quality(model, labeled, score_col=bad)
+
+
+def test_cap_per_key_equals_single_window(spark):
+    """The salted two-phase cap returns EXACTLY the single-window
+    top-N per key, for both retention orders, on skewed data."""
+    from pyspark.sql import Window
+
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        cap_per_key,
+    )
+
+    rows = [(i, "hot.example" if i % 10 else f"site{i}.example",
+             float((i * 37) % 101)) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, q double")
+
+    for order_by in (None, F.col("q")):
+        got = sorted(
+            r["doc_id"]
+            for r in cap_per_key(
+                df, "domain", 7, order_by=order_by, salt=4
+            ).collect()
+        )
+        ord_cols = (
+            [order_by.desc(), F.col("doc_id").asc()]
+            if order_by is not None
+            else [F.xxhash64(F.col("doc_id")).asc(), F.col("doc_id").asc()]
+        )
+        w = Window.partitionBy("domain").orderBy(*ord_cols)
+        want = sorted(
+            r["doc_id"]
+            for r in df.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= 7).collect()
+        )
+        assert got == want
+    # schema untouched, cap respected, deterministic across reruns
+    out = cap_per_key(df, "domain", 7)
+    assert out.columns == df.columns
+    per = out.groupBy("domain").count().agg(F.max("count")).first()[0]
+    assert per <= 7
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, cap_per_key(df, "domain", 7).collect())
+    )
+
+
+def test_cap_per_key_quality_order_keeps_best(spark):
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        cap_per_key,
+    )
+
+    rows = [(i, "d", float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, q double")
+    kept = {r["doc_id"] for r in
+            cap_per_key(df, "domain", 5, order_by=F.col("q")).collect()}
+    assert kept == {16, 17, 18, 19, 20}
+    with pytest.raises(ValueError, match="max_per_key"):
+        cap_per_key(df, "domain", 0)
+
+
+def test_extract_domain(spark):
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        extract_domain,
+    )
+
+    rows = [
+        ("https://WWW.Example.com/path?q=1", "www.example.com"),
+        ("http://user:pw@host.org:8080/x", "host.org"),
+        ("example.net/bare/path", "example.net"),
+        ("ftp://files.example.io", "files.example.io"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u, _ in rows], "url string"
+    ).withColumn("d", extract_domain(F.col("url")))
+    got = [r["d"] for r in df.collect()]
+    assert got == [want for _, want in rows]
