@@ -76,6 +76,9 @@ def curate_corpus(
     gopher_rules: dict | None = None,
     near_dup_keep_by=None,
     span_trim_min_span: int | None = None,
+    source_cap: int | None = None,
+    source_col: str = "source",
+    source_cap_order_by=None,
 ) -> DataFrame:
     """Curate ``docs`` for training; returns surviving rows with the
     input schema. ``benchmark`` (optional) enables the decontamination
@@ -120,6 +123,13 @@ def curate_corpus(
     spared — the complement of the document-dropping
     ``span_dedup_min_shared`` stage. Note it canonicalizes surviving
     text (lower + single spaces).
+
+    ``source_cap`` (optional) enables per-source frequency capping
+    (:func:`~.mlprep.cap_per_key`): at most that many survivors per
+    ``source_col`` value, retained by ``source_cap_order_by``
+    (descending; default a seeded pseudo-random subset) — the 'at most
+    N documents per domain' crawl rule, applied after dedup/gating so
+    the cap spends its budget on clean documents only.
 
     ``dsir_target_model`` + ``dsir_top_n`` (together) enable the final
     DSIR budget-selection stage (:func:`~.mlprep.dsir_resample`):
@@ -312,6 +322,19 @@ def curate_corpus(
             corpus_fps=existing_winnow,
         ).select(F.col("id_a").alias(id_col)).distinct()
         out = out.join(hits, id_col, "left_anti")
+
+    # 5.7 per-source frequency cap (optional): at most source_cap
+    #     survivors per source value — after every dedup/quality stage
+    #     (the cap budget goes to clean documents), before DSIR (which
+    #     shapes the CROSS-source mix; the cap bounds any single
+    #     source's claim on it). Skew-safe two-phase top-N inside.
+    if source_cap is not None:
+        from .mlprep import cap_per_key
+
+        out = cap_per_key(
+            out, source_col, source_cap,
+            order_by=source_cap_order_by, id_col=id_col,
+        )
 
     # 6. DSIR budget selection (optional, last): importance-resample the
     #    clean survivor pool down to ``dsir_top_n`` documents that look

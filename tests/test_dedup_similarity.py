@@ -1179,3 +1179,42 @@ def test_minhash_dedup_keep_by_string_ids(spark):
         ).collect()
     )
     assert kept == ["doc-b", "doc-z"]
+
+
+def test_curate_corpus_source_cap(spark):
+    """Stage 5.7: at most N survivors per source, budget spent on clean
+    documents (a source's dropped duplicates don't count against it),
+    retention keyed by the caller's order column."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    def doc(i, tag):
+        return (f"the quick brown fox number {tag} jumps over the lazy "
+                f"dog and then runs far away to the {tag} hills again "
+                f"carrying {i} apples")
+
+    rows = (
+        [(i, doc(i, f"a{i}"), "big.example") for i in range(10)]
+        + [(100, doc(100, "b"), "small.example"),
+           (101, doc(100, "b"), "small.example")]  # exact dup, dropped
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = curate_corpus(docs, min_tokens=5, source_cap=3)
+    got = {r["source"]: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r["source"]] += 1
+    assert got["big.example"] == 3
+    assert got["small.example"] == 1   # dup dropped BEFORE the cap
+    assert out.columns == ["doc_id", "text", "source"]
+
+    # quality-keyed retention: keep the highest doc_ids
+    out2 = curate_corpus(
+        docs, min_tokens=5, source_cap=2,
+        source_cap_order_by=F.col("doc_id"),
+    )
+    big = sorted(r["doc_id"] for r in out2.collect()
+                 if r["source"] == "big.example")
+    assert big == [8, 9]
