@@ -122,6 +122,8 @@ def _run_curate(args: argparse.Namespace) -> int:
         dsir_top_n=args.dsir_top_n,
         dsir_temperature=args.dsir_temperature,
         gopher_rules={} if args.gopher else None,
+        source_cap=args.source_cap,
+        source_col=args.source_col,
     )
     out.write.mode("overwrite").parquet(args.output)
     kept = spark.read.parquet(args.output).count()
@@ -536,6 +538,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--max-words", dest="max_words", type=int, default=50_000,
         help="bpe-train: word-histogram truncation (most frequent N)",
+    )
+    p.add_argument(
+        "--source-cap", dest="source_cap", type=int,
+        help="curate: keep at most N survivors per --source-col value "
+        "(per-domain frequency capping; seeded deterministic subset)",
+    )
+    p.add_argument(
+        "--source-col", dest="source_col", default="source",
+        help="curate: column grouping the --source-cap (default source)",
     )
     p.add_argument(
         "--byte-level", dest="byte_level", action="store_true",

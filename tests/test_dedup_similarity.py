@@ -1218,3 +1218,32 @@ def test_curate_corpus_source_cap(spark):
     big = sorted(r["doc_id"] for r in out2.collect()
                  if r["source"] == "big.example")
     assert big == [8, 9]
+
+
+def test_cli_curate_source_cap(spark, tmp_path, capsys):
+    """curate --source-cap caps survivors per source column value."""
+    import json as _json
+
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    def doc(tag):
+        return (f"the quick brown fox number {tag} jumps over the lazy "
+                f"dog and then runs far away to the {tag} hills again")
+
+    pool = str(tmp_path / "pool.parquet")
+    spark.createDataFrame(
+        [(i, doc(f"x{i}"), "hot.example") for i in range(8)]
+        + [(50, doc("cold"), "cold.example")],
+        "doc_id long, text string, source string",
+    ).write.parquet(pool)
+    out_path = str(tmp_path / "curated")
+    assert main([
+        "curate", "--input", pool, "--output", out_path,
+        "--min-tokens", "5", "--source-cap", "2",
+    ]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["kept"] == 3
+    per = {r["source"]: 0 for r in spark.read.parquet(out_path).collect()}
+    for r in spark.read.parquet(out_path).collect():
+        per[r["source"]] += 1
+    assert per == {"hot.example": 2, "cold.example": 1}
