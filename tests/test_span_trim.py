@@ -409,3 +409,35 @@ def test_span_gram_validation(spark):
         merge_span_gram_tables()
     with pytest.raises(ValueError, match="min_span"):
         span_gram_table(corpus, min_span=1)
+
+
+def test_decontamination_by_trimming(spark):
+    """Passing the benchmark as the trim corpus CUTS benchmark quotes
+    out of candidate documents instead of dropping them — the
+    complement of curate's drop-the-document contamination stage
+    (benchmark occurrences outrank candidates, so candidates never
+    'claim' a benchmark passage)."""
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        duplicate_span_trim,
+    )
+
+    bench_span = " ".join(f"bench{i}" for i in range(12))
+    lead = "original reporting with its own words here"
+    tail = "and a closing thought of its own too"
+    docs = spark.createDataFrame(
+        [(1, f"{lead} {bench_span} {tail}"),
+         (2, "a clean document sharing nothing with the benchmark")],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(900, f"setup text {bench_span} more benchmark prose")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in duplicate_span_trim(
+        docs, min_span=10, corpus=benchmark
+    ).collect()}
+    assert sorted(got) == [1, 2]           # no document dropped
+    assert bench_span not in got[1]        # the quote is gone
+    assert lead in got[1] and tail in got[1]
+    assert got[2] == ("a clean document sharing nothing with the "
+                      "benchmark")
