@@ -181,6 +181,7 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
         span_min_shared=args.span_min_shared,
         trim_min_span=args.trim_min_span,
         span_grams_path=args.span_grams,
+        trim_min_keep=args.trim_min_keep,
     )
     q.awaitTermination()
     compacted = None
@@ -435,6 +436,11 @@ def main(argv: list[str] | None = None) -> int:
         help="curate-stream: cut verbatim token runs of >= N tokens "
         "duplicated in the batch or corpus out of incoming documents "
         "(reads corpus text per batch unless --span-grams is set)",
+    )
+    p.add_argument(
+        "--trim-min-keep", dest="trim_min_keep", type=int,
+        help="curate-stream: with --trim-min-span, drop documents whose "
+        "TRIMMED text holds fewer than N tokens (all-quote husks)",
     )
     p.add_argument(
         "--span-grams", dest="span_grams",

@@ -122,6 +122,7 @@ def curate_batch_incremental(
     span_min_shared: int | None = None,
     trim_min_span: int | None = None,
     corpus_span_grams: DataFrame | None = None,
+    trim_min_keep: int | None = None,
 ) -> DataFrame:
     """One batch's survivors: within-batch exact dedup (+ optional
     C4-style line cleaning when ``line_dedup_min_freq`` is set — batch
@@ -174,12 +175,26 @@ def curate_batch_incremental(
         # the pre-index cost). Runs with the other text-rewriting stage
         # so every later signature/index row describes the text the
         # corpus will actually store.
-        out = _cut(duplicate_span_trim(
+        out = duplicate_span_trim(
             out, min_span=trim_min_span,
             text_col=text_col, id_col=id_col,
             corpus=corpus if corpus_span_grams is None else None,
             corpus_grams=corpus_span_grams,
-        ))
+        )
+        if trim_min_keep is not None:
+            # a doc fully covered by quotes of DIFFERENT stored docs
+            # can trim to (near-)nothing while sitting below the
+            # near-dup threshold against each of them individually —
+            # an optional floor drops such husks instead of storing
+            # empty text (count over the canonical trimmed form)
+            from ..operators.text_analysis import tokens
+
+            out = out.filter(
+                F.size(F.filter(
+                    tokens(F.col(text_col)), lambda t: t != ""
+                )) >= int(trim_min_keep)
+            )
+        out = _cut(out)
     if within_batch_neardup:
         out = _cut(minhash_dedup(
             out, text_col=text_col, id_col=id_col,
@@ -314,6 +329,7 @@ def run_incremental_curation(
     span_min_shared: int | None = None,
     trim_min_span: int | None = None,
     span_grams_path: str | None = None,
+    trim_min_keep: int | None = None,
 ):
     """One incremental curation run: stream the document directory with
     ``availableNow`` (process exactly the files the checkpoint hasn't
@@ -368,7 +384,12 @@ def run_incremental_curation(
     corpus TEXT nowhere even with trimming on; without it the trim
     stage falls back to a per-batch corpus-text scan (correct, and
     formerly the loop's one deliberate recompute — throughput probe:
-    18.5s → 63.8s on batch 2 of the sf0.1 shape).
+    18.5s → 63.8s on batch 2 of the sf0.1 shape). ``trim_min_keep``
+    (optional, requires trimming) additionally DROPS documents whose
+    trimmed text holds fewer than that many tokens — the husk left by
+    a doc fully assembled from quotes of different stored documents
+    (each below the near-dup threshold individually); NULL text counts
+    as zero tokens.
 
     ``winnow_path`` + ``span_min_shared`` (together) enable verbatim
     span-overlap rejection — within each batch AND batch-vs-corpus via
@@ -395,6 +416,11 @@ def run_incremental_curation(
             "span_grams_path needs trim_min_span (an index nothing "
             "probes would go stale); trimming WITHOUT the index is "
             "allowed — it falls back to the corpus-text scan"
+        )
+    if trim_min_keep is not None and trim_min_span is None:
+        raise ValueError(
+            "trim_min_keep needs trim_min_span (it floors the token "
+            "count of TRIMMED text; without trimming nothing shrinks)"
         )
     if schema is None:
         schema = spark.read.parquet(src_path).schema
@@ -453,6 +479,7 @@ def run_incremental_curation(
             span_min_shared=span_min_shared,
             trim_min_span=trim_min_span,
             corpus_span_grams=corpus_span_grams,
+            trim_min_keep=trim_min_keep,
         )
         # One computation serving three writes: checkpoint the (small)
         # survivor set so corpus/index/hash appends don't re-run the

@@ -1948,3 +1948,57 @@ def test_curation_run_releases_checkpoint_blocks(spark):
     assert sorted(got) == [1, 2, 4, 5]
     assert passage in got[4] and passage not in got[5]
     assert all(boiler not in t for t in got.values())
+
+
+def test_trim_min_keep_drops_all_quote_husks(spark, tmp_path):
+    """A batch doc assembled ENTIRELY from quotes of two different
+    stored documents sits below the near-dup threshold against each of
+    them individually, trims to (near-)nothing, and — without the
+    floor — would be stored as a husk. trim_min_keep drops it; a doc
+    with enough original text survives trimmed."""
+    src, corpus_path, _, _, _ = _paths(tmp_path)
+    kw = dict(trim_min_span=10, trim_min_keep=5)
+
+    quote_a = " ".join(f"alpha{i}" for i in range(14))
+    quote_b = " ".join(f"beta{i}" for i in range(14))
+    b1 = [(1, _fresh("one") + " " + quote_a),
+          (2, _fresh("two") + " " + quote_b)]
+    # 11 = pure collage of the two stored passages; 12 = quote + enough
+    # of its own words
+    own = "completely original reporting with plenty of its own words"
+    b2 = [(11, quote_a + " " + quote_b),
+          (12, quote_a + " " + own)]
+
+    _docs(spark, b1).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, **kw)
+    _docs(spark, b2).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, **kw)
+
+    got = {r["doc_id"]: r["text"]
+           for r in SC.read_corpus(spark, corpus_path).collect()}
+    assert sorted(got) == [1, 2, 12]      # the collage husk is GONE
+    assert quote_a not in got[12]
+    assert own in got[12]
+
+    # without the floor, the husk would be stored (possibly empty)
+    src2 = str(tmp_path / "src2")
+    for b in (b1, b2):
+        _docs(spark, b).coalesce(1).write.mode("append").parquet(src2)
+    q = SC.run_incremental_curation(
+        spark, src2, str(tmp_path / "corpus2"), str(tmp_path / "bands2"),
+        str(tmp_path / "hashes2"), str(tmp_path / "ckpt2"),
+        trim_min_span=10,
+    )
+    q.awaitTermination()
+    twin = {r["doc_id"]: r["text"]
+            for r in SC.read_corpus(
+                spark, str(tmp_path / "corpus2")).collect()}
+    assert 11 in twin and quote_a not in twin[11] and quote_b not in twin[11]
+
+    # misconfiguration: the floor without trimming raises
+    with pytest.raises(ValueError, match="trim_min_keep"):
+        SC.run_incremental_curation(
+            spark, src, corpus_path, str(tmp_path / "b3"),
+            str(tmp_path / "h3"), str(tmp_path / "ck3"),
+            trim_min_keep=5,
+        )
