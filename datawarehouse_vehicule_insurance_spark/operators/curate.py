@@ -27,6 +27,8 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .plancut import checkpoint_cut
+
 from .dedup import (
     cross_corpus_verbatim_pairs,
     drop_exact_corpus_matches,
@@ -237,7 +239,7 @@ def curate_corpus(
         or gopher_rules is not None
         or lm_model is not None
     ):
-        out = out.localCheckpoint(eager=False)
+        out = checkpoint_cut(out)
 
     # 3. near-dup removal over survivors only; ``near_dup_keep_by``
     #    (optional column/expression) keeps the highest-scoring member
@@ -358,7 +360,7 @@ def curate_corpus(
         # second plan cut: DSIR's two scoring passes reference the
         # survivor frame three more times on top of stages 3-5.5's
         # fan-out
-        out = out.localCheckpoint(eager=False)
+        out = checkpoint_cut(out)
         raw_model = dsir_raw_model
         if raw_model is None:
             raw_model = bigram_lm_tables(docs, text_col, id_col)
@@ -403,8 +405,8 @@ def release_checkpoints(spark, baseline: set) -> int:
     instead of silently recomputing. Anything the caller persisted
     BEFORE the baseline snapshot is untouched; frames the caller
     cached DURING the run are released with it (scope the run
-    accordingly). Prefer :func:`curation_run`, which scopes this to
-    the sink action."""
+    accordingly). Prefer :func:`curation_run`, whose release is scoped
+    to the run's OWN plan cuts and cannot touch concurrent work."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     n = 0
     for entry in jmap.entrySet().toArray():
@@ -417,18 +419,24 @@ def release_checkpoints(spark, baseline: set) -> int:
 @contextmanager
 def curation_run(docs: DataFrame, **kwargs):
     """Context-managed :func:`curate_corpus`: yields the curated frame;
-    on exit, releases every checkpoint block the run created
-    (:func:`release_checkpoints`) so repeated composed runs in ONE
-    session hold no residual executor storage::
+    on exit, frees every checkpoint block the run's plan cuts created,
+    so repeated composed runs in ONE session hold no residual executor
+    storage::
 
         with curation_run(docs, gopher_rules={}, ...) as curated:
             curated.write.parquet(out_path)   # the sink action
         # blocks freed here; do not reuse `curated` past this point
-    """
-    spark = docs.sparkSession
-    baseline = checkpoint_baseline(spark)
-    out = curate_corpus(docs, **kwargs)
+
+    The release is SCOPED to the run's own cuts (the ambient plan-cut
+    registry, :mod:`..operators.plancut`): a frame the caller caches or
+    checkpoints while the run is open is NOT touched — only the cuts
+    the curation plan itself took are freed."""
+    from .plancut import cut_registry, release_cuts
+
+    cuts: list = []
+    with cut_registry(cuts):
+        out = curate_corpus(docs, **kwargs)
     try:
         yield out
     finally:
-        release_checkpoints(spark, baseline)
+        release_cuts(cuts)

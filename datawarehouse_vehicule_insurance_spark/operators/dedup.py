@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .plancut import checkpoint_cut
+
 
 # ---------------------------------------------------------------------------
 # exact
@@ -557,7 +559,8 @@ def incremental_dedup(
         corpus_docs if corpus_bands is None else None,
         text_col, id_col, k, bands, shingle_n, seed,
         corpus_bands=corpus_bands,
-    ).localCheckpoint(eager=False)
+    )
+    cand = checkpoint_cut(cand)
     union_docs = (
         batch.select(id_col, text_col)
         if corpus_shingles is not None
@@ -677,14 +680,14 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    edges = checkpoint_cut(edges)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=False)
     )
+    labels = checkpoint_cut(labels)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -700,8 +703,8 @@ def connected_components(
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=False)
         )
+        new_labels = checkpoint_cut(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -746,9 +749,9 @@ def minhash_dedup(
     data)."""
     # the verify references the candidate table three times; checkpoint
     # so the signature→LSH pipeline executes once
-    cand = minhash_lsh_candidates(
+    cand = checkpoint_cut(minhash_lsh_candidates(
         df, text_col, id_col, **lsh_kwargs
-    ).localCheckpoint(eager=False)
+    ))
     confirmed = ngram_jaccard(
         cand, df, id_col, text_col,
         n=lsh_kwargs.get("shingle_n", 3), threshold=threshold,
@@ -763,7 +766,7 @@ def minhash_dedup(
             .alias("__q"),
         )
     if transitive:
-        comp = connected_components(confirmed.localCheckpoint(eager=False))
+        comp = connected_components(checkpoint_cut(confirmed))
         if quality is None:
             losers = comp.filter(F.col("id") != F.col("component")).select(
                 F.col("id").alias(id_col)
@@ -1360,7 +1363,7 @@ def span_overlap_dedup(
         docs, text_col, id_col, window, w_select, min_shared
     )
     if transitive:
-        comp = connected_components(pairs.localCheckpoint(eager=False))
+        comp = connected_components(checkpoint_cut(pairs))
         losers = comp.filter(F.col("id") != F.col("component")).select(
             F.col("id").alias(id_col)
         )
@@ -1700,9 +1703,7 @@ def duplicate_span_trim(
     # (stats + flag join; flag + reassembly + had-tokens probe) — cut
     # the lineage so the posexplode and the L-lead window run once, not
     # per reference (minhash_dedup's candidate-checkpoint precedent)
-    tok = _span_tok_rows(docs, 1, text_col, id_col).localCheckpoint(
-        eager=False
-    )
+    tok = checkpoint_cut(_span_tok_rows(docs, 1, text_col, id_col))
 
     # per-gram occurrence stats via a partial-aggregatable groupBy —
     # NOT a rank window: min(struct) and count combine map-side, so a
@@ -1711,13 +1712,23 @@ def duplicate_span_trim(
     if corpus_grams is not None:
         if validate:
             validate_span_params(corpus_grams, L)
-        occ = _span_grams_from_tok(tok, L).localCheckpoint(eager=False)
+        occ = checkpoint_cut(_span_grams_from_tok(tok, L))
         b_part = occ.groupBy("__gh").agg(
             F.count(F.lit(1)).alias("__cnt"),
             F.min(F.struct("__side", "__id", "__pos")).alias("__first"),
         )
+        # only index rows whose gram also occurs in the BATCH can
+        # affect the outcome (corpus-only grams die in the flag join
+        # below) — semi-join the index down to the batch's distinct
+        # hashes BEFORE aggregating, so a batch pays for its own gram
+        # set, not an index-sized shuffle that grows with the corpus
         c_part = (
-            corpus_grams.groupBy(F.col("gram_hash").alias("__gh"))
+            corpus_grams.join(
+                occ.select(F.col("__gh").alias("gram_hash")).distinct(),
+                "gram_hash",
+                "left_semi",
+            )
+            .groupBy(F.col("gram_hash").alias("__gh"))
             .agg(
                 F.sum("n_occ").alias("__cnt"),
                 F.min(F.struct(
@@ -1742,7 +1753,7 @@ def duplicate_span_trim(
             occ = occ.unionByName(_span_grams_from_tok(
                 _span_tok_rows(corpus, 0, text_col, id_col), L
             ))
-        occ = occ.localCheckpoint(eager=False)
+        occ = checkpoint_cut(occ)
         gram_stats = occ.groupBy("__gh").agg(
             F.count(F.lit(1)).alias("__cnt"),
             F.min(F.struct("__side", "__id", "__pos")).alias("__first"),

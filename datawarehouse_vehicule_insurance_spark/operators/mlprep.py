@@ -123,6 +123,13 @@ def cap_per_key(
 
     if max_per_key < 1:
         raise ValueError("max_per_key must be >= 1")
+    for reserved in ("__salt", "__r1", "__r2"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"cap_per_key: input column {reserved!r} collides with "
+                "an internal working column — rename it first (mirrors "
+                "the dsir_log_weights reserved-column guard)"
+            )
     ord_cols = (
         [order_by.desc(), F.col(id_col).asc()]
         if order_by is not None

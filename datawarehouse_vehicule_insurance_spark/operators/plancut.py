@@ -1,0 +1,86 @@
+"""Plan-cut bookkeeping shared by operators and the streaming loops.
+
+Operators bound their Catalyst trees with ``localCheckpoint(eager=False)``
+cuts (NOTES "composed-plan boundedness"). The blocks those cuts
+materialize normally live until the session ends — fine for one-shot
+jobs, not for a loop draining hundreds of batches. This module gives the
+loop a way to find and free EXACTLY the cuts its batch created, without
+a session-wide persistent-RDD sweep that would also destroy blocks a
+CONCURRENT job in the same session persisted mid-batch:
+
+- operators route their internal cuts through :func:`checkpoint_cut`,
+  which registers the frame with the ambient registry when one is
+  active (and is a plain ``localCheckpoint`` otherwise);
+- the loop's per-batch wrapper installs a registry around the batch
+  body (:func:`cut_registry`) and frees the collected frames' blocks
+  afterwards (``streaming.curation._release_cut_blocks``).
+
+The registry is a ``contextvars.ContextVar`` — per-thread by
+construction, so two foreachBatch callbacks (document loop + embedding
+loop) running concurrently in one session each see only their own cuts.
+"""
+
+from __future__ import annotations
+
+import contextvars
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+_CUT_REGISTRY: contextvars.ContextVar = contextvars.ContextVar(
+    "spark_plan_cut_registry", default=None
+)
+
+
+def checkpoint_cut(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint(eager=False)`` that also registers the cut
+    frame with the ambient :func:`cut_registry`, when one is active."""
+    df = df.localCheckpoint(eager=False)
+    reg = _CUT_REGISTRY.get()
+    if reg is not None:
+        reg.append(df)
+    return df
+
+
+def register_cut(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-checkpointed frame (e.g. an eager
+    ``localCheckpoint``) with the ambient registry, when one is
+    active. Returns the frame unchanged."""
+    reg = _CUT_REGISTRY.get()
+    if reg is not None:
+        reg.append(df)
+    return df
+
+
+@contextmanager
+def cut_registry(target: list):
+    """Collect every :func:`checkpoint_cut` made inside the block into
+    ``target`` (this thread only)."""
+    token = _CUT_REGISTRY.set(target)
+    try:
+        yield target
+    finally:
+        _CUT_REGISTRY.reset(token)
+
+
+def release_cuts(frames: list) -> None:
+    """Free the checkpoint blocks of EXACTLY these frames (each a
+    DataFrame returned by ``localCheckpoint``): unpersist the
+    ``LogicalRDD`` leaves of each frame's own analyzed plan. Scoped by
+    construction — unlike a session-wide persistent-RDD sweep, this can
+    never touch blocks a CONCURRENT job in the same session persisted
+    meanwhile. Best-effort: a cut that never materialized has nothing
+    to free, and on any introspection failure the blocks just live
+    until the session ends (the pre-release behavior). The frames MUST
+    NOT be used afterwards — checkpoint lineage is truncated, so a
+    later action raises instead of silently recomputing."""
+    for df in frames:
+        try:
+            leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+            it = leaves.iterator()
+            while it.hasNext():
+                leaf = it.next()
+                if leaf.getClass().getSimpleName() == "LogicalRDD":
+                    leaf.rdd().unpersist(False)
+        except Exception:  # noqa: BLE001 — release must never fail a job
+            pass

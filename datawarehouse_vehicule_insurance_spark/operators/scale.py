@@ -268,9 +268,13 @@ def approx_heavy_hitters(
             )
         yield out
 
-    partials = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
-        mg_partition, schema="item string, weight long"
-    ).localCheckpoint(eager=False)
+    from .plancut import checkpoint_cut
+
+    partials = checkpoint_cut(
+        df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+            mg_partition, schema="item string, weight long"
+        )
+    )
     merged = (
         partials.filter(F.col("item").isNotNull())
         .groupBy("item")

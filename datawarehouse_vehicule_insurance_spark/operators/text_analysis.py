@@ -779,23 +779,6 @@ def _validate_bpe_stamp(merges: DataFrame, expected: str) -> None:
         )
 
 
-def _bpe_encode_word(word: str, ranks: dict) -> list:
-    """Greedy lowest-rank-first pair merging (how GPT-2's encoder applies
-    a merge list — provably equivalent to replaying merges in training
-    order)."""
-    sym = list(word) + [BPE_EOW]
-    while len(sym) > 1:
-        best_rank, best_i = None, None
-        for i in range(len(sym) - 1):
-            r = ranks.get((sym[i], sym[i + 1]))
-            if r is not None and (best_rank is None or r < best_rank):
-                best_rank, best_i = r, i
-        if best_i is None:
-            break
-        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
-    return sym
-
-
 def bpe_encode(
     df: DataFrame,
     merges: DataFrame,
@@ -834,10 +817,12 @@ def bpe_encode(
     out_schema = f"{out_fields}, `{out_col}` array<string>"
     eow = BPE_EOW
 
-    # nested (pickled BY VALUE) twin of _bpe_encode_word: a module-level
-    # reference would pickle by name and require the worker to import
-    # this package — which only works when the driver's cwd happens to
-    # put the repo on the workers' sys.path. Closures here must be
+    # greedy lowest-rank-first pair merging (how GPT-2's encoder applies
+    # a merge list — provably equivalent to replaying merges in training
+    # order). Nested and pickled BY VALUE: a module-level reference
+    # would pickle by name and require the worker to import this
+    # package — which only works when the driver's cwd happens to put
+    # the repo on the workers' sys.path. Closures here must be
     # self-contained (same contract as every other mapInPandas below).
     def _enc_word(word: str, R: dict) -> list:
         sym = list(word) + [eow]

@@ -2321,13 +2321,18 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_gopher_quality() -> str:
+    # interpolate the CANONICAL constants so the oracle can never drift
+    # from the Spark side's lists
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        GOPHER_BULLETS,
+        GOPHER_STOPWORDS,
+    )
+
     stops = " + ".join(
         f"(CASE WHEN list_contains(t, '{s}') THEN 1 ELSE 0 END)"
-        for s in [
-            "the", "be", "to", "of", "and", "that", "have", "with"
-        ]  # GOPHER_STOPWORDS
+        for s in GOPHER_STOPWORDS
     )
-    bullets = ", ".join(f"'{b}'" for b in ("•", "‣", "▶", "-", "*"))
+    bullets = ", ".join(f"'{b}'" for b in GOPHER_BULLETS)
     ns = sorted(set(_GOPHER_TOP_NS) | set(_GOPHER_DUP_NS))
     # one independent CTE chain per gram size, each collapsing to one
     # row per doc before the next size's aggregation starts — a single

@@ -31,6 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.plancut import (
+    checkpoint_cut,
+    cut_registry,
+    register_cut,
+    release_cuts,
+)
 from ..operators.dedup import (
     band_table,
     band_table_remove,
@@ -78,6 +84,10 @@ def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame | None:
     (drops the internal batch partition column)."""
     df = _try_read_parquet(spark, corpus_path)
     return None if df is None else df.drop(BATCH_COL)
+
+
+# per-batch block release shared with the composed-run context manager
+_release_cut_blocks = release_cuts
 
 
 def _read_artifact(
@@ -146,10 +156,11 @@ def curate_batch_incremental(
     # includes the corpus-merged line/trim stages, making the
     # re-execution product the dominant batch cost (stage-toggle
     # probe: the five-stage batch-2 premium was plan re-execution, not
-    # any single stage's own work). The blocks these cuts materialize
-    # are released per batch by run_incremental_curation.
-    def _cut(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=False)
+    # any single stage's own work). Cuts register with the ambient
+    # plan-cut registry (operators/plancut.py) so a caller that
+    # installed one — run_incremental_curation does, per batch — can
+    # free EXACTLY these blocks after its sink action.
+    _cut = checkpoint_cut
 
     out = _cut(
         exact_dedup_by_content(batch, text_col=text_col, id_col=id_col)
@@ -484,7 +495,7 @@ def run_incremental_curation(
         # One computation serving three writes: checkpoint the (small)
         # survivor set so corpus/index/hash appends don't re-run the
         # LSH + verify plan three times.
-        survivors = survivors.localCheckpoint(eager=True)
+        survivors = register_cut(survivors.localCheckpoint(eager=True))
 
         def _append(df: DataFrame, path: str) -> None:
             (
@@ -535,22 +546,19 @@ def run_incremental_curation(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        from ..operators.curate import (
-            checkpoint_baseline,
-            release_checkpoints,
-        )
-
         # free the stage-cut checkpoint blocks this batch materialized
         # once its writes have landed — an availableNow run draining
         # many batches would otherwise hold every batch's blocks for
-        # the life of the session (the curation_run contract, applied
-        # per loop batch)
-        sess = batch_df.sparkSession
-        base_rdds = checkpoint_baseline(sess)
+        # the life of the session. Scoped to the EXACT frames this
+        # batch cut (not a session-wide persistent-RDD delta, which
+        # would also unpersist blocks a concurrent job in the same
+        # session created mid-batch).
+        cuts: list = []
         try:
-            _process_body(batch_df, batch_id)
+            with cut_registry(cuts):
+                _process_body(batch_df, batch_id)
         finally:
-            release_checkpoints(sess, base_rdds)
+            _release_cut_blocks(cuts)
 
     return (
         stream.writeStream.foreachBatch(_process)
@@ -900,9 +908,7 @@ def run_incremental_embedding_ingest(
         kmeans_sample=kmeans_sample, seed=seed,
     )
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    def _process_body(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         batch = transform(batch_df) if transform is not None else batch_df
         batch = batch.dropDuplicates([vec_id])
@@ -955,7 +961,7 @@ def run_incremental_embedding_ingest(
                 centroids=cents, id_col=vec_id, vec_col=vec_col,
                 **ivf_kw,
             )
-        survivors = survivors.localCheckpoint(eager=True)
+        survivors = register_cut(survivors.localCheckpoint(eager=True))
 
         def _append(df: DataFrame, path: str) -> None:
             (
@@ -1002,6 +1008,19 @@ def run_incremental_embedding_ingest(
                 ),
                 codes_path,
             )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # same per-batch block release as the document loop: the eager
+        # survivor checkpoint would otherwise accumulate one block set
+        # per batch for the life of the session
+        cuts: list = []
+        try:
+            with cut_registry(cuts):
+                _process_body(batch_df, batch_id)
+        finally:
+            _release_cut_blocks(cuts)
 
     return (
         stream.writeStream.foreachBatch(_process)

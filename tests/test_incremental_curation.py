@@ -2002,3 +2002,49 @@ def test_trim_min_keep_drops_all_quote_husks(spark, tmp_path):
             str(tmp_path / "h3"), str(tmp_path / "ck3"),
             trim_min_keep=5,
         )
+
+
+def test_loop_block_release_is_scoped_to_its_own_cuts(spark, tmp_path):
+    """Per-batch cleanup frees the loop's OWN checkpoint blocks but
+    never a frame some other code in the same session checkpointed
+    mid-batch (the concurrent-jobs hazard of a session-wide
+    persistent-RDD delta)."""
+    src, corpus_path, _, _, _ = _paths(tmp_path)
+
+    def rdd_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    stash = {}
+
+    def transform(df):
+        # simulates a CONCURRENT job persisting state while a batch is
+        # in flight — a session-wide delta release would destroy it
+        if "probe" not in stash:
+            stash["probe"] = spark.range(10).localCheckpoint()
+        return df
+
+    base = rdd_ids()
+    for i, batch in enumerate([[(1, _fresh("a")), (2, _fresh("b"))],
+                               [(11, _fresh("c")), (12, _fresh("d"))]]):
+        _docs(spark, batch).coalesce(1).write.mode("append").parquet(src)
+        q = SC.run_incremental_curation(
+            spark, src, corpus_path, str(tmp_path / "bands"),
+            str(tmp_path / "hashes"), str(tmp_path / "ckpt"),
+            transform=transform,
+            shingles_path=str(tmp_path / "shingles"),
+            line_dedup_min_freq=5,
+            line_counts_path=str(tmp_path / "lines"),
+            winnow_path=str(tmp_path / "winnow"), span_min_shared=8,
+            trim_min_span=10,
+            span_grams_path=str(tmp_path / "spangrams"),
+        )
+        q.awaitTermination()
+
+    # the bystander survived both batches' releases and still works
+    assert stash["probe"].count() == 10
+    # ...and is the ONLY block the run left behind (every loop cut
+    # from both batches was freed)
+    leftover = rdd_ids() - base
+    assert len(leftover) <= 1, leftover
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 11, 12]
