@@ -555,6 +555,7 @@ def tokenize_and_pack(
     id_col: str = "doc_id",
     num_merges: int = 200,
     max_words: int = 50_000,
+    byte_level: bool = False,
 ) -> DataFrame:
     """The last mile of the training-data pipeline in one call: count
     each document's REAL subword tokens under a trained BPE vocabulary
@@ -569,9 +570,13 @@ def tokenize_and_pack(
     actual vocabulary's counts is what makes ``max_len`` a real
     contract. One Arrow-batched count pass + the sharded pack — text
     never reaches the packer."""
-    from .text_analysis import bpe_token_count
+    from .text_analysis import bpe_token_count, bpe_token_count_bytes
 
-    counted = bpe_token_count(
+    # byte_level selects the collision-free byte-alphabet counter; each
+    # counter validates its own stamp, so a table of the other kind
+    # raises loudly instead of producing a silently different packing
+    counter = bpe_token_count_bytes if byte_level else bpe_token_count
+    counted = counter(
         docs, merges, num_merges=num_merges, max_words=max_words,
         text_col=text_col, out_col="bpe_token_count",
     ).filter(

@@ -1043,6 +1043,28 @@ def bpe_decode_bytes(tokens: list) -> str:
     return data.decode("utf-8")[1:]
 
 
+def bpe_token_count_bytes(
+    df: DataFrame,
+    merges: DataFrame,
+    num_merges: int = 200,
+    max_words: int = 50_000,
+    text_col: str = "text",
+    out_col: str = "bpe_token_count",
+) -> DataFrame:
+    """Per-document subword count under a byte-level vocabulary —
+    :func:`bpe_token_count`'s twin for :func:`train_bpe_bytes` merges
+    (the stamp keeps the two table kinds from crossing)."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"bpe_token_count_bytes: out_col {out_col!r} already exists "
+            "on the input DataFrame — pick a different name"
+        )
+    enc = bpe_encode_bytes(
+        df, merges, num_merges, max_words, text_col, "__bpe_toks"
+    )
+    return enc.withColumn(out_col, F.size("__bpe_toks")).drop("__bpe_toks")
+
+
 # ------------------------------------------------------------- Gopher rules
 
 #: the Gopher stop-word presence list (Rae et al. 2021, A1.1): a

@@ -518,3 +518,44 @@ def test_cli_bpe_train_byte_level(spark, tmp_path, capsys):
     assert bpe_decode_bytes(enc[1]["toks"]) == "markup</w>survives here"
     with pytest.raises(ValueError, match="parameter mismatch"):
         bpe_encode(corpus, loaded, num_merges=20)
+
+
+def test_bytes_token_count_and_pack(spark):
+    """Byte-level counting + packing: counts equal encode lengths, the
+    stamp rejects the char-level counter both ways, and
+    tokenize_and_pack(byte_level=True) packs against the byte counts."""
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        tokenize_and_pack,
+    )
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bpe_encode_bytes,
+        bpe_token_count_bytes,
+        train_bpe_bytes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} the quick brown fox number {i} runs again")
+         for i in range(12)] + [(99, None)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe_bytes(docs, num_merges=32)
+    counted = {r["doc_id"]: r["n"] for r in bpe_token_count_bytes(
+        docs, merges, num_merges=32, out_col="n").collect()}
+    enc = {r["doc_id"]: r["toks"] for r in bpe_encode_bytes(
+        docs, merges, num_merges=32, out_col="toks").collect()}
+    for i in list(range(12)):
+        assert counted[i] == len(enc[i]) > 0
+    assert counted[99] is None
+
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        bpe_token_count(docs, merges, num_merges=32)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        bpe_token_count_bytes(docs, train_bpe(docs, num_merges=32),
+                              num_merges=32)
+
+    packed = tokenize_and_pack(
+        docs, merges, max_len=64, num_merges=32, byte_level=True
+    )
+    rows = packed.collect()
+    assert {r["doc_id"] for r in rows} == set(range(12))
+    assert all(r["bpe_token_count"] == counted[r["doc_id"]] for r in rows)
