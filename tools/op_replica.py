@@ -184,6 +184,37 @@ def check_winnow():
     return None
 
 
+@check("cap_per_key_equals_window")
+def check_cap():
+    """The salted two-phase per-source cap returns EXACTLY the
+    single-window top-N on the replica's real (very hot) source keys —
+    quality-ordered and seeded-random retention both."""
+    from pyspark.sql import Window
+
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        cap_per_key,
+    )
+
+    pool = docs.select("doc_id", "source", "n_chars")
+    for order_by in (None, F.col("n_chars")):
+        got = cap_per_key(pool, "source", 500, order_by=order_by, salt=8)
+        ord_cols = (
+            [order_by.desc(), F.col("doc_id").asc()]
+            if order_by is not None
+            else [F.xxhash64(F.col("doc_id")).asc(),
+                  F.col("doc_id").asc()]
+        )
+        w = Window.partitionBy("source").orderBy(*ord_cols)
+        want = (
+            pool.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= 500).drop("__r")
+        )
+        diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+        if diff:
+            return f"{diff} row diffs vs single-window (order_by={order_by})"
+    return None
+
+
 @check("chunk_reconstruction")
 def check_chunk():
     """Overlap-aware reassembly of every document's chunks equals its
