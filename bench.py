@@ -55,9 +55,16 @@ def main() -> None:
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 4)
+    # registry_value = the 50 driver-gated queries only — the number
+    # comparable across rounds when BENCH_EXTRA (rotated-out,
+    # bench-only queries) changes the full-suite composition
+    registry = round(
+        sum(v for q, v in timings.items() if q in Q.QUERIES), 4
+    )
     print(json.dumps({
         "metric": "query_suite_wall_time",
         "value": total,
+        "registry_value": registry,
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
