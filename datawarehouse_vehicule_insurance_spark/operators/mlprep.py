@@ -256,6 +256,58 @@ def pack_sequences(
     return slim.groupBy("__shard").applyInPandas(_pack, out_schema)
 
 
+def packing_stats(
+    packed: DataFrame,
+    max_len: int,
+    token_col: str = "n_tokens",
+    seq_col: str = "seq_id",
+    overflow_col: str = "overflow",
+) -> DataFrame:
+    """One-row efficiency datasheet of a :func:`pack_sequences` /
+    :func:`tokenize_and_pack` output — the number a training run plans
+    loader throughput and padding waste against:
+
+    - ``n_docs`` / ``n_seqs`` / ``n_overflow_docs`` — volume and the
+      too-long flag count (overflow singletons are excluded from the
+      fill stats: their handling is the caller's policy);
+    - ``total_tokens`` — tokens in packed (non-overflow) sequences;
+    - ``fill_rate`` — total_tokens / (n_seqs · max_len): the fraction
+      of the training batch that is data rather than padding;
+    - ``mean_fill`` / ``p50_fill`` / ``min_fill`` — per-sequence token
+      counts (exact median via percentile, bounded reducer state).
+
+    Two bounded aggregations (per-sequence, then 1-row global) plus a
+    1-row crossJoin for the overflow counter — no driver collect."""
+    per_seq = (
+        packed.filter(~F.col(overflow_col))
+        .groupBy(seq_col)
+        .agg(F.sum(token_col).alias("__fill"))
+    )
+    overflow = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col(overflow_col), 1).otherwise(0))
+        .alias("n_overflow_docs"),
+    )
+    return (
+        per_seq.agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("__fill").alias("total_tokens"),
+            F.round(F.avg("__fill"), 4).alias("mean_fill"),
+            F.expr("percentile(__fill, 0.5)").alias("p50_fill"),
+            F.min("__fill").alias("min_fill"),
+        )
+        .crossJoin(overflow)  # 1-row frames — bounded by construction
+        .select(
+            "n_docs", "n_seqs", "n_overflow_docs", "total_tokens",
+            F.round(
+                F.col("total_tokens")
+                / (F.col("n_seqs") * F.lit(float(max_len))), 6
+            ).alias("fill_rate"),
+            "mean_fill", "p50_fill", "min_fill",
+        )
+    )
+
+
 def train_quality_classifier(
     labeled: DataFrame,
     label_col: str = "label",

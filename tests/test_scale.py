@@ -884,3 +884,51 @@ def test_extract_domain(spark):
     ).withColumn("d", extract_domain(F.col("url")))
     got = [r["d"] for r in df.collect()]
     assert got == [want for _, want in rows]
+
+
+def test_packing_stats_hand_computed(spark):
+    """packing_stats over a hand-built pack output: every number
+    verified against arithmetic; overflow singletons excluded from the
+    fill statistics but counted."""
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        packing_stats,
+    )
+
+    rows = [
+        (1, 60, 0, False), (2, 30, 0, False),     # seq 0: fill 90
+        (3, 80, 1, False), (4, 10, 1, False),     # seq 1: fill 90
+        (5, 50, 2, False),                        # seq 2: fill 50
+        (6, 150, 3, True),                        # overflow singleton
+    ]
+    packed = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, seq_id long, overflow boolean"
+    )
+    got = packing_stats(packed, max_len=100).first().asDict()
+    assert got == {
+        "n_docs": 6, "n_seqs": 3, "n_overflow_docs": 1,
+        "total_tokens": 230,
+        "fill_rate": round(230 / 300, 6),
+        "mean_fill": round(230 / 3, 4),
+        "p50_fill": 90.0, "min_fill": 50,
+    }
+
+
+def test_packing_stats_end_to_end(spark):
+    """Composition with pack_sequences: fill never exceeds max_len,
+    fill_rate consistent with the invariant totals."""
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 17) % 90) for i in range(200)] + [(900, 500)],
+        "doc_id long, n_tokens long",
+    )
+    packed = pack_sequences(docs, max_len=128, num_shards=4)
+    got = packing_stats(packed, max_len=128).first().asDict()
+    assert got["n_docs"] == 201 and got["n_overflow_docs"] == 1
+    want_tokens = sum(10 + (i * 17) % 90 for i in range(200))
+    assert got["total_tokens"] == want_tokens
+    assert 0 < got["fill_rate"] <= 1.0
+    assert got["min_fill"] >= 1 and got["mean_fill"] <= 128
