@@ -346,6 +346,25 @@ def _run_embed_stream(args: argparse.Namespace) -> int:
     return 0
 
 
+def _run_datasheet(args: argparse.Namespace) -> int:
+    """Print the one-row corpus datasheet
+    (:func:`~.operators.text_analysis.corpus_stats`) of a documents
+    parquet table as one JSON line — the release-documentation numbers
+    (doc/NULL counts, token totals + exact percentiles, quality means,
+    per-language counts)."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        corpus_stats,
+    )
+
+    spark = get_spark(app_name="insurance_datasheet")
+    row = corpus_stats(spark.read.parquet(args.input)).first().asDict()
+    for k, v in row.items():
+        if hasattr(v, "items"):
+            row[k] = dict(v)
+    print(json.dumps(row, default=str))
+    return 0
+
+
 def _run_bpe_train(args: argparse.Namespace) -> int:
     """Train a BPE subword vocabulary on a corpus and persist the
     merges table (consumed via
@@ -376,7 +395,7 @@ def main(argv: list[str] | None = None) -> int:
         "layer",
         choices=["bronze", "silver", "gold", "all", "curate",
                  "curate-stream", "index-maintain", "retract",
-                 "lm-train", "bpe-train", "embed-stream"],
+                 "lm-train", "bpe-train", "embed-stream", "datasheet"],
     )
     p.add_argument("--root", help="lake root (path or s3a://)")
     p.add_argument("--csv-root", help="raw CSV dir (bronze only)")
@@ -592,6 +611,10 @@ def main(argv: list[str] | None = None) -> int:
         if not (args.input and args.merges):
             p.error("bpe-train requires --input and --merges")
         return _run_bpe_train(args)
+    if args.layer == "datasheet":
+        if not args.input:
+            p.error("datasheet requires --input")
+        return _run_datasheet(args)
     if args.layer == "embed-stream":
         if not (args.src and args.corpus and args.centroids
                 and args.assignments and args.checkpoint):

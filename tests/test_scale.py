@@ -932,3 +932,21 @@ def test_packing_stats_end_to_end(spark):
     assert got["total_tokens"] == want_tokens
     assert 0 < got["fill_rate"] <= 1.0
     assert got["min_fill"] >= 1 and got["mean_fill"] <= 128
+
+
+def test_cli_datasheet(spark, tmp_path, capsys):
+    """datasheet prints the corpus_stats row as one JSON line."""
+    import json as _json
+
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    pool = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "en"),
+         (2, None, None)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(pool)
+    assert main(["datasheet", "--input", pool]) == 0
+    row = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["n_docs"] == 2 and row["n_null_text"] == 1
+    assert row["total_tokens"] == 9
