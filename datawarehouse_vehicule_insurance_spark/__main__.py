@@ -58,6 +58,10 @@ BPE vocabulary training (persisted merges table for
     python -m datawarehouse_vehicule_insurance_spark bpe-train \\
         --input <docs.parquet> --merges <dir> [--num-merges 200]
 
+corpus release stats (one-row datasheet as one JSON line) —
+
+    python -m datawarehouse_vehicule_insurance_spark datasheet --input <docs.parquet>
+
 DSIR budget selection on ``curate`` (importance-resample the curated
 pool toward a target distribution): ``--dsir-bigrams --dsir-unigrams
 --dsir-top-n [--dsir-temperature]``. Index compaction scheduling on
