@@ -124,6 +124,7 @@ def curate_batch_incremental(
     shingle_n: int = 3,
     seed: int = 42,
     within_batch_neardup: bool = True,
+    near_dup_keep_by=None,
     corpus_shingles: DataFrame | None = None,
     corpus_line_counts: DataFrame | None = None,
     line_dedup_min_freq: int | None = None,
@@ -207,10 +208,14 @@ def curate_batch_incremental(
             )
         out = _cut(out)
     if within_batch_neardup:
+        # near_dup_keep_by: quality-keyed survivor selection within the
+        # batch (curate_corpus parity) — batch-vs-CORPUS near-dups are
+        # still keep-first by construction (the corpus is immutable)
         out = _cut(minhash_dedup(
             out, text_col=text_col, id_col=id_col,
             threshold=jaccard_threshold,
             k=k, bands=bands, shingle_n=shingle_n, seed=seed,
+            keep_by=near_dup_keep_by,
         ))
     if span_min_shared is not None:
         # within-batch verbatim-run dedup (partial containment the
@@ -330,6 +335,7 @@ def run_incremental_curation(
     shingle_n: int = 3,
     seed: int = 42,
     within_batch_neardup: bool = True,
+    near_dup_keep_by=None,
     max_files_per_trigger: int = 1,
     transform=None,
     shingles_path: str | None = None,
@@ -482,6 +488,7 @@ def run_incremental_curation(
             jaccard_threshold=jaccard_threshold,
             k=k, bands=bands, shingle_n=shingle_n, seed=seed,
             within_batch_neardup=within_batch_neardup,
+            near_dup_keep_by=near_dup_keep_by,
             corpus_shingles=corpus_shingles,
             corpus_line_counts=corpus_line_counts,
             line_dedup_min_freq=line_dedup_min_freq,

@@ -2048,3 +2048,21 @@ def test_loop_block_release_is_scoped_to_its_own_cuts(spark, tmp_path):
     leftover = rdd_ids() - base
     assert len(leftover) <= 1, leftover
     assert _corpus_ids(spark, tmp_path) == [1, 2, 11, 12]
+
+
+def test_loop_near_dup_keep_by_quality(spark, tmp_path):
+    """Within-batch near-dup in the loop keeps the caller's preferred
+    survivor (here: longest text) instead of min-id — curate_corpus's
+    near_dup_keep_by parity."""
+    src, corpus_path, bands_path, hashes_path, ckpt = _paths(tmp_path)
+    base = _fresh("pair")
+    longer = base + " extra trailing detail words here"
+    batch = [(1, base), (2, longer), (3, _fresh("other"))]
+    _docs(spark, batch).coalesce(1).write.mode("append").parquet(src)
+    q = SC.run_incremental_curation(
+        spark, src, corpus_path, bands_path, hashes_path, ckpt,
+        jaccard_threshold=0.6,
+        near_dup_keep_by=F.length("text"),
+    )
+    q.awaitTermination()
+    assert _corpus_ids(spark, tmp_path) == [2, 3]   # 2 beats 1 on length
