@@ -186,6 +186,7 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
         trim_min_span=args.trim_min_span,
         span_grams_path=args.span_grams,
         trim_min_keep=args.trim_min_keep,
+        near_dup_keep_by=F.length("text") if args.keep_longest else None,
     )
     q.awaitTermination()
     compacted = None
@@ -459,6 +460,11 @@ def main(argv: list[str] | None = None) -> int:
         help="curate-stream: cut verbatim token runs of >= N tokens "
         "duplicated in the batch or corpus out of incoming documents "
         "(reads corpus text per batch unless --span-grams is set)",
+    )
+    p.add_argument(
+        "--keep-longest", dest="keep_longest", action="store_true",
+        help="curate-stream: among within-batch near-duplicates keep "
+        "the LONGEST document instead of the lowest id",
     )
     p.add_argument(
         "--trim-min-keep", dest="trim_min_keep", type=int,
