@@ -187,6 +187,8 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
         span_grams_path=args.span_grams,
         trim_min_keep=args.trim_min_keep,
         near_dup_keep_by=F.length("text") if args.keep_longest else None,
+        source_cap=args.stream_source_cap,
+        source_col=args.source_col,
     )
     q.awaitTermination()
     compacted = None
@@ -460,6 +462,12 @@ def main(argv: list[str] | None = None) -> int:
         help="curate-stream: cut verbatim token runs of >= N tokens "
         "duplicated in the batch or corpus out of incoming documents "
         "(reads corpus text per batch unless --span-grams is set)",
+    )
+    p.add_argument(
+        "--stream-source-cap", dest="stream_source_cap", type=int,
+        help="curate-stream: per-source quota vs the STORED corpus — a "
+        "source at N stored docs admits nothing more (append-only; "
+        "retraction frees budget)",
     )
     p.add_argument(
         "--keep-longest", dest="keep_longest", action="store_true",

@@ -134,6 +134,8 @@ def curate_batch_incremental(
     trim_min_span: int | None = None,
     corpus_span_grams: DataFrame | None = None,
     trim_min_keep: int | None = None,
+    source_cap: int | None = None,
+    source_col: str = "source",
 ) -> DataFrame:
     """One batch's survivors: within-batch exact dedup (+ optional
     C4-style line cleaning when ``line_dedup_min_freq`` is set — batch
@@ -247,6 +249,40 @@ def curate_batch_incremental(
             corpus_fps=corpus_winnow,
         ).select(F.col("id_a").alias(id_col)).distinct()
         out = out.join(hits, id_col, "left_anti")
+    if source_cap is not None:
+        # per-source quota vs the GROWING corpus, dead last so the
+        # budget spends on otherwise-accepted docs only. Stored counts
+        # come from one narrow groupBy over the corpus's source column
+        # (dict-encoded; text never read) — a future 7th count artifact
+        # would make this index-only like the other stages. Within the
+        # batch, retention is id-ascending (arrival-order proxy for a
+        # crawl). Append-only asymmetry: a source already at quota
+        # admits nothing more until a retraction frees budget.
+        from pyspark.sql import Window
+
+        if source_col not in out.columns:
+            raise ValueError(
+                f"source_cap needs a {source_col!r} column on the "
+                "batch documents"
+            )
+        w = Window.partitionBy(source_col).orderBy(F.col(id_col).asc())
+        ranked = out.withColumn("__rk", F.row_number().over(w))
+        if corpus is not None and source_col in corpus.columns:
+            stored = corpus.groupBy(source_col).agg(
+                F.count(F.lit(1)).alias("__stored")
+            )
+            budget = F.lit(int(source_cap)) - F.coalesce(
+                F.col("__stored"), F.lit(0)
+            )
+            out = (
+                ranked.join(stored, source_col, "left")
+                .filter(F.col("__rk") <= budget)
+                .drop("__rk", "__stored")
+            )
+        else:
+            out = ranked.filter(
+                F.col("__rk") <= int(source_cap)
+            ).drop("__rk")
     return out
 
 
@@ -336,6 +372,8 @@ def run_incremental_curation(
     seed: int = 42,
     within_batch_neardup: bool = True,
     near_dup_keep_by=None,
+    source_cap: int | None = None,
+    source_col: str = "source",
     max_files_per_trigger: int = 1,
     transform=None,
     shingles_path: str | None = None,
@@ -498,6 +536,8 @@ def run_incremental_curation(
             trim_min_span=trim_min_span,
             corpus_span_grams=corpus_span_grams,
             trim_min_keep=trim_min_keep,
+            source_cap=source_cap,
+            source_col=source_col,
         )
         # One computation serving three writes: checkpoint the (small)
         # survivor set so corpus/index/hash appends don't re-run the

@@ -2066,3 +2066,51 @@ def test_loop_near_dup_keep_by_quality(spark, tmp_path):
     )
     q.awaitTermination()
     assert _corpus_ids(spark, tmp_path) == [2, 3]   # 2 beats 1 on length
+
+
+def test_loop_source_quota_vs_growing_corpus(spark, tmp_path):
+    """source_cap enforces a per-source quota against the STORED corpus:
+    batch admissions stop once a source reaches N across batches
+    (id-ascending retention within a batch; append-only — a full
+    source admits nothing more)."""
+    src, corpus_path, bands_path, hashes_path, ckpt = _paths(tmp_path)
+
+    def docs3(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    def run():
+        q = SC.run_incremental_curation(
+            spark, src, corpus_path, bands_path, hashes_path, ckpt,
+            source_cap=2,
+        )
+        q.awaitTermination()
+
+    b1 = [(1, _fresh("h1"), "hot"), (2, _fresh("h2"), "hot"),
+          (3, _fresh("h3"), "hot"), (4, _fresh("c1"), "cold")]
+    docs3(b1).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 4]   # hot capped at 2
+
+    b2 = [(11, _fresh("h4"), "hot"), (12, _fresh("c2"), "cold"),
+          (13, _fresh("c3"), "cold")]
+    docs3(b2).coalesce(1).write.mode("append").parquet(src)
+    run()
+    # hot already at quota -> 11 rejected; cold had 1 stored -> one of
+    # (12, 13) admitted, id-ascending picks 12
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 4, 12]
+
+    # a batch without the source column raises
+    src2 = str(tmp_path / "src2")
+    _docs(spark, [(21, _fresh("x"))]).coalesce(1).write.mode(
+        "append").parquet(src2)
+    import pyspark.errors
+
+    q = SC.run_incremental_curation(
+        spark, src2, str(tmp_path / "c2d"), str(tmp_path / "b2d"),
+        str(tmp_path / "h2d"), str(tmp_path / "ck2d"), source_cap=2,
+    )
+    with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException,
+                       match="source"):
+        q.awaitTermination()
