@@ -257,7 +257,10 @@ def curate_batch_incremental(
         # would make this index-only like the other stages. Within the
         # batch, retention is id-ascending (arrival-order proxy for a
         # crawl). Append-only asymmetry: a source already at quota
-        # admits nothing more until a retraction frees budget.
+        # admits nothing more until a retraction frees budget. A
+        # corpus stored BEFORE the source column existed (schema
+        # evolution) has no counts to charge — the cap then applies
+        # within-batch only, converging once new batches land.
         from pyspark.sql import Window
 
         if source_col not in out.columns:
