@@ -268,20 +268,36 @@ def packing_stats(
     loader throughput and padding waste against:
 
     - ``n_docs`` / ``n_seqs`` / ``n_overflow_docs`` — volume and the
-      too-long flag count (overflow singletons are excluded from the
-      fill stats: their handling is the caller's policy);
+      too-long flag count (SEQUENCES containing an overflow row are
+      excluded from the fill stats wholesale — a zero-token doc FFD
+      places into an overflow singleton must not leak that sequence
+      back in; overflow handling is the caller's policy);
     - ``total_tokens`` — tokens in packed (non-overflow) sequences;
     - ``fill_rate`` — total_tokens / (n_seqs · max_len): the fraction
       of the training batch that is data rather than padding;
     - ``mean_fill`` / ``p50_fill`` / ``min_fill`` — per-sequence token
       counts (exact median via percentile, bounded reducer state).
 
+    ``token_col`` defaults to :func:`pack_sequences`'s ``n_tokens``
+    and auto-detects :func:`tokenize_and_pack`'s ``bpe_token_count``
+    when the default is absent, so both documented compositions work
+    unmodified.
+
     Two bounded aggregations (per-sequence, then 1-row global) plus a
     1-row crossJoin for the overflow counter — no driver collect."""
+    if (
+        token_col == "n_tokens"
+        and token_col not in packed.columns
+        and "bpe_token_count" in packed.columns
+    ):
+        token_col = "bpe_token_count"
     per_seq = (
-        packed.filter(~F.col(overflow_col))
-        .groupBy(seq_col)
-        .agg(F.sum(token_col).alias("__fill"))
+        packed.groupBy(seq_col)
+        .agg(
+            F.sum(token_col).alias("__fill"),
+            F.max(F.col(overflow_col)).alias("__of"),
+        )
+        .filter(~F.col("__of"))
     )
     overflow = packed.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -61,12 +61,19 @@ from ..operators.dedup import (
 BATCH_COL = "__batch_id"
 
 
-def _try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+def _try_read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame | None:
     """Read a parquet table that may not exist yet (first run) or may be
     an empty directory (a batch with zero survivors) — both mean 'no
-    corpus yet'."""
+    corpus yet'. ``merge_schema`` unions the file schemas instead of
+    trusting one arbitrary footer — needed when a column added by
+    schema evolution (e.g. ``source``) must be visible even if an old
+    partition's file wins inference."""
     try:
-        return spark.read.parquet(path)
+        return spark.read.option(
+            "mergeSchema", "true" if merge_schema else "false"
+        ).parquet(path)
     except Exception as e:  # AnalysisException, pre-classified messages
         msg = str(e)
         if (
@@ -91,7 +98,8 @@ _release_cut_blocks = release_cuts
 
 
 def _read_artifact(
-    spark: SparkSession, path: str, exclude_batch: int | None = None
+    spark: SparkSession, path: str, exclude_batch: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame | None:
     """Read a loop-managed artifact, optionally EXCLUDING one batch's
     partition. The loops pass the in-flight batch id here so a REPLAYED
@@ -101,7 +109,7 @@ def _read_artifact(
     against their own half-committed copies and permanently hole the
     other artifacts (empty survivors write nothing, so the missing
     partitions are never backfilled)."""
-    df = _try_read_parquet(spark, path)
+    df = _try_read_parquet(spark, path, merge_schema=merge_schema)
     if df is None:
         return None
     if BATCH_COL in df.columns:
@@ -263,24 +271,40 @@ def curate_batch_incremental(
         # within-batch only, converging once new batches land.
         from pyspark.sql import Window
 
+        if int(source_cap) < 1:
+            raise ValueError("source_cap must be >= 1")
         if source_col not in out.columns:
             raise ValueError(
                 f"source_cap needs a {source_col!r} column on the "
                 "batch documents"
             )
+        for reserved in ("__rk", "__stored", "__src"):
+            if reserved in out.columns:
+                raise ValueError(
+                    f"source_cap: input column {reserved!r} collides "
+                    "with an internal working column — rename it first"
+                )
         w = Window.partitionBy(source_col).orderBy(F.col(id_col).asc())
         ranked = out.withColumn("__rk", F.row_number().over(w))
         if corpus is not None and source_col in corpus.columns:
-            stored = corpus.groupBy(source_col).agg(
-                F.count(F.lit(1)).alias("__stored")
-            )
+            # NULL-safe match: the window above treats NULL source as
+            # one group, so the stored-count join must too — a plain
+            # equality join would hand the NULL slice a fresh budget
+            # every batch
+            stored = corpus.groupBy(
+                F.col(source_col).alias("__src")
+            ).agg(F.count(F.lit(1)).alias("__stored"))
             budget = F.lit(int(source_cap)) - F.coalesce(
                 F.col("__stored"), F.lit(0)
             )
             out = (
-                ranked.join(stored, source_col, "left")
+                ranked.join(
+                    stored,
+                    F.col(source_col).eqNullSafe(F.col("__src")),
+                    "left",
+                )
                 .filter(F.col("__rk") <= budget)
-                .drop("__rk", "__stored")
+                .drop("__rk", "__stored", "__src")
             )
         else:
             out = ranked.filter(
@@ -475,6 +499,8 @@ def run_incremental_curation(
             "probes would go stale); trimming WITHOUT the index is "
             "allowed — it falls back to the corpus-text scan"
         )
+    if source_cap is not None and int(source_cap) < 1:
+        raise ValueError("source_cap must be >= 1")
     if trim_min_keep is not None and trim_min_span is None:
         raise ValueError(
             "trim_min_keep needs trim_min_span (it floors the token "
@@ -495,7 +521,13 @@ def run_incremental_curation(
         # snapshot semantics: exclude this batch id from every artifact
         # read, so a replay after a partial-write crash dedups against
         # the true pre-batch state (see _read_artifact)
-        corpus = _read_artifact(sess, corpus_path, exclude_batch=batch_id)
+        corpus = _read_artifact(
+            sess, corpus_path, exclude_batch=batch_id,
+            # quota mode must see a source column added by schema
+            # evolution even when an old partition's footer wins plain
+            # inference
+            merge_schema=source_cap is not None,
+        )
         corpus_bands = (
             _read_artifact(sess, index_path, exclude_batch=batch_id)
             if corpus is not None else None

@@ -2114,3 +2114,48 @@ def test_loop_source_quota_vs_growing_corpus(spark, tmp_path):
     with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException,
                        match="source"):
         q.awaitTermination()
+
+
+def test_loop_source_quota_null_source_charged(spark, tmp_path):
+    """The NULL-source slice is one quota group like any other: stored
+    NULL-source docs charge the budget across batches (NULL-safe join —
+    a plain equality join would reset it every batch). Also: cap < 1
+    raises eagerly, and reserved working columns raise."""
+    src, corpus_path, bands_path, hashes_path, ckpt = _paths(tmp_path)
+
+    def docs3(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    def run():
+        q = SC.run_incremental_curation(
+            spark, src, corpus_path, bands_path, hashes_path, ckpt,
+            source_cap=2,
+        )
+        q.awaitTermination()
+
+    docs3([(1, _fresh("a"), None), (2, _fresh("b"), None),
+           (3, _fresh("c"), None)]).coalesce(1).write.mode(
+        "append").parquet(src)
+    run()
+    assert _corpus_ids(spark, tmp_path) == [1, 2]
+    docs3([(11, _fresh("d"), None), (12, _fresh("e"), "named")]
+          ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    # NULL slice already at quota -> 11 rejected; the named source fine
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 12]
+
+    with pytest.raises(ValueError, match="source_cap must be >= 1"):
+        SC.run_incremental_curation(
+            spark, src, corpus_path, bands_path, hashes_path,
+            str(tmp_path / "ckx"), source_cap=0,
+        )
+    bad = spark.createDataFrame(
+        [(1, "t", "s", 1)],
+        "doc_id long, text string, source string, __rk int",
+    )
+    with pytest.raises(ValueError, match="__rk"):
+        SC.curate_batch_incremental(
+            bad, None, None, None, source_cap=2,
+        ).collect()

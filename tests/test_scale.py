@@ -899,13 +899,16 @@ def test_packing_stats_hand_computed(spark):
         (3, 80, 1, False), (4, 10, 1, False),     # seq 1: fill 90
         (5, 50, 2, False),                        # seq 2: fill 50
         (6, 150, 3, True),                        # overflow singleton
+        (7, 0, 3, False),   # zero-token doc FFD placed with the
+                            # overflow doc — must NOT leak seq 3 back
+                            # into the fill stats
     ]
     packed = spark.createDataFrame(
         rows, "doc_id long, n_tokens long, seq_id long, overflow boolean"
     )
     got = packing_stats(packed, max_len=100).first().asDict()
     assert got == {
-        "n_docs": 6, "n_seqs": 3, "n_overflow_docs": 1,
+        "n_docs": 7, "n_seqs": 3, "n_overflow_docs": 1,
         "total_tokens": 230,
         "fill_rate": round(230 / 300, 6),
         "mean_fill": round(230 / 3, 4),
@@ -950,3 +953,25 @@ def test_cli_datasheet(spark, tmp_path, capsys):
     row = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert row["n_docs"] == 2 and row["n_null_text"] == 1
     assert row["total_tokens"] == 9
+
+
+def test_packing_stats_autodetects_bpe_column(spark):
+    """packing_stats(tokenize_and_pack(...)) works without a token_col
+    argument — the documented composition."""
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        packing_stats,
+        tokenize_and_pack,
+    )
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta number {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, num_merges=32)
+    packed = tokenize_and_pack(docs, merges, max_len=64, num_merges=32)
+    got = packing_stats(packed, max_len=64).first().asDict()
+    assert got["n_docs"] == 20 and got["n_overflow_docs"] == 0
+    assert 0 < got["fill_rate"] <= 1.0
