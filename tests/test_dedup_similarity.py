@@ -1247,3 +1247,89 @@ def test_cli_curate_source_cap(spark, tmp_path, capsys):
     for r in spark.read.parquet(out_path).collect():
         per[r["source"]] += 1
     assert per == {"hot.example": 2, "cold.example": 1}
+
+
+def test_curate_corpus_every_optional_stage(spark):
+    """The kitchen sink, literally: EVERY optional curate_corpus stage
+    enabled at once, one planted violator per stage, and the survivor
+    set pinned exactly. Stage order subtleties exercised: the shared
+    15-token run is long enough for span-overlap rejection (winnowing
+    guarantee 11) but below the 30-token trim threshold, so the
+    DOCUMENT-dropping stage catches it and the trim stage does not."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+    )
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bigram_lm_tables,
+    )
+
+    def fresh(tag, n=20):
+        # shorter than one cycle of the base phrase — repeated base
+        # words would otherwise trip the dup-5-gram gopher rule
+        base = ("the quick brown fox jumps over a lazy dog and runs "
+                "toward green hills with many other animals out there").split()
+        # a doc-unique tag every 4th token keeps shared base-word runs
+        # under the winnowing gram width (w_select=4), so span-overlap
+        # can only fire on the PLANTED runs — and leaves enough real
+        # English for the language gate
+        return " ".join(
+            f"{tag}{i}" if i % 4 == 0 else base[i % len(base)]
+            for i in range(n)
+        )
+
+    boiler = "subscribe to our newsletter for daily updates please"
+    passage30 = " ".join(f"quote{i}" for i in range(32))      # >= trim 30
+    run15 = " ".join(f"shared{i}" for i in range(15))         # 11 <= . < 30
+    bench_span = "zebra yak xylo wombat viper urchin tapir swan"
+    rows = [
+        (1, fresh("a") + "\n" + boiler, "s1"),
+        (2, fresh("a") + "\n" + boiler, "s1"),            # exact dup
+        (3, fresh("b") + "\n" + boiler, "s1"),            # line freq -> 2
+        # (the exact-dup copy of doc 1 is removed BEFORE line
+        # counting, so the boiler's surviving frequency is 2)
+        (4, "el coche la casa de madrid el sol la luna", "s1"),  # es
+        (5, "too short", "s1"),                           # min_tokens
+        (6, ("spam ham " * 30).strip(), "s1"),            # gopher repetition
+        (7, fresh("c") + " " + passage30, "s2"),          # passage source
+        (8, fresh("d") + " " + passage30 + " " + fresh("e"), "s2"),  # quote -> trimmed
+        (9, fresh("f") + " " + run15, "s2"),              # run source
+        (10, run15 + " " + fresh("g"), "s2"),             # span overlap -> dropped
+        (11, fresh("h") + " with " + bench_span + " inside", "s2"),  # contaminated
+        (12, fresh("i"), "s3"), (13, fresh("j"), "s3"),
+        (14, fresh("k"), "s3"),                           # s3 over cap 2
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    benchmark = spark.createDataFrame(
+        [(900, "intro " + bench_span + " outro")],
+        "doc_id long, text string",
+    )
+    lm = tuple(t.localCheckpoint() for t in bigram_lm_tables(
+        docs.filter(F.col("doc_id").isin(1, 3, 12, 13, 14))
+    ))
+    out = curate_corpus(
+        docs, benchmark,
+        lang_allow=("en",), min_tokens=5, min_alpha_ratio=0.3,
+        max_dup_2gram_ratio=0.9,
+        line_dedup_min_freq=2,
+        gopher_rules={"min_words": 5, "min_stopword_hits": 0,
+                      "min_mean_word_len": 1.0, "max_mean_word_len": 30.0,
+                      "min_alpha_word_ratio": 0.2,
+                      "dup_ngram_max": {5: 0.5}},
+        lm_model=lm, max_perplexity=1e9,
+        span_trim_min_span=30,
+        span_dedup_min_shared=1,
+        near_dup_keep_by=F.length("text"),
+        source_cap=2, source_cap_order_by=F.col("doc_id"),
+        dsir_target_model=lm, dsir_top_n=50,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    # 2 exact-dup, 4 lang, 5 short, 6 gopher, 10 span-overlap,
+    # 11 contaminated; then the source cap (order_by doc_id desc)
+    # keeps 2 per source: s2 had {7, 8, 9} -> 7 capped out, s3 had
+    # {12, 13, 14} -> 12 capped out:
+    assert sorted(got) == [1, 3, 8, 9, 13, 14]
+    assert "quote3" not in got[8]             # quote trimmed from 8
+    assert all(boiler not in t for t in got.values())
+    assert out.columns == ["doc_id", "text", "source"]
