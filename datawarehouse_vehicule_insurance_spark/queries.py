@@ -2867,3 +2867,19 @@ ORACLES: dict[str, str] = {
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "title_exact_normalize": SQL_TITLE_EXACT_NORMALIZE,
 }
+
+# Oracles for the rotated-out BENCH_EXTRA queries. NOT part of the
+# driver's 50-slot gate (``__spark_entry__.oracle_sql`` returns ORACLES
+# only) — these keep the retired queries under a live independent check
+# via tests/test_oracle_parity.py, which parametrizes QUERIES ∪
+# BENCH_EXTRA against ORACLES ∪ ORACLES_EXTRA. Without this, a rotation
+# would leave the retired queries verified by nothing but history
+# (the round-6 verdict's one regression).
+ORACLES_EXTRA: dict[str, str] = {
+    "string_functions": SQL_STRING_FUNCTIONS,
+    "array_functions": SQL_ARRAY_FUNCTIONS,
+    "price_histogram": SQL_PRICE_HISTOGRAM,
+    "top_spenders": SQL_TOP_SPENDERS,
+    "running_revenue": SQL_RUNNING_REVENUE,
+    "token_frequencies": SQL_TOKEN_FREQUENCIES,
+}

@@ -46,17 +46,24 @@ def _rows_to_multiset(cols, rows):
     )
 
 
-QUERY_NAMES = sorted(entry_mod.queries().keys())
+from datawarehouse_vehicule_insurance_spark import queries as _Q
+
+# The full benched surface: the 50-slot driver-gated registry PLUS the
+# rotated-out BENCH_EXTRA queries, so every benchmarked query keeps a
+# live independent check even when it loses its driver gate slot.
+_ALL_QUERIES = {**_Q.QUERIES, **_Q.BENCH_EXTRA}
+_ALL_ORACLES = {**_Q.ORACLES, **_Q.ORACLES_EXTRA}
+QUERY_NAMES = sorted(_ALL_QUERIES.keys())
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck, name):
-    q = entry_mod.queries()[name]
+    q = _ALL_QUERIES[name]
     sdf = q(spark, SF_DIR)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    oracle = entry_mod.oracle_sql().get(name)
+    oracle = _ALL_ORACLES.get(name)
     if oracle is None:
         assert len(spark_rows) >= 0  # rows-only check (non-SQL-expressible)
         return
@@ -113,3 +120,11 @@ def test_registry_at_driver_cap(spark):
     oracles = entry_mod.oracle_sql()
     assert len(qs) == 50
     assert set(oracles) == set(qs)
+
+
+def test_bench_extra_all_locally_oracled():
+    """Every rotated-out (bench-only) query must keep a local DuckDB
+    oracle in ORACLES_EXTRA — rotation may cost a query its driver gate
+    slot, never its independent check."""
+    assert set(_Q.ORACLES_EXTRA) == set(_Q.BENCH_EXTRA)
+    assert not (set(_Q.ORACLES_EXTRA) & set(_Q.ORACLES))
