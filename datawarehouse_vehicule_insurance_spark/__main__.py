@@ -37,6 +37,7 @@ re-submission) —
     python -m datawarehouse_vehicule_insurance_spark retract \\
         --remove <ids.parquet> --corpus <dir> [--bands <dir>]
         [--hashes <dir>] [--shingles <dir>] [--line-counts <dir>]
+        [--source-counts <dir>]
 
 and reference-LM training for the perplexity gate (consumed by
 ``curate``/``curate-stream`` via ``--lm-bigrams --lm-unigrams
@@ -189,6 +190,7 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
         near_dup_keep_by=F.length("text") if args.keep_longest else None,
         source_cap=args.stream_source_cap,
         source_col=args.source_col,
+        source_counts_path=args.source_counts,
     )
     q.awaitTermination()
     compacted = None
@@ -211,6 +213,7 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
                 line_counts_path=args.line_counts,
                 winnow_path=args.winnow,
                 span_grams_path=args.span_grams,
+                source_counts_path=args.source_counts,
                 # a newly configured index may not exist until a batch
                 # with survivors lands — never fail the run over it
                 ignore_missing=True,
@@ -319,6 +322,8 @@ def _run_retract(args: argparse.Namespace) -> int:
         winnow_path=args.winnow,
         span_grams_path=args.span_grams,
         trim_min_span=args.trim_min_span,
+        source_counts_path=args.source_counts,
+        source_col=args.source_col,
     )
     print(json.dumps({"rows_after": out}))
     return 0
@@ -470,6 +475,13 @@ def main(argv: list[str] | None = None) -> int:
         "retraction frees budget)",
     )
     p.add_argument(
+        "--source-counts", dest="source_counts",
+        help="curate-stream/retract: source_count_table dir (per-source "
+        "stored-count index; with it the quota charges persisted totals "
+        "instead of re-grouping the corpus each batch; requires "
+        "--stream-source-cap)",
+    )
+    p.add_argument(
         "--keep-longest", dest="keep_longest", action="store_true",
         help="curate-stream: among within-batch near-duplicates keep "
         "the LONGEST document instead of the lowest id",
@@ -589,7 +601,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument(
         "--source-col", dest="source_col", default="source",
-        help="curate: column grouping the --source-cap (default source)",
+        help="curate/curate-stream/retract: column grouping the source "
+        "quota and count index (default source)",
     )
     p.add_argument(
         "--byte-level", dest="byte_level", action="store_true",

@@ -1151,6 +1151,139 @@ def line_count_table_remove(
     )
 
 
+SOURCE_PARAMS_COL = "__source_params"
+
+
+def source_fingerprint(source_col: str) -> str:
+    """Canonical fingerprint of the per-source counting parameters,
+    stamped into every :func:`source_count_table` and validated when a
+    persisted table feeds the admission quota — counts grouped by a
+    different column must never charge this quota's budget."""
+    return f"source-counts/v1/source_col={source_col}"
+
+
+def source_count_table(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persistable per-source document-count index of a corpus:
+    (``source_col``, n_docs, __source_params) — how many distinct
+    documents each source contributed. The seventh loop artifact next
+    to band/hash/shingle/line/winnow/span-gram: an ingest loop appends
+    each accepted batch's partial, and because a document lives in
+    exactly one batch, per-batch ``n_docs`` values SUM to the stored
+    totals (:func:`merge_source_counts`) — so the admission quota
+    charges stored counts from the index alone, without the per-batch
+    corpus scan it otherwise pays. NULL source is counted as its own
+    group (the quota treats the NULL slice as one budget, so the index
+    must too).
+
+    Scale shape: one shuffle of (source, id) pairs with map-side
+    partial aggregation — document text never shuffles, and the table
+    holds one row per distinct source value."""
+    if source_col not in docs.columns:
+        raise ValueError(
+            f"source_count_table needs a {source_col!r} column"
+        )
+    return (
+        docs.select(source_col, id_col)
+        .distinct()
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            SOURCE_PARAMS_COL, F.lit(source_fingerprint(source_col))
+        )
+    )
+
+
+def validate_source_params(counts: DataFrame, source_col: str) -> None:
+    """Assert a persisted :func:`source_count_table`'s stamped grouping
+    column matches the probe's (limit-1 read, same contract as
+    :func:`validate_line_params`)."""
+    if SOURCE_PARAMS_COL not in counts.columns:
+        return
+    row = counts.select(SOURCE_PARAMS_COL).first()
+    if row is None:
+        return
+    expected = source_fingerprint(source_col)
+    if row[0] != expected:
+        raise ValueError(
+            f"source-count table parameter mismatch: index was built "
+            f"with {row[0]!r} but the quota uses {expected!r} — counts "
+            f"grouped by a different column must not charge this budget"
+        )
+
+
+def merge_source_counts(*tables: DataFrame) -> DataFrame:
+    """Merge per-batch :func:`source_count_table` partials into stored
+    totals: ``n_docs`` sums because each document lives in exactly one
+    batch. Mixed stamps across tables raise (one limit-1 read per
+    table); NULL source merges as one group (Spark groupBy keeps NULL
+    keys)."""
+    if not tables:
+        raise ValueError("merge_source_counts needs at least one table")
+    stamps = set()
+    for t in tables:
+        if SOURCE_PARAMS_COL in t.columns:
+            row = t.select(SOURCE_PARAMS_COL).first()
+            if row is not None:
+                stamps.add(row[0])
+    if len(stamps) > 1:
+        raise ValueError(
+            f"source-count tables hold mixed parameters "
+            f"{sorted(stamps)} — rebuild before merging"
+        )
+    stamp = next(iter(stamps)) if stamps else None
+    merged = tables[0].drop(SOURCE_PARAMS_COL)
+    for t in tables[1:]:
+        merged = merged.unionByName(t.drop(SOURCE_PARAMS_COL))
+    keys = [c for c in merged.columns if c != "n_docs"]
+    out = merged.groupBy(*keys).agg(F.sum("n_docs").alias("n_docs"))
+    if stamp is not None:
+        out = out.withColumn(SOURCE_PARAMS_COL, F.lit(stamp))
+    return out
+
+
+def source_count_table_remove(
+    counts: DataFrame,
+    retracted_docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Delete semantics for the persisted per-source count index:
+    SUBTRACT the retracted documents' own partial (exact, the flip side
+    of :func:`merge_source_counts`), dropping sources whose count
+    reaches zero — so a takedown frees admission budget. NULL-safe
+    join: the NULL-source group subtracts like any other.
+    ``retracted_docs`` must be the stored corpus rows being removed.
+    The building block for table-format ``DELETE`` flows; the loop's
+    :func:`~...streaming.curation.retract_documents` rebuilds from
+    survivors instead (idempotent under replay)."""
+    validate_source_params(counts, source_col)
+    partial = (
+        source_count_table(retracted_docs, source_col, id_col)
+        .select(
+            F.col(source_col).alias("__rsrc"),
+            F.col("n_docs").alias("__n_retracted"),
+        )
+    )
+    out_cols = [c for c in counts.columns if c != "n_docs"]
+    return (
+        counts.join(
+            partial,
+            F.col(source_col).eqNullSafe(F.col("__rsrc")),
+            "left",
+        )
+        .withColumn(
+            "n_docs",
+            F.col("n_docs") - F.coalesce(F.col("__n_retracted"), F.lit(0)),
+        )
+        .filter(F.col("n_docs") > 0)
+        .select(*out_cols, "n_docs")
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -2883,3 +2883,72 @@ ORACLES_EXTRA: dict[str, str] = {
     "running_revenue": SQL_RUNNING_REVENUE,
     "token_frequencies": SQL_TOKEN_FREQUENCIES,
 }
+
+# ---------------------------------------------------------------------------
+# gate-rotation policy (enforced by tests/test_oracle_parity.py)
+# ---------------------------------------------------------------------------
+#
+# The driver gates the FIRST 50 registry entries, so coverage is a
+# choice each round. The rules:
+#
+# 1. QUERIES stays at exactly 50 entries, each with an ORACLES entry —
+#    every gate slot is hash-checked, none silently rows-only.
+# 2. A query rotated OUT of the registry moves to BENCH_EXTRA (keeps
+#    its bench timing) AND its SQL moves to ORACLES_EXTRA (keeps its
+#    local DuckDB parity check). Rotation may cost a query its driver
+#    gate slot, never its independent check.
+# 3. Every SURVEY §2 ID keeps at least one covering query in
+#    QUERIES ∪ BENCH_EXTRA whose oracle lives in ORACLES ∪
+#    ORACLES_EXTRA — SURVEY_COVERAGE below is the canonical map, and
+#    the policy test fails if a rotation orphans an ID (round 6
+#    silently orphaned §2.6 limit/top-k this way).
+# 4. IDs whose surface is not query-shaped (CSV scan, the pipeline
+#    runner, loggers) are pinned by named pytest files instead —
+#    recorded as "pytest:<test-file>" entries, whose existence the
+#    policy test also asserts.
+#
+# Which slots are effectively permanent: any query that is the SOLE
+# cover of some ID below (e.g. title_exact_normalize for C1-exact)
+# can rotate to BENCH_EXTRA but can never lose its oracle.
+SURVEY_COVERAGE: dict[str, tuple[str, ...]] = {
+    "S1": ("pytest:test_pipeline.py",),
+    "S2/S4": ("pytest:test_pipeline.py", "pytest:test_scale.py"),
+    "S3": ("pricing_summary",),       # every gate reads parquet
+    "S5": ("pytest:test_pipeline.py",),
+    "S6": ("pytest:test_rules.py", "pytest:test_gold.py"),
+    "S7": ("pytest:test_pipeline.py",),
+    "P1-P5": ("dim_customer_enrich", "dim_part_dedup"),
+    "P6": ("client_summary",),
+    "F1-F5": ("pytest:test_rules.py",),
+    "F6": ("date_functions", "pytest:test_rules.py"),
+    "F7": ("filter_positive_amounts",),
+    "V1-V3": ("silver_clean_normalize",),
+    "V4": ("range_validate_year",),
+    "V5-V6": ("silver_clean_normalize",),
+    "V7": ("date_functions",),
+    "J1": ("dim_customer_enrich",),
+    "J2-J3": ("client_summary",),
+    "J4-J6": ("client_summary",),
+    "C1": ("silver_clean_normalize",),
+    "C1-exact": ("title_exact_normalize",),
+    "C2": ("pytest:test_rules.py",),
+    "C3": ("regex_validate_strip",),
+    "C4/C6": ("regex_validate_strip",),
+    "C5": ("pytest:test_rules.py",),
+    "C7": ("pytest:test_rules.py",),
+    "C8-C9": ("date_functions",),
+    "C10": ("range_validate_year",),
+    "C11": ("silver_clean_normalize",),
+    "A1": ("orders_per_customer",),
+    "A2": ("lineitem_per_order",),
+    "A3": ("client_summary",),
+    "A4-A5": ("pytest:test_pipeline.py",),
+    "D1-D3": ("dim_part_dedup", "distinct_order_customers"),
+    "2.6-sampling": ("deterministic_sample",),
+    "2.6-limit-topk": ("top_spenders",),
+    "O1": ("pytest:test_pipeline.py",),
+    "O2": ("pytest:conftest.py",),    # every test builds the env session
+    "O3": ("pytest:test_incremental_curation.py", "pytest:test_bpe.py"),
+    "O4": ("pytest:test_pipeline.py",),
+    "O5": ("pytest:test_rules.py",),
+}

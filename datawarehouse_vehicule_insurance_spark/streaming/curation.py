@@ -48,12 +48,15 @@ from ..operators.dedup import (
     incremental_dedup,
     line_count_table,
     line_dedup_incremental,
+    merge_source_counts,
     minhash_dedup,
     merge_span_gram_tables,
     shingle_table,
+    source_count_table,
     span_gram_table,
     span_overlap_dedup,
     validate_line_params,
+    validate_source_params,
     validate_span_params,
     winnow_table,
 )
@@ -144,6 +147,7 @@ def curate_batch_incremental(
     trim_min_keep: int | None = None,
     source_cap: int | None = None,
     source_col: str = "source",
+    corpus_source_counts: DataFrame | None = None,
 ) -> DataFrame:
     """One batch's survivors: within-batch exact dedup (+ optional
     C4-style line cleaning when ``line_dedup_min_freq`` is set — batch
@@ -260,15 +264,18 @@ def curate_batch_incremental(
     if source_cap is not None:
         # per-source quota vs the GROWING corpus, dead last so the
         # budget spends on otherwise-accepted docs only. Stored counts
-        # come from one narrow groupBy over the corpus's source column
-        # (dict-encoded; text never read) — a future 7th count artifact
-        # would make this index-only like the other stages. Within the
-        # batch, retention is id-ascending (arrival-order proxy for a
-        # crawl). Append-only asymmetry: a source already at quota
-        # admits nothing more until a retraction frees budget. A
-        # corpus stored BEFORE the source column existed (schema
-        # evolution) has no counts to charge — the cap then applies
-        # within-batch only, converging once new batches land.
+        # come from the persisted source_count_table when supplied
+        # (seventh artifact — per-batch partials merged to totals, so
+        # admission is index-only like the other stages); without it,
+        # one narrow groupBy over the corpus's source column
+        # (dict-encoded; text never read — correct, just the pre-index
+        # per-batch cost). Within the batch, retention is id-ascending
+        # (arrival-order proxy for a crawl). Append-only asymmetry: a
+        # source already at quota admits nothing more until a
+        # retraction frees budget. A corpus stored BEFORE the source
+        # column existed (schema evolution) has no counts to charge —
+        # the cap then applies within-batch only, converging once new
+        # batches land.
         from pyspark.sql import Window
 
         if int(source_cap) < 1:
@@ -286,14 +293,26 @@ def curate_batch_incremental(
                 )
         w = Window.partitionBy(source_col).orderBy(F.col(id_col).asc())
         ranked = out.withColumn("__rk", F.row_number().over(w))
-        if corpus is not None and source_col in corpus.columns:
+        if corpus_source_counts is not None:
+            # index-fed stored counts: merge the per-batch partials to
+            # totals (rows = sources × batches, nowhere near corpus
+            # size) — the stamped grouping column must match ours
+            validate_source_params(corpus_source_counts, source_col)
+            stored = merge_source_counts(corpus_source_counts).select(
+                F.col(source_col).alias("__src"),
+                F.col("n_docs").alias("__stored"),
+            )
+        elif corpus is not None and source_col in corpus.columns:
+            stored = corpus.groupBy(
+                F.col(source_col).alias("__src")
+            ).agg(F.count(F.lit(1)).alias("__stored"))
+        else:
+            stored = None
+        if stored is not None:
             # NULL-safe match: the window above treats NULL source as
             # one group, so the stored-count join must too — a plain
             # equality join would hand the NULL slice a fresh budget
             # every batch
-            stored = corpus.groupBy(
-                F.col(source_col).alias("__src")
-            ).agg(F.count(F.lit(1)).alias("__stored"))
             budget = F.lit(int(source_cap)) - F.coalesce(
                 F.col("__stored"), F.lit(0)
             )
@@ -330,6 +349,8 @@ def rebuild_corpus_indexes(
     winnow_path: str | None = None,
     span_grams_path: str | None = None,
     trim_min_span: int = 50,
+    source_counts_path: str | None = None,
+    source_col: str = "source",
 ) -> dict:
     """Recovery / bootstrap path: (re)build every persisted dedup index
     from the corpus itself — after an index loss (see
@@ -371,6 +392,23 @@ def rebuild_corpus_indexes(
                 corpus, text_col, id_col, min_span=trim_min_span
             ))
         )
+    if source_counts_path is not None:
+        # mergeSchema read: a source column added by schema evolution
+        # must be visible even when an old partition's footer wins
+        # plain inference (same note as the loop's quota-mode read)
+        evolved = _read_artifact(
+            spark, corpus_path, merge_schema=True
+        )
+        if source_col not in evolved.columns:
+            raise ValueError(
+                f"source_counts_path needs a {source_col!r} column on "
+                "the stored corpus"
+            )
+        targets.append(
+            (source_counts_path, source_count_table(
+                evolved, source_col, id_col
+            ))
+        )
     for path, df in targets:
         (
             df.withColumn(BATCH_COL, F.lit(-1))
@@ -401,6 +439,7 @@ def run_incremental_curation(
     near_dup_keep_by=None,
     source_cap: int | None = None,
     source_col: str = "source",
+    source_counts_path: str | None = None,
     max_files_per_trigger: int = 1,
     transform=None,
     shingles_path: str | None = None,
@@ -480,6 +519,15 @@ def run_incremental_curation(
     guaranteed-length verbatim token run with the corpus are dropped
     even when their overall shingle Jaccard is far below the near-dup
     threshold (long quotes, mirrored sections).
+
+    ``source_counts_path`` (optional, requires ``source_cap``)
+    maintains the per-source count index
+    (:func:`~..operators.dedup.source_count_table`, seventh artifact,
+    appended per batch like the others): the quota then charges the
+    merged persisted totals instead of re-grouping the corpus's source
+    column each batch — the last corpus-proportional per-batch cost
+    goes index-only. Without it the quota falls back to the corpus
+    groupBy (correct, just the pre-index cost).
     """
     if (line_counts_path is None) != (line_dedup_min_freq is None):
         raise ValueError(
@@ -501,6 +549,12 @@ def run_incremental_curation(
         )
     if source_cap is not None and int(source_cap) < 1:
         raise ValueError("source_cap must be >= 1")
+    if source_counts_path is not None and source_cap is None:
+        raise ValueError(
+            "source_counts_path needs source_cap (an index nothing "
+            "probes would go stale); a cap WITHOUT the index is "
+            "allowed — it falls back to the per-batch corpus groupBy"
+        )
     if trim_min_keep is not None and trim_min_span is None:
         raise ValueError(
             "trim_min_keep needs trim_min_span (it floors the token "
@@ -555,6 +609,11 @@ def run_incremental_curation(
             if span_grams_path is not None and corpus is not None
             else None
         )
+        corpus_source_counts = (
+            _read_artifact(sess, source_counts_path, exclude_batch=batch_id)
+            if source_counts_path is not None and corpus is not None
+            else None
+        )
         survivors = curate_batch_incremental(
             batch, corpus, corpus_bands, corpus_hashes,
             text_col=text_col, id_col=id_col,
@@ -573,6 +632,7 @@ def run_incremental_curation(
             trim_min_keep=trim_min_keep,
             source_cap=source_cap,
             source_col=source_col,
+            corpus_source_counts=corpus_source_counts,
         )
         # One computation serving three writes: checkpoint the (small)
         # survivor set so corpus/index/hash appends don't re-run the
@@ -623,6 +683,16 @@ def run_incremental_curation(
                     survivors, text_col, id_col, min_span=trim_min_span
                 ),
                 span_grams_path,
+            )
+        if source_counts_path is not None:
+            # per-source counts of the ADMITTED survivors — partials
+            # sum to stored totals (a doc lives in exactly one batch),
+            # so the merged index always equals source_count_table of
+            # the corpus as stored and the next batch's quota charges
+            # it without touching the corpus
+            _append(
+                source_count_table(survivors, source_col, id_col),
+                source_counts_path,
             )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -681,6 +751,8 @@ def retract_documents(
     winnow_path: str | None = None,
     span_grams_path: str | None = None,
     trim_min_span: int | None = None,
+    source_counts_path: str | None = None,
+    source_col: str = "source",
 ) -> dict:
     """Takedown path: remove documents from the stored corpus AND every
     persisted dedup index in one consistent rewrite, so a later
@@ -706,6 +778,9 @@ def retract_documents(
       same reason as the line index — its rows aggregate occurrence
       counts and first-positions ACROSS documents, so one document's
       contribution is not subtractable in place.
+    - source-count index (``source_counts_path``): REBUILT from the
+      surviving corpus — a takedown frees the retracted documents'
+      admission budget, so their sources can accept replacements.
 
     Artifacts are rewritten in place via :func:`_rewrite_artifact`.
     That makes this the small/medium-corpus ops tool — at 100-TB scale
@@ -719,7 +794,12 @@ def retract_documents(
     ids = retracted_ids.select(
         F.col(retracted_ids.columns[0]).alias(id_col)
     ).distinct()
-    corpus = _read_artifact(spark, corpus_path)
+    corpus = _read_artifact(
+        spark, corpus_path,
+        # quota-mode corpora may have gained the source column by
+        # schema evolution — the rebuild must see it (loop-read parity)
+        merge_schema=source_counts_path is not None,
+    )
     if corpus is None:
         raise ValueError(f"no corpus at {corpus_path}")
     # fail-fast validation before any artifact is touched
@@ -739,6 +819,18 @@ def retract_documents(
         if grams is None:
             raise ValueError(f"no span-gram index at {span_grams_path}")
         validate_span_params(grams, trim_min_span)
+    if source_counts_path is not None:
+        src_counts = _read_artifact(spark, source_counts_path)
+        if src_counts is None:
+            raise ValueError(
+                f"no source-count index at {source_counts_path}"
+            )
+        validate_source_params(src_counts, source_col)
+        if source_col not in corpus.columns:
+            raise ValueError(
+                f"source_counts_path needs a {source_col!r} column on "
+                "the stored corpus"
+            )
     index_arts = []
     for path in (index_path, hash_path, shingles_path, winnow_path):
         if path is None:
@@ -773,6 +865,17 @@ def retract_documents(
                 survivors, text_col, id_col, min_span=trim_min_span
             ),
             span_grams_path,
+        )
+    if source_counts_path is not None:
+        # REBUILT from the surviving corpus for the same idempotency
+        # reason as the line index; a retraction thereby FREES the
+        # retracted documents' admission budget. The algebraic
+        # subtraction (source_count_table_remove) remains the
+        # table-format DELETE building block.
+        out[source_counts_path] = _rewrite_artifact(
+            spark,
+            source_count_table(survivors, source_col, id_col),
+            source_counts_path,
         )
     return out
 
@@ -1120,6 +1223,7 @@ def compact_loop_indexes(
     line_counts_path: str | None = None,
     winnow_path: str | None = None,
     span_grams_path: str | None = None,
+    source_counts_path: str | None = None,
     ignore_missing: bool = False,
 ) -> dict:
     """Scheduled maintenance for the crawl loop's persisted artifacts:
@@ -1138,7 +1242,10 @@ def compact_loop_indexes(
       per-batch merge aggregates fewer input rows);
     - span-gram table — :func:`~..operators.dedup.merge_span_gram_tables`
       over itself: per-batch (count, first-occurrence) partials for the
-      same gram collapse into one corpus-total row.
+      same gram collapse into one corpus-total row;
+    - source-count table — :func:`~..operators.dedup.merge_source_counts`
+      over itself: per-batch ``n_docs`` partials for the same source
+      collapse into one stored-total row.
 
     Why this matters at scale: every loop batch appends a new parquet
     partition, so after 10k batches each probe-side read opens 10k
@@ -1154,7 +1261,10 @@ def compact_loop_indexes(
     ``ignore_missing`` a not-yet-created artifact maps to ``None``
     instead of raising.
     """
-    from ..operators.dedup import compact_band_table, merge_line_counts
+    from ..operators.dedup import (
+        compact_band_table,
+        merge_line_counts,
+    )
 
     out: dict = {}
     if index_path is not None:
@@ -1175,6 +1285,10 @@ def compact_loop_indexes(
     if span_grams_path is not None:
         _compact_one(spark, span_grams_path,
                      lambda df: merge_span_gram_tables(df), out,
+                     ignore_missing)
+    if source_counts_path is not None:
+        _compact_one(spark, source_counts_path,
+                     lambda df: merge_source_counts(df), out,
                      ignore_missing)
     return out
 

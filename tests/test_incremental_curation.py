@@ -2159,3 +2159,187 @@ def test_loop_source_quota_null_source_charged(spark, tmp_path):
         SC.curate_batch_incremental(
             bad, None, None, None, source_cap=2,
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# seventh artifact: per-source count index (index-only admission quota)
+# ---------------------------------------------------------------------------
+
+def _docs3(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def test_source_count_table_contract(spark):
+    """The source_count_table building blocks: partials sum to totals
+    (merge), the NULL-source group counts like any other, the stamp
+    guards the grouping column, and subtraction (remove) frees budget
+    exactly — the same mergeable-partial contract as the line index."""
+    b1 = _docs3(spark, [(1, _fresh("a"), "hot"), (2, _fresh("b"), "hot"),
+                        (3, _fresh("c"), None)])
+    b2 = _docs3(spark, [(4, _fresh("d"), "hot"), (5, _fresh("e"), "cold"),
+                        (6, _fresh("f"), None)])
+
+    def as_map(df):
+        return {r["source"]: r["n_docs"] for r in df.collect()}
+
+    t1, t2 = D.source_count_table(b1), D.source_count_table(b2)
+    assert as_map(t1) == {"hot": 2, None: 1}
+    merged = D.merge_source_counts(t1, t2)
+    assert as_map(merged) == {"hot": 3, "cold": 1, None: 2}
+    # merged == built-from-union (the partial property)
+    direct = D.source_count_table(b1.unionByName(b2))
+    assert as_map(direct) == as_map(merged)
+    assert D.SOURCE_PARAMS_COL in merged.columns
+
+    # stamp: a table grouped by a different column must not feed a
+    # quota keyed on "source"
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        D.validate_source_params(
+            D.source_count_table(
+                b1.withColumnRenamed("source", "site"), source_col="site"
+            ),
+            "source",
+        )
+    with pytest.raises(ValueError, match="mixed parameters"):
+        D.merge_source_counts(
+            t1,
+            D.source_count_table(
+                b2.withColumnRenamed("source", "site"), source_col="site"
+            ).withColumnRenamed("site", "source"),
+        )
+    with pytest.raises(ValueError, match="needs a 'source' column"):
+        D.source_count_table(_docs(spark, [(1, "t")]))
+
+    # exact subtraction, NULL-safe; zero-count sources drop
+    after = D.source_count_table_remove(
+        merged, b1.filter(F.col("doc_id").isin(1, 3))
+    )
+    assert as_map(after) == {"hot": 2, "cold": 1, None: 1}
+
+
+def test_quota_index_only_plan_and_equivalence(spark, tmp_path):
+    """With the persisted source-count index (and the three dedup
+    indexes), the batch plan references the corpus parquet NOWHERE —
+    the quota charges merged index totals. Fallback negative control:
+    without the index the same plan DOES scan the corpus. Results are
+    identical either way."""
+    corpus_dir = str(tmp_path / "corpus")
+    _docs3(spark, [
+        (1000, _fresh("h1"), "hot"), (1001, _fresh("h2"), "hot"),
+        (1002, _fresh("c1"), "cold"),
+    ]).write.parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
+
+    paths = {k: str(tmp_path / k)
+             for k in ("bands", "hashes", "shingles", "srccounts")}
+    D.band_table(corpus).write.parquet(paths["bands"])
+    D.content_hash_table(corpus).write.parquet(paths["hashes"])
+    D.shingle_table(corpus).write.parquet(paths["shingles"])
+    D.source_count_table(corpus).write.parquet(paths["srccounts"])
+    idx = {k: spark.read.parquet(p) for k, p in paths.items()}
+
+    batch = _docs3(spark, [
+        (1, _fresh("h3"), "hot"),          # hot at 2 stored, cap 2 -> out
+        (2, _fresh("c2"), "cold"),         # cold at 1 stored -> in
+        (3, _fresh("c3"), "cold"),         # cold then full -> out
+        (4, _fresh("n1"), "new"),          # fresh source -> in
+    ])
+
+    def curate(counts):
+        return SC.curate_batch_incremental(
+            batch, corpus, idx["bands"], idx["hashes"],
+            corpus_shingles=idx["shingles"],
+            source_cap=2, corpus_source_counts=counts,
+        )
+
+    out_idx, out_fb = curate(idx["srccounts"]), curate(None)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan_idx = out_idx._jdf.queryExecution().executedPlan().toString()
+        plan_fb = out_fb._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert corpus_dir not in plan_idx
+    assert paths["srccounts"] in plan_idx
+    assert corpus_dir in plan_fb          # the pre-index per-batch cost
+    want = [2, 4]
+    assert sorted(r["doc_id"] for r in out_idx.collect()) == want
+    assert sorted(r["doc_id"] for r in out_fb.collect()) == want
+
+
+def test_loop_source_quota_index_fed(spark, tmp_path):
+    """The loop with source_counts_path: admissions identical to the
+    corpus-groupBy form across batches, the persisted partials merge to
+    the exact per-source counts of the stored corpus, compaction folds
+    them without changing behavior, and retraction FREES budget (the
+    rebuilt index charges survivors only)."""
+    src, corpus_path, bands_path, hashes_path, ckpt = _paths(tmp_path)
+    counts_path = str(tmp_path / "srccounts")
+
+    def run():
+        q = SC.run_incremental_curation(
+            spark, src, corpus_path, bands_path, hashes_path, ckpt,
+            source_cap=2, source_counts_path=counts_path,
+        )
+        q.awaitTermination()
+
+    def stored_counts():
+        merged = D.merge_source_counts(
+            spark.read.parquet(counts_path).drop(SC.BATCH_COL)
+        )
+        return {r["source"]: r["n_docs"] for r in merged.collect()}
+
+    b1 = [(1, _fresh("h1"), "hot"), (2, _fresh("h2"), "hot"),
+          (3, _fresh("h3"), "hot"), (4, _fresh("c1"), "cold")]
+    _docs3(spark, b1).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 4]
+    assert stored_counts() == {"hot": 2, "cold": 1}
+
+    b2 = [(11, _fresh("h4"), "hot"), (12, _fresh("c2"), "cold"),
+          (13, _fresh("c3"), "cold")]
+    _docs3(spark, b2).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 4, 12]
+    assert stored_counts() == {"hot": 2, "cold": 2}
+
+    # compaction folds per-batch partials into one total row per source
+    res = SC.compact_loop_indexes(
+        spark, index_path=bands_path, hash_path=hashes_path,
+        source_counts_path=counts_path,
+    )
+    assert res[counts_path]["after"] <= res[counts_path]["before"]
+    assert stored_counts() == {"hot": 2, "cold": 2}
+
+    # takedown: retracting a hot doc frees one hot admission
+    retract_ids = spark.createDataFrame([(1,)], "doc_id long")
+    SC.retract_documents(
+        spark, retract_ids, corpus_path,
+        index_path=bands_path, hash_path=hashes_path,
+        source_counts_path=counts_path,
+    )
+    assert stored_counts() == {"hot": 1, "cold": 2}
+    b3 = [(21, _fresh("h5"), "hot"), (22, _fresh("h6"), "hot")]
+    _docs3(spark, b3).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert _corpus_ids(spark, tmp_path) == [2, 4, 12, 21]
+    assert stored_counts() == {"hot": 2, "cold": 2}
+
+    # contract: an index nothing probes would go stale
+    with pytest.raises(ValueError, match="source_counts_path needs"):
+        SC.run_incremental_curation(
+            spark, src, corpus_path, bands_path, hashes_path,
+            str(tmp_path / "ckx"), source_counts_path=counts_path,
+        )
+
+    # rebuild-from-corpus bootstrap reproduces the merged totals
+    import shutil
+
+    shutil.rmtree(counts_path)
+    SC.rebuild_corpus_indexes(
+        spark, corpus_path, bands_path, hashes_path,
+        source_counts_path=counts_path,
+    )
+    assert stored_counts() == {"hot": 2, "cold": 2}

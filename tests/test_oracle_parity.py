@@ -122,6 +122,38 @@ def test_registry_at_driver_cap(spark):
     assert set(oracles) == set(qs)
 
 
+def test_gate_rotation_policy_covers_every_survey_id():
+    """The rotation policy as code (queries.py SURVEY_COVERAGE): every
+    SURVEY §2 ID keeps at least one covering query that is BOTH still
+    registered (QUERIES ∪ BENCH_EXTRA) AND independently oracled
+    (ORACLES ∪ ORACLES_EXTRA), or a named pytest file that still
+    exists. Fails if a future rotation orphans an ID the way round 6
+    orphaned §2.6 limit/top-k."""
+    import os
+
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    for sid, covers in _Q.SURVEY_COVERAGE.items():
+        assert covers, f"{sid}: empty coverage entry"
+        query_covers = [c for c in covers if not c.startswith("pytest:")]
+        for c in covers:
+            if c.startswith("pytest:"):
+                fname = c.split(":", 1)[1]
+                assert os.path.exists(os.path.join(tests_dir, fname)), (
+                    f"{sid}: coverage test file {fname} is gone"
+                )
+        if query_covers:
+            live = [c for c in query_covers if c in _ALL_QUERIES]
+            assert live, (
+                f"{sid}: none of {query_covers} is registered in "
+                "QUERIES or BENCH_EXTRA — a rotation orphaned this ID"
+            )
+            unoracled = [c for c in live if c not in _ALL_ORACLES]
+            assert not unoracled, (
+                f"{sid}: covering queries {unoracled} lost their "
+                "oracle — move the SQL to ORACLES_EXTRA, don't drop it"
+            )
+
+
 def test_bench_extra_all_locally_oracled():
     """Every rotated-out (bench-only) query must keep a local DuckDB
     oracle in ORACLES_EXTRA — rotation may cost a query its driver gate
