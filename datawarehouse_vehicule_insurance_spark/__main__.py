@@ -129,11 +129,28 @@ def _run_curate(args: argparse.Namespace) -> int:
         gopher_rules={} if args.gopher else None,
         source_cap=args.source_cap,
         source_col=args.source_col,
+        existing_source_counts=_read_loop_artifact(
+            spark, args.source_counts
+        ),
     )
     out.write.mode("overwrite").parquet(args.output)
     kept = spark.read.parquet(args.output).count()
     print(json.dumps({"input": docs.count(), "kept": kept}))
     return 0
+
+
+def _read_loop_artifact(spark, path):
+    """Read a loop-maintained artifact for batch-side use, stripping the
+    loop's internal per-batch partition column (it would otherwise leak
+    into partial-merge group keys). None path -> None."""
+    if not path:
+        return None
+    from datawarehouse_vehicule_insurance_spark.streaming.curation import (
+        BATCH_COL,
+    )
+
+    art = spark.read.parquet(path)
+    return art.drop(BATCH_COL) if BATCH_COL in art.columns else art
 
 
 def _run_curate_stream(args: argparse.Namespace) -> int:
@@ -194,30 +211,29 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
     )
     q.awaitTermination()
     compacted = None
-    if args.compact_every:
+    threshold = args.compact_when_partitions or args.compact_every
+    if threshold:
         from datawarehouse_vehicule_insurance_spark.streaming.curation import (
-            compact_loop_indexes,
-            loop_batch_partitions,
+            compact_loop_indexes_when,
         )
 
-        # compaction scheduling: once the band index has accumulated
-        # enough per-batch append partitions, fold every supplied
-        # artifact back into one clustered partition (safe here — the
-        # availableNow stream has terminated)
-        if loop_batch_partitions(spark, args.bands) >= args.compact_every:
-            compacted = compact_loop_indexes(
-                spark,
-                index_path=args.bands,
-                hash_path=args.hashes,
-                shingles_path=args.shingles,
-                line_counts_path=args.line_counts,
-                winnow_path=args.winnow,
-                span_grams_path=args.span_grams,
-                source_counts_path=args.source_counts,
-                # a newly configured index may not exist until a batch
-                # with survivors lands — never fail the run over it
-                ignore_missing=True,
-            )
+        # signal-driven compaction scheduling: once the band index has
+        # accumulated enough per-batch append partitions, fold every
+        # supplied artifact back into one clustered partition (safe
+        # here — the availableNow stream has terminated)
+        compacted = compact_loop_indexes_when(
+            spark, threshold,
+            index_path=args.bands,
+            hash_path=args.hashes,
+            shingles_path=args.shingles,
+            line_counts_path=args.line_counts,
+            winnow_path=args.winnow,
+            span_grams_path=args.span_grams,
+            source_counts_path=args.source_counts,
+            # a newly configured index may not exist until a batch
+            # with survivors lands — never fail the run over it
+            ignore_missing=True,
+        )["compacted"]
     corpus = read_corpus(spark, args.corpus)
     print(json.dumps({
         "corpus_rows": 0 if corpus is None else corpus.count(),
@@ -369,7 +385,22 @@ def _run_datasheet(args: argparse.Namespace) -> int:
     )
 
     spark = get_spark(app_name="insurance_datasheet")
-    row = corpus_stats(spark.read.parquet(args.input)).first().asDict()
+    docs = spark.read.option("mergeSchema", "true").parquet(args.input)
+    if args.by_source:
+        from pyspark.sql import functions as F
+
+        from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+            source_stats,
+        )
+
+        # per-source distribution (quota monitoring): one JSON line per
+        # source, largest first
+        for r in source_stats(docs, source_col=args.source_col).orderBy(
+            F.col("n_docs").desc()
+        ).collect():
+            print(json.dumps(r.asDict(), default=str))
+        return 0
+    row = corpus_stats(docs).first().asDict()
     for k, v in row.items():
         if hasattr(v, "items"):
             row[k] = dict(v)
@@ -475,11 +506,17 @@ def main(argv: list[str] | None = None) -> int:
         "retraction frees budget)",
     )
     p.add_argument(
+        "--by-source", dest="by_source", action="store_true",
+        help="datasheet: one JSON line per --source-col value (doc/"
+        "token counts, corpus share — the quota-monitoring view) "
+        "instead of the one-row corpus datasheet",
+    )
+    p.add_argument(
         "--source-counts", dest="source_counts",
-        help="curate-stream/retract: source_count_table dir (per-source "
-        "stored-count index; with it the quota charges persisted totals "
-        "instead of re-grouping the corpus each batch; requires "
-        "--stream-source-cap)",
+        help="curate/curate-stream/retract: source_count_table dir "
+        "(per-source stored-count index; the quota charges persisted "
+        "totals instead of re-grouping the corpus; on curate each "
+        "source's budget becomes --source-cap minus its stored count)",
     )
     p.add_argument(
         "--keep-longest", dest="keep_longest", action="store_true",
@@ -519,7 +556,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--compact-every", dest="compact_every", type=int,
         help="curate-stream: after the run, compact every supplied "
-        "index once it holds >= N per-batch append partitions",
+        "index once it holds >= N per-batch append partitions "
+        "(alias of --compact-when-partitions, kept for compatibility)",
+    )
+    p.add_argument(
+        "--compact-when-partitions", dest="compact_when_partitions",
+        type=int,
+        help="curate-stream: after the run, compact every supplied "
+        "index when the band index's append-partition count (the "
+        "loop_batch_partitions growth signal) has crossed N",
     )
     p.add_argument(
         "--remove",

@@ -81,6 +81,7 @@ def curate_corpus(
     source_cap: int | None = None,
     source_col: str = "source",
     source_cap_order_by=None,
+    existing_source_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Curate ``docs`` for training; returns surviving rows with the
     input schema. ``benchmark`` (optional) enables the decontamination
@@ -132,6 +133,11 @@ def curate_corpus(
     (descending; default a seeded pseudo-random subset) — the 'at most
     N documents per domain' crawl rule, applied after dedup/gating so
     the cap spends its budget on clean documents only.
+    ``existing_source_counts`` (incremental mode, with ``source_cap``)
+    is the corpus's persisted :func:`~.dedup.source_count_table` —
+    each source's budget then becomes ``source_cap - stored``, sharing
+    the streaming loop's seventh artifact instead of re-counting the
+    corpus.
 
     ``dsir_target_model`` + ``dsir_top_n`` (together) enable the final
     DSIR budget-selection stage (:func:`~.mlprep.dsir_resample`):
@@ -330,12 +336,18 @@ def curate_corpus(
     #     (the cap budget goes to clean documents), before DSIR (which
     #     shapes the CROSS-source mix; the cap bounds any single
     #     source's claim on it). Skew-safe two-phase top-N inside.
+    if existing_source_counts is not None and source_cap is None:
+        raise ValueError(
+            "existing_source_counts needs source_cap (stored counts "
+            "without a cap have no budget to charge)"
+        )
     if source_cap is not None:
         from .mlprep import cap_per_key
 
         out = cap_per_key(
             out, source_col, source_cap,
             order_by=source_cap_order_by, id_col=id_col,
+            stored_counts=existing_source_counts,
         )
 
     # 6. DSIR budget selection (optional, last): importance-resample the

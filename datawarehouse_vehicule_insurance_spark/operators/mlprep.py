@@ -98,6 +98,7 @@ def cap_per_key(
     order_by=None,
     id_col: str = "doc_id",
     salt: int = 16,
+    stored_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-source frequency capping (the crawl-pipeline 'at most N
     documents per domain' rule): keep the top ``max_per_key`` rows of
@@ -118,12 +119,22 @@ def cap_per_key(
     which is bounded regardless of key skew. Results are EXACTLY equal
     to the single-window form (phase 1 can never evict a global top-N
     row, because a row's global rank is ≥ its rank within its own salt
-    bucket)."""
+    bucket).
+
+    ``stored_counts`` (optional) is a persisted
+    :func:`~.dedup.source_count_table` (or its per-batch partials) of
+    an EXISTING corpus keyed on ``key_col``: each key's budget becomes
+    ``max_per_key - stored`` instead of the flat cap — the batch twin
+    of the streaming loop's index-fed admission quota, for curating a
+    new pool against an already-released corpus. Stamp-validated;
+    NULL-key counts charge the NULL slice (null-safe join); a key at
+    or over quota keeps nothing. Phase 1 stays lossless because every
+    budget is ≤ ``max_per_key``."""
     from pyspark.sql import Window
 
     if max_per_key < 1:
         raise ValueError("max_per_key must be >= 1")
-    for reserved in ("__salt", "__r1", "__r2"):
+    for reserved in ("__salt", "__r1", "__r2", "__sck", "__scn"):
         if reserved in df.columns:
             raise ValueError(
                 f"cap_per_key: input column {reserved!r} collides with "
@@ -145,10 +156,25 @@ def cap_per_key(
         .drop("__salt", "__r1")
     )
     w2 = Window.partitionBy(key_col).orderBy(*ord_cols)
+    ranked = cands.withColumn("__r2", F.row_number().over(w2))
+    if stored_counts is None:
+        return ranked.filter(F.col("__r2") <= max_per_key).drop("__r2")
+    # local import: dedup imports nothing from mlprep, so no cycle
+    from .dedup import merge_source_counts, validate_source_params
+
+    validate_source_params(stored_counts, key_col)
+    stored = merge_source_counts(stored_counts).select(
+        F.col(key_col).alias("__sck"), F.col("n_docs").alias("__scn")
+    )
+    budget = F.lit(int(max_per_key)) - F.coalesce(
+        F.col("__scn"), F.lit(0)
+    )
     return (
-        cands.withColumn("__r2", F.row_number().over(w2))
-        .filter(F.col("__r2") <= max_per_key)
-        .drop("__r2")
+        ranked.join(
+            stored, F.col(key_col).eqNullSafe(F.col("__sck")), "left"
+        )
+        .filter(F.col("__r2") <= budget)
+        .drop("__r2", "__sck", "__scn")
     )
 
 

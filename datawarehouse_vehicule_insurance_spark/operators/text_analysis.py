@@ -1421,6 +1421,47 @@ def corpus_stats(
     )
 
 
+def source_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source datasheet rows — the distribution :func:`corpus_stats`
+    deliberately collapses: one row per ``source_col`` value (NULL
+    source is its own row, matching the admission quota's NULL-slice
+    semantics) with document/NULL counts, token totals/means, and each
+    source's share of the corpus. The monitoring companion to the
+    per-source admission quota: a skewed ``doc_share`` is the signal to
+    turn ``source_cap`` on, and a capped loop's shares should flatten
+    toward ``cap / n_docs``.
+
+    Scale shape: ONE partial+final hash aggregation over the fused
+    feature projection, plus a 1-row total broadcast back for the
+    share — two passes over nothing but group rows, no window over the
+    corpus."""
+    if source_col not in df.columns:
+        raise ValueError(f"source_stats needs a {source_col!r} column")
+    feats = quality_features(df, text_col=text_col)
+    has_text = F.col(text_col).isNotNull()
+    per = feats.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col(text_col).isNull(), 1)).alias("n_null_text"),
+        F.sum(F.when(has_text, F.col("n_tokens"))).alias("total_tokens"),
+        F.round(
+            F.avg(F.when(has_text, F.col("n_tokens"))), 2
+        ).alias("mean_tokens"),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        per.crossJoin(F.broadcast(total))   # 1-row frame, bounded
+        .withColumn(
+            "doc_share",
+            F.round(F.col("n_docs") / F.col("__total"), 6),
+        )
+        .drop("__total")
+    )
+
+
 def bpe_vocab(
     train: DataFrame,
     merges: DataFrame,

@@ -285,14 +285,36 @@ def curate_batch_incremental(
                 f"source_cap needs a {source_col!r} column on the "
                 "batch documents"
             )
-        for reserved in ("__rk", "__stored", "__src"):
+        for reserved in ("__rk", "__stored", "__src", "__qsalt", "__qr1"):
             if reserved in out.columns:
                 raise ValueError(
                     f"source_cap: input column {reserved!r} collides "
                     "with an internal working column — rename it first"
                 )
+        # skew guard: the admission window below sorts each source's
+        # whole batch slice in ONE task — a mega-source (every crawl
+        # has one) would serialize there. Phase 1 of cap_per_key's
+        # salted two-phase (operators/mlprep.py) pre-cuts each (source,
+        # hash-salt) bucket to the cap, bounding the final window's
+        # input at salt·cap rows per source. Lossless for ANY budget:
+        # the stored-count budget is ≤ source_cap, and a row's global
+        # id-ascending rank is ≥ its rank within its own salt bucket,
+        # so phase 1 can never evict a row the budget would admit.
+        qsalt = 16
+        w1 = Window.partitionBy(source_col, "__qsalt").orderBy(
+            F.col(id_col).asc()
+        )
+        pre = (
+            out.withColumn(
+                "__qsalt",
+                F.pmod(F.xxhash64(F.col(id_col), F.lit(1)), F.lit(qsalt)),
+            )
+            .withColumn("__qr1", F.row_number().over(w1))
+            .filter(F.col("__qr1") <= int(source_cap))
+            .drop("__qsalt", "__qr1")
+        )
         w = Window.partitionBy(source_col).orderBy(F.col(id_col).asc())
-        ranked = out.withColumn("__rk", F.row_number().over(w))
+        ranked = pre.withColumn("__rk", F.row_number().over(w))
         if corpus_source_counts is not None:
             # index-fed stored counts: merge the per-batch partials to
             # totals (rows = sources × batches, nowhere near corpus
@@ -1310,6 +1332,47 @@ def _compact_one(
     before = art.count()
     after = _rewrite_artifact(spark, fn(art), path)
     out[path] = {"before": before, "after": after}
+
+
+def compact_loop_indexes_when(
+    spark: SparkSession,
+    threshold: int,
+    index_path: str,
+    hash_path: str | None = None,
+    shingles_path: str | None = None,
+    line_counts_path: str | None = None,
+    winnow_path: str | None = None,
+    span_grams_path: str | None = None,
+    source_counts_path: str | None = None,
+    ignore_missing: bool = False,
+) -> dict:
+    """Signal-driven compaction scheduling: compact every supplied
+    artifact when the band index's append-partition count
+    (:func:`loop_batch_partitions` — the growth signal) has crossed
+    ``threshold``, else do nothing. Returns ``{"partitions": n,
+    "compacted": <compact_loop_indexes result> | None}`` so callers
+    can log the decision either way. Run between loop runs, never
+    concurrently with one (same contract as
+    :func:`compact_loop_indexes`)."""
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    n = loop_batch_partitions(spark, index_path)
+    if n < threshold:
+        return {"partitions": n, "compacted": None}
+    return {
+        "partitions": n,
+        "compacted": compact_loop_indexes(
+            spark,
+            index_path=index_path,
+            hash_path=hash_path,
+            shingles_path=shingles_path,
+            line_counts_path=line_counts_path,
+            winnow_path=winnow_path,
+            span_grams_path=span_grams_path,
+            source_counts_path=source_counts_path,
+            ignore_missing=ignore_missing,
+        ),
+    }
 
 
 def loop_batch_partitions(spark: SparkSession, index_path: str) -> int:

@@ -271,6 +271,39 @@ def test_corpus_stats_datasheet(spark):
     assert plan.count("Exchange") <= 2
 
 
+def test_source_stats_per_source_rows(spark):
+    """source_stats: one row per source (NULL slice included) with
+    counts, token totals, and corpus shares summing to 1 — the
+    quota-monitoring view corpus_stats collapses."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        source_stats,
+    )
+    import pytest as _pt
+
+    rows = [
+        (1, "the cat and the dog", "hot"),
+        (2, "el perro y la casa de", "hot"),
+        (3, None, "hot"),
+        (4, "qq zz vv", "cold"),
+        (5, "one two", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    got = {r["source"]: r.asDict() for r in source_stats(df).collect()}
+    assert set(got) == {"hot", "cold", None}
+    assert got["hot"]["n_docs"] == 3
+    assert got["hot"]["n_null_text"] == 1
+    assert got["hot"]["total_tokens"] == 5 + 6
+    assert got["hot"]["mean_tokens"] == _pt.approx(5.5, abs=0.01)
+    assert got["cold"]["n_docs"] == 1
+    assert got[None]["n_docs"] == 1
+    assert sum(v["doc_share"] for v in got.values()) == _pt.approx(1.0)
+
+    with _pt.raises(ValueError, match="needs a 'source' column"):
+        source_stats(df.drop("source"))
+
+
 def test_corpus_stats_legacy_size_of_null(spark):
     """r5 advice: under spark.sql.legacy.sizeOfNull=true, size(NULL) is
     -1 — corpus_stats must still honor the 'NULL docs count in

@@ -2219,6 +2219,97 @@ def test_source_count_table_contract(spark):
     assert as_map(after) == {"hot": 2, "cold": 1, None: 1}
 
 
+def test_compact_loop_indexes_when_signal(spark, tmp_path):
+    """Signal-driven compaction: compact_loop_indexes_when is a no-op
+    below the partition threshold, fires once the band index's append
+    partitions cross it, and the loop's behavior is probe-identical
+    afterwards (a post-compaction batch still dedups correctly)."""
+    src, corpus_path, bands_path, hashes_path, ckpt = _paths(tmp_path)
+
+    def run():
+        q = SC.run_incremental_curation(
+            spark, src, corpus_path, bands_path, hashes_path, ckpt,
+        )
+        q.awaitTermination()
+
+    _docs(spark, [(1, BASE)]).coalesce(1).write.mode("append").parquet(src)
+    run()
+    res = SC.compact_loop_indexes_when(
+        spark, 2, index_path=bands_path, hash_path=hashes_path,
+    )
+    assert res == {"partitions": 1, "compacted": None}   # below signal
+
+    _docs(spark, [(2, _fresh("b"))]).coalesce(1).write.mode(
+        "append").parquet(src)
+    run()
+    res = SC.compact_loop_indexes_when(
+        spark, 2, index_path=bands_path, hash_path=hashes_path,
+    )
+    assert res["partitions"] == 2 and res["compacted"] is not None
+    assert SC.loop_batch_partitions(spark, bands_path) == 0  # folded
+
+    # probe-identical afterwards: a clone of doc 1 and a near-dup of
+    # doc 2 still die against the compacted indexes, fresh text lands
+    _docs(spark, [(11, BASE), (12, _near(5, base=_fresh("b").split())),
+                  (13, _fresh("c"))]).coalesce(1).write.mode(
+        "append").parquet(src)
+    run()
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 13]
+
+    with pytest.raises(ValueError, match="threshold"):
+        SC.compact_loop_indexes_when(spark, 0, index_path=bands_path)
+
+
+def test_quota_salted_ranking_equals_single_window(spark):
+    """The quota's within-batch retention is skew-guarded (cap_per_key
+    phase-1 salted pre-cut before the admission window); results are
+    EXACTLY the naive single-window form on a skewed batch — a
+    mega-source, small sources, and the NULL slice, with per-source
+    stored budgets (the 10x-audit equality pattern)."""
+    from pyspark.sql import Window
+
+    rows = (
+        [(i, _fresh(f"m{i}"), "mega") for i in range(1, 61)]
+        + [(i, _fresh(f"s{i}"), "small") for i in range(300, 306)]
+        + [(i, _fresh(f"n{i}"), None) for i in range(400, 403)]
+    )
+    batch = _docs3(spark, rows)
+    counts = D.source_count_table(
+        _docs3(
+            spark,
+            [(900 + i, _fresh(f"c{i}"), "mega") for i in range(3)]
+            + [(950, _fresh("cn"), None)],
+        )
+    )
+
+    got = sorted(
+        r["doc_id"]
+        for r in SC.curate_batch_incremental(
+            batch, None, None, None, within_batch_neardup=False,
+            source_cap=5, corpus_source_counts=counts,
+        ).collect()
+    )
+
+    # naive single-window reference (the pre-hardening form)
+    w = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    stored = counts.select(
+        F.col("source").alias("__s"), F.col("n_docs").alias("__n")
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in batch.withColumn("rk", F.row_number().over(w))
+        .join(stored, F.col("source").eqNullSafe(F.col("__s")), "left")
+        .filter(
+            F.col("rk") <= F.lit(5) - F.coalesce(F.col("__n"), F.lit(0))
+        )
+        .collect()
+    )
+    assert got == want
+    # hand-check: mega budget 5-3=2 -> ids 1,2; small 5 of 6; NULL 5-1=4
+    # covers all 3
+    assert got == [1, 2, 300, 301, 302, 303, 304, 400, 401, 402]
+
+
 def test_quota_index_only_plan_and_equivalence(spark, tmp_path):
     """With the persisted source-count index (and the three dedup
     indexes), the batch plan references the corpus parquet NOWHERE —

@@ -853,6 +853,123 @@ def test_cap_per_key_equals_single_window(spark):
     )
 
 
+def test_cap_per_key_stored_counts_budget(spark):
+    """cap_per_key(stored_counts=...): each key's budget becomes cap
+    minus its stored count (the batch twin of the loop's index-fed
+    admission quota) — NULL keys charge the NULL slice, full keys keep
+    nothing, a mismatched stamp raises, and results equal the naive
+    budgeted window."""
+    from pyspark.sql import Window
+
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        source_count_table,
+    )
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        cap_per_key,
+    )
+
+    rows = (
+        [(i, "hot", f"t{i}") for i in range(1, 9)]
+        + [(i, "cold", f"t{i}") for i in range(20, 23)]
+        + [(i, None, f"t{i}") for i in range(30, 33)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, t string")
+    stored_rows = (
+        [(100 + i, f"s{i}", "hot") for i in range(2)]       # hot: 2
+        + [(110 + i, f"c{i}", "full") for i in range(5)]    # full: 5
+        + [(120, "n0", None)]                               # NULL: 1
+    )
+    counts = source_count_table(spark.createDataFrame(
+        stored_rows, "doc_id long, text string, source string"
+    ))
+
+    got = sorted(
+        r["doc_id"]
+        for r in cap_per_key(
+            df, "source", 3, order_by=None, salt=4, stored_counts=counts
+        ).collect()
+    )
+    # naive budgeted window, same retention order
+    ord_cols = [F.xxhash64(F.col("doc_id")).asc(), F.col("doc_id").asc()]
+    w = Window.partitionBy("source").orderBy(*ord_cols)
+    stored = counts.select(
+        F.col("source").alias("__s"), F.col("n_docs").alias("__n")
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in df.withColumn("__r", F.row_number().over(w))
+        .join(stored, F.col("source").eqNullSafe(F.col("__s")), "left")
+        .filter(F.col("__r") <= F.lit(3) - F.coalesce(F.col("__n"), F.lit(0)))
+        .collect()
+    )
+    assert got == want
+    # budget arithmetic: hot keeps 1 (3-2), cold keeps 3 (no stored),
+    # NULL keeps 2 (3-1)
+    out = cap_per_key(df, "source", 3, stored_counts=counts)
+    per = {
+        r["source"]: r["count"]
+        for r in out.groupBy("source").count().collect()
+    }
+    assert per == {"hot": 1, "cold": 3, None: 2}
+
+    # a key already AT quota admits nothing
+    df_full = spark.createDataFrame(
+        [(1, "full", "x")], "doc_id long, source string, t string"
+    )
+    assert cap_per_key(df_full, "source", 3, stored_counts=counts) \
+        .count() == 0
+
+    # stamp mismatch raises
+    bad = source_count_table(
+        spark.createDataFrame(
+            [(1, "t", "s")], "doc_id long, text string, site string"
+        ),
+        source_col="site",
+    ).withColumnRenamed("site", "source")
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        cap_per_key(df, "source", 3, stored_counts=bad)
+
+
+def test_curate_corpus_existing_source_counts(spark):
+    """curate_corpus(existing_source_counts=...) charges the released
+    corpus's stored counts against the source cap; without a cap the
+    artifact raises (nothing would probe it)."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+    )
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        source_count_table,
+    )
+
+    # alphabetic-only words (the default alpha-ratio gate must pass),
+    # all distinct within a doc and across docs
+    mk = lambda i, tag: " ".join(
+        f"{tag}{chr(97 + i % 26)}{chr(97 + j % 26)}{chr(97 + j // 26)}"
+        for j in range(30)
+    )
+    pool = spark.createDataFrame(
+        [(i, mk(i, "h"), "hot") for i in range(1, 5)]
+        + [(10, mk(10, "c"), "cold")],
+        "doc_id long, text string, source string",
+    )
+    counts = source_count_table(spark.createDataFrame(
+        [(100, mk(100, "x"), "hot"), (101, mk(101, "y"), "hot")],
+        "doc_id long, text string, source string",
+    ))
+    out = curate_corpus(
+        pool, min_tokens=1, source_cap=3,
+        existing_source_counts=counts,
+    )
+    per = {
+        r["source"]: r["count"]
+        for r in out.groupBy("source").count().collect()
+    }
+    assert per == {"hot": 1, "cold": 1}   # hot budget 3-2=1
+
+    with pytest.raises(ValueError, match="needs source_cap"):
+        curate_corpus(pool, min_tokens=1, existing_source_counts=counts)
+
+
 def test_cap_per_key_quality_order_keeps_best(spark):
     from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
         cap_per_key,
@@ -953,6 +1070,23 @@ def test_cli_datasheet(spark, tmp_path, capsys):
     row = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert row["n_docs"] == 2 and row["n_null_text"] == 1
     assert row["total_tokens"] == 9
+
+    # --by-source: one JSON line per source value, largest first
+    pool2 = str(tmp_path / "docs2.parquet")
+    spark.createDataFrame(
+        [(1, "a b c", "hot"), (2, "d e", "hot"), (3, "f", "cold")],
+        "doc_id long, text string, source string",
+    ).write.parquet(pool2)
+    assert main(
+        ["datasheet", "--input", pool2, "--by-source"]
+    ) == 0
+    lines = [
+        _json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [l["source"] for l in lines] == ["hot", "cold"]
+    assert lines[0]["n_docs"] == 2 and lines[0]["total_tokens"] == 5
+    assert lines[1]["doc_share"] == pytest.approx(1 / 3, abs=1e-6)
 
 
 def test_packing_stats_autodetects_bpe_column(spark):

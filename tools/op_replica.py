@@ -162,6 +162,41 @@ def check_pack():
     return None
 
 
+@check("byte_bpe_roundtrip")
+def check_byte_bpe():
+    """Byte-level BPE collision-freedom at the replica: train merges on
+    a corpus slice, encode a deterministic 500-doc sample, and decode
+    every token list back — decode∘encode must equal the canonical
+    (lower/trim/space-collapsed) text exactly. Driver collect is the
+    bounded sample only."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bpe_decode_bytes,
+        bpe_encode_bytes,
+        train_bpe_bytes,
+    )
+
+    merges = train_bpe_bytes(docs.limit(2000), num_merges=200)
+    sample = (
+        docs.filter(F.col("text").isNotNull())
+        .orderBy(F.xxhash64("doc_id"))
+        .limit(500)
+    )
+    enc = bpe_encode_bytes(sample, merges, num_merges=200)
+    rows = enc.select("doc_id", "text", "bpe_tokens").collect()
+    import re as _re
+
+    bad = 0
+    for r in rows:
+        canon = _re.sub(r"\s+", " ", r["text"].strip().lower())
+        if bpe_decode_bytes(r["bpe_tokens"]) != canon:
+            bad += 1
+    if bad:
+        return f"{bad}/{len(rows)} sampled documents fail the round trip"
+    if not rows:
+        return "empty sample"
+    return None
+
+
 @check("span_overlap_planted_pair")
 def check_winnow():
     """A planted pair sharing a 64-token passage (far above the

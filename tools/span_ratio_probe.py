@@ -1,0 +1,102 @@
+"""Large-ratio span-gram index probe (round-7; closes r6 verdict #3).
+
+The persisted span_gram_table's claimed win is removing the per-batch
+O(corpus-text) term from exact-substring trimming. At corpus ≈ batch
+(the r6 loop probe's shape) the index roughly TIES the text scan — the
+claim only shows where corpus >> batch. This probe measures exactly
+that regime:
+
+- corpus: the 10× replica's documents table (~10× sf0.1, distinct
+  content per copy — `tools/make_scaled_replica.py`), read as plain
+  parquet;
+- batch: the first half (doc_id parity) of sf0.1 documents;
+- both paths run `duplicate_span_trim(batch, ...)` with identical
+  parameters; the index path consumes a prebuilt persisted
+  span_gram_table (its build cost is accept-time, paid once — excluded
+  by design, same as the loop), the text path re-reads corpus text.
+
+Wall times are min-of-2 warm runs of a full `.count()` action. Prints
+one JSON line. Run alone (concurrent Spark sessions skew timings).
+
+Usage: python tools/span_ratio_probe.py [corpus_docs_dir] [batch_sf_dir]
+       # defaults: /tmp/sfx10/documents.parquet  /root/testdata/sf0.1
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+corpus_path = (
+    sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx10/documents.parquet"
+)
+batch_sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+MIN_SPAN = 50
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.driver.memory", "24g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from datawarehouse_vehicule_insurance_spark.operators.dedup import (  # noqa: E402
+    duplicate_span_trim,
+    span_gram_table,
+)
+
+corpus = spark.read.parquet(corpus_path).select("doc_id", "text")
+batch = (
+    spark.read.parquet(f"{batch_sf}/documents.parquet")
+    .filter(F.col("doc_id") % 2 == 0)
+    .select("doc_id", "text")
+    # keep ids disjoint from the corpus (the replica reuses sf0.1 ids
+    # in copy 0)
+    .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+)
+n_corpus, n_batch = corpus.count(), batch.count()
+
+# accept-time: build + persist the index once (cost reported, excluded
+# from the per-batch comparison — the loop pays it at append time)
+idx_path = "/tmp/span_ratio_probe_grams"
+t0 = time.time()
+span_gram_table(corpus, min_span=MIN_SPAN).write.mode("overwrite").parquet(
+    idx_path
+)
+t_build = time.time() - t0
+grams = spark.read.parquet(idx_path)
+n_grams = grams.count()
+
+
+def timeit(fn):
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 2)
+
+
+t_index = timeit(lambda: duplicate_span_trim(
+    batch, min_span=MIN_SPAN, corpus_grams=grams
+).count())
+t_text = timeit(lambda: duplicate_span_trim(
+    batch, min_span=MIN_SPAN, corpus=corpus
+).count())
+
+print(json.dumps({
+    "corpus_docs": n_corpus,
+    "batch_docs": n_batch,
+    "ratio": round(n_corpus / max(n_batch, 1), 1),
+    "min_span": MIN_SPAN,
+    "index_rows": n_grams,
+    "index_build_sec": round(t_build, 2),
+    "trim_index_fed_sec": t_index,
+    "trim_text_scan_sec": t_text,
+    "speedup": round(t_text / t_index, 2) if t_index else None,
+}))
