@@ -1239,6 +1239,16 @@ def merge_source_counts(*tables: DataFrame) -> DataFrame:
     for t in tables[1:]:
         merged = merged.unionByName(t.drop(SOURCE_PARAMS_COL))
     keys = [c for c in merged.columns if c != "n_docs"]
+    if len(keys) != 1:
+        # a stray column (e.g. the streaming loop's __batch_id partition
+        # column on a directly-read artifact) would silently become a
+        # group key, leaving per-batch rows that MULTIPLY any downstream
+        # budget join — strictness turns that corruption into an error
+        raise ValueError(
+            f"source-count table has unexpected columns {sorted(keys)} "
+            "— expected exactly (source, n_docs[, stamp]); strip "
+            "partition columns before merging"
+        )
     out = merged.groupBy(*keys).agg(F.sum("n_docs").alias("n_docs"))
     if stamp is not None:
         out = out.withColumn(SOURCE_PARAMS_COL, F.lit(stamp))

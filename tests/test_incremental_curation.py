@@ -2212,6 +2212,11 @@ def test_source_count_table_contract(spark):
     with pytest.raises(ValueError, match="needs a 'source' column"):
         D.source_count_table(_docs(spark, [(1, "t")]))
 
+    # a stray column (a directly-read loop artifact's partition column)
+    # raises instead of silently multiplying downstream budget joins
+    with pytest.raises(ValueError, match="unexpected columns"):
+        D.merge_source_counts(t1.withColumn("__batch_id", F.lit(0)))
+
     # exact subtraction, NULL-safe; zero-count sources drop
     after = D.source_count_table_remove(
         merged, b1.filter(F.col("doc_id").isin(1, 3))
