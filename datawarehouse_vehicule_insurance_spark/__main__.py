@@ -211,8 +211,14 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
     )
     q.awaitTermination()
     compacted = None
-    threshold = args.compact_when_partitions or args.compact_every
-    if threshold:
+    # explicit None checks: a 0 threshold must reach the helper's
+    # validation and raise, not silently disable compaction
+    threshold = (
+        args.compact_when_partitions
+        if args.compact_when_partitions is not None
+        else args.compact_every
+    )
+    if threshold is not None:
         from datawarehouse_vehicule_insurance_spark.streaming.curation import (
             compact_loop_indexes_when,
         )

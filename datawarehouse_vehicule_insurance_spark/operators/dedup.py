@@ -1271,6 +1271,12 @@ def source_count_table_remove(
     :func:`~...streaming.curation.retract_documents` rebuilds from
     survivors instead (idempotent under replay)."""
     validate_source_params(counts, source_col)
+    # merge first: the on-disk loop artifact holds PER-BATCH partials
+    # (several rows per source) — subtracting from each row would take
+    # the full retracted count off every partial, silently freeing
+    # phantom admission budget. The strict merge also rejects stray
+    # partition columns.
+    counts = merge_source_counts(counts)
     partial = (
         source_count_table(retracted_docs, source_col, id_col)
         .select(

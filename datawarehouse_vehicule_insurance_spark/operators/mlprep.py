@@ -91,6 +91,68 @@ def extract_domain(url):
     ))
 
 
+def salted_topn_precut(
+    df: DataFrame,
+    key_col: str,
+    max_per_key: int,
+    ord_cols: list,
+    id_col: str = "doc_id",
+    salt: int = 16,
+) -> DataFrame:
+    """Phase 1 of the two-phase salted top-N (the skew guard shared by
+    :func:`cap_per_key` and the streaming loop's admission quota): rank
+    within (key, hash-salt) — each partition holds ~1/``salt`` of a hot
+    key — and keep ``max_per_key`` per salt bucket, so the final
+    per-key ranking window's input is bounded at ``salt · max_per_key``
+    rows regardless of key skew. LOSSLESS for any downstream per-key
+    budget ≤ ``max_per_key``: a row's global rank under ``ord_cols`` is
+    ≥ its rank within its own salt bucket. Uses the ``__salt``/``__r1``
+    working columns (callers guard them)."""
+    from pyspark.sql import Window
+
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col), F.lit(1)), F.lit(salt))
+    )
+    w1 = Window.partitionBy(key_col, "__salt").orderBy(*ord_cols)
+    return (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= max_per_key)
+        .drop("__salt", "__r1")
+    )
+
+
+def stored_budget_filter(
+    ranked: DataFrame,
+    key_col: str,
+    rank_col: str,
+    max_per_key: int,
+    stored_counts: DataFrame,
+) -> DataFrame:
+    """The cap-minus-stored admission filter shared by
+    :func:`cap_per_key` and the streaming loop's quota: merge the
+    stored-count partials to totals (stamp-validated when present;
+    strict about stray columns), NULL-safe join them onto the ranked
+    frame, and keep rows whose per-key rank fits the remaining budget.
+    Drops ``rank_col`` and its ``__src``/``__stored`` working columns
+    (callers guard those names)."""
+    from .dedup import merge_source_counts, validate_source_params
+
+    validate_source_params(stored_counts, key_col)
+    stored = merge_source_counts(stored_counts).select(
+        F.col(key_col).alias("__src"), F.col("n_docs").alias("__stored")
+    )
+    budget = F.lit(int(max_per_key)) - F.coalesce(
+        F.col("__stored"), F.lit(0)
+    )
+    return (
+        ranked.join(
+            stored, F.col(key_col).eqNullSafe(F.col("__src")), "left"
+        )
+        .filter(F.col(rank_col) <= budget)
+        .drop(rank_col, "__src", "__stored")
+    )
+
+
 def cap_per_key(
     df: DataFrame,
     key_col: str,
@@ -134,7 +196,7 @@ def cap_per_key(
 
     if max_per_key < 1:
         raise ValueError("max_per_key must be >= 1")
-    for reserved in ("__salt", "__r1", "__r2", "__sck", "__scn"):
+    for reserved in ("__salt", "__r1", "__r2", "__src", "__stored"):
         if reserved in df.columns:
             raise ValueError(
                 f"cap_per_key: input column {reserved!r} collides with "
@@ -146,35 +208,15 @@ def cap_per_key(
         if order_by is not None
         else [F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()]
     )
-    salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(id_col), F.lit(1)), F.lit(salt))
-    )
-    w1 = Window.partitionBy(key_col, "__salt").orderBy(*ord_cols)
-    cands = (
-        salted.withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= max_per_key)
-        .drop("__salt", "__r1")
+    cands = salted_topn_precut(
+        df, key_col, max_per_key, ord_cols, id_col=id_col, salt=salt
     )
     w2 = Window.partitionBy(key_col).orderBy(*ord_cols)
     ranked = cands.withColumn("__r2", F.row_number().over(w2))
     if stored_counts is None:
         return ranked.filter(F.col("__r2") <= max_per_key).drop("__r2")
-    # local import: dedup imports nothing from mlprep, so no cycle
-    from .dedup import merge_source_counts, validate_source_params
-
-    validate_source_params(stored_counts, key_col)
-    stored = merge_source_counts(stored_counts).select(
-        F.col(key_col).alias("__sck"), F.col("n_docs").alias("__scn")
-    )
-    budget = F.lit(int(max_per_key)) - F.coalesce(
-        F.col("__scn"), F.lit(0)
-    )
-    return (
-        ranked.join(
-            stored, F.col(key_col).eqNullSafe(F.col("__sck")), "left"
-        )
-        .filter(F.col("__r2") <= budget)
-        .drop("__r2", "__sck", "__scn")
+    return stored_budget_filter(
+        ranked, key_col, "__r2", max_per_key, stored_counts
     )
 
 

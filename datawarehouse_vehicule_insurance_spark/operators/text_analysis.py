@@ -1436,9 +1436,12 @@ def source_stats(
     toward ``cap / n_docs``.
 
     Scale shape: ONE partial+final hash aggregation over the fused
-    feature projection, plus a 1-row total broadcast back for the
-    share — two passes over nothing but group rows, no window over the
-    corpus."""
+    feature projection; the grand total for the share is a sum over
+    the already-aggregated GROUP rows (an unpartitioned window over
+    #sources rows, never the corpus) — the corpus is scanned exactly
+    once."""
+    from pyspark.sql import Window
+
     if source_col not in df.columns:
         raise ValueError(f"source_stats needs a {source_col!r} column")
     feats = quality_features(df, text_col=text_col)
@@ -1451,14 +1454,10 @@ def source_stats(
             F.avg(F.when(has_text, F.col("n_tokens"))), 2
         ).alias("mean_tokens"),
     )
-    total = df.agg(F.count(F.lit(1)).alias("__total"))
-    return (
-        per.crossJoin(F.broadcast(total))   # 1-row frame, bounded
-        .withColumn(
-            "doc_share",
-            F.round(F.col("n_docs") / F.col("__total"), 6),
-        )
-        .drop("__total")
+    w_all = Window.partitionBy()
+    return per.withColumn(
+        "doc_share",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w_all), 6),
     )
 
 

@@ -278,6 +278,11 @@ def curate_batch_incremental(
         # batches land.
         from pyspark.sql import Window
 
+        from ..operators.mlprep import (
+            salted_topn_precut,
+            stored_budget_filter,
+        )
+
         if int(source_cap) < 1:
             raise ValueError("source_cap must be >= 1")
         if source_col not in out.columns:
@@ -285,7 +290,7 @@ def curate_batch_incremental(
                 f"source_cap needs a {source_col!r} column on the "
                 "batch documents"
             )
-        for reserved in ("__rk", "__stored", "__src", "__qsalt", "__qr1"):
+        for reserved in ("__rk", "__stored", "__src", "__salt", "__r1"):
             if reserved in out.columns:
                 raise ValueError(
                     f"source_cap: input column {reserved!r} collides "
@@ -293,59 +298,34 @@ def curate_batch_incremental(
                 )
         # skew guard: the admission window below sorts each source's
         # whole batch slice in ONE task — a mega-source (every crawl
-        # has one) would serialize there. Phase 1 of cap_per_key's
-        # salted two-phase (operators/mlprep.py) pre-cuts each (source,
-        # hash-salt) bucket to the cap, bounding the final window's
-        # input at salt·cap rows per source. Lossless for ANY budget:
-        # the stored-count budget is ≤ source_cap, and a row's global
-        # id-ascending rank is ≥ its rank within its own salt bucket,
-        # so phase 1 can never evict a row the budget would admit.
-        qsalt = 16
-        w1 = Window.partitionBy(source_col, "__qsalt").orderBy(
-            F.col(id_col).asc()
+        # has one) would serialize there. The shared salted phase-1
+        # pre-cut (operators/mlprep.py salted_topn_precut) bounds the
+        # window's input at salt·cap rows per source; lossless because
+        # every stored-count budget is ≤ source_cap.
+        ord_cols = [F.col(id_col).asc()]
+        pre = salted_topn_precut(
+            out, source_col, int(source_cap), ord_cols, id_col=id_col
         )
-        pre = (
-            out.withColumn(
-                "__qsalt",
-                F.pmod(F.xxhash64(F.col(id_col), F.lit(1)), F.lit(qsalt)),
-            )
-            .withColumn("__qr1", F.row_number().over(w1))
-            .filter(F.col("__qr1") <= int(source_cap))
-            .drop("__qsalt", "__qr1")
-        )
-        w = Window.partitionBy(source_col).orderBy(F.col(id_col).asc())
+        w = Window.partitionBy(source_col).orderBy(*ord_cols)
         ranked = pre.withColumn("__rk", F.row_number().over(w))
         if corpus_source_counts is not None:
-            # index-fed stored counts: merge the per-batch partials to
-            # totals (rows = sources × batches, nowhere near corpus
-            # size) — the stamped grouping column must match ours
-            validate_source_params(corpus_source_counts, source_col)
-            stored = merge_source_counts(corpus_source_counts).select(
-                F.col(source_col).alias("__src"),
-                F.col("n_docs").alias("__stored"),
-            )
+            # index-fed stored counts (merged per-batch partials —
+            # rows = sources × batches, nowhere near corpus size)
+            stored = corpus_source_counts
         elif corpus is not None and source_col in corpus.columns:
-            stored = corpus.groupBy(
-                F.col(source_col).alias("__src")
-            ).agg(F.count(F.lit(1)).alias("__stored"))
+            # pre-index fallback: one narrow groupBy over the corpus's
+            # source column, shaped like a (stampless) count table so
+            # the shared budget filter applies unchanged
+            stored = corpus.groupBy(source_col).agg(
+                F.count(F.lit(1)).alias("n_docs")
+            )
         else:
             stored = None
         if stored is not None:
-            # NULL-safe match: the window above treats NULL source as
-            # one group, so the stored-count join must too — a plain
-            # equality join would hand the NULL slice a fresh budget
-            # every batch
-            budget = F.lit(int(source_cap)) - F.coalesce(
-                F.col("__stored"), F.lit(0)
-            )
-            out = (
-                ranked.join(
-                    stored,
-                    F.col(source_col).eqNullSafe(F.col("__src")),
-                    "left",
-                )
-                .filter(F.col("__rk") <= budget)
-                .drop("__rk", "__stored", "__src")
+            # NULL-safe inside: the window treats NULL source as one
+            # group, and so does stored_budget_filter's join
+            out = stored_budget_filter(
+                ranked, source_col, "__rk", int(source_cap), stored
             )
         else:
             out = ranked.filter(
@@ -636,6 +616,30 @@ def run_incremental_curation(
             if source_counts_path is not None and corpus is not None
             else None
         )
+        if (
+            source_counts_path is not None
+            and corpus is not None
+            and corpus_source_counts is None
+            and source_col in corpus.columns
+        ):
+            # BOOTSTRAP: the index was enabled on a corpus curated
+            # before it existed. Without this, batch 1's fallback
+            # charges correctly but appends only batch 1's partial —
+            # so batch 2 onward would charge an index that never
+            # counted the pre-existing corpus and over-admit past the
+            # cap. Count the stored corpus once into the reserved
+            # partition (idempotent under replay: the corpus read
+            # excludes this batch, so a replayed bootstrap rewrites
+            # identical content).
+            boot = source_count_table(corpus, source_col, id_col)
+            (
+                boot.withColumn(BATCH_COL, F.lit(-1))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(BATCH_COL)
+                .parquet(source_counts_path)
+            )
+            corpus_source_counts = boot
         survivors = curate_batch_incremental(
             batch, corpus, corpus_bands, corpus_hashes,
             text_col=text_col, id_col=id_col,

@@ -2223,6 +2223,15 @@ def test_source_count_table_contract(spark):
     )
     assert as_map(after) == {"hot": 2, "cold": 1, None: 1}
 
+    # remove on UNMERGED per-batch partials (the on-disk artifact's
+    # shape) must subtract from the TOTAL once, not from every partial
+    # row — review fix: merge-first inside remove
+    partials = t1.unionByName(t2)          # hot rows: 2 and 1
+    after2 = D.source_count_table_remove(
+        partials, b1.filter(F.col("doc_id") == 1)   # retract 1 hot doc
+    )
+    assert as_map(after2) == {"hot": 2, "cold": 1, None: 2}
+
 
 def test_compact_loop_indexes_when_signal(spark, tmp_path):
     """Signal-driven compaction: compact_loop_indexes_when is a no-op
@@ -2263,6 +2272,19 @@ def test_compact_loop_indexes_when_signal(spark, tmp_path):
 
     with pytest.raises(ValueError, match="threshold"):
         SC.compact_loop_indexes_when(spark, 0, index_path=bands_path)
+
+    # CLI: a 0 threshold reaches the helper's validation and raises
+    # (review fix: the falsy-`or` merge used to silently skip the
+    # whole compaction block)
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    with pytest.raises(ValueError, match="threshold"):
+        main([
+            "curate-stream", "--src", src, "--corpus", corpus_path,
+            "--bands", bands_path, "--hashes", hashes_path,
+            "--checkpoint", ckpt, "--min-tokens", "1",
+            "--compact-when-partitions", "0",
+        ])
 
 
 def test_quota_salted_ranking_equals_single_window(spark):
@@ -2439,3 +2461,44 @@ def test_loop_source_quota_index_fed(spark, tmp_path):
         source_counts_path=counts_path,
     )
     assert stored_counts() == {"hot": 2, "cold": 2}
+
+
+def test_loop_source_counts_bootstrap_pre_existing_corpus(spark, tmp_path):
+    """Enabling source_counts_path on a corpus curated WITHOUT the
+    index must auto-bootstrap the stored corpus's counts (review fix):
+    otherwise batch 1's fallback appends only its own partial and
+    batch 2 charges an index that never counted the pre-existing
+    corpus, over-admitting past the cap."""
+    src, corpus_path, bands_path, hashes_path, ckpt = _paths(tmp_path)
+    counts_path = str(tmp_path / "srccounts")
+
+    # phase 1: corpus curated with the cap but NO count index
+    _docs3(spark, [(1, _fresh("h1"), "hot"), (2, _fresh("h2"), "hot")]
+           ).coalesce(1).write.mode("append").parquet(src)
+    q = SC.run_incremental_curation(
+        spark, src, corpus_path, bands_path, hashes_path, ckpt,
+        source_cap=2,
+    )
+    q.awaitTermination()
+    assert _corpus_ids(spark, tmp_path) == [1, 2]   # hot at quota
+
+    # phase 2: index enabled; two files arrive -> two micro-batches.
+    # Batch A (cold doc) triggers the bootstrap; batch B's hot doc must
+    # be rejected by the INDEX (pre-fix, the index only held batch A's
+    # cold partial and would have admitted it).
+    _docs3(spark, [(11, _fresh("c1"), "cold")]).coalesce(1).write.mode(
+        "append").parquet(src)
+    _docs3(spark, [(21, _fresh("h3"), "hot")]).coalesce(1).write.mode(
+        "append").parquet(src)
+    q = SC.run_incremental_curation(
+        spark, src, corpus_path, bands_path, hashes_path, ckpt,
+        source_cap=2, source_counts_path=counts_path,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 11]   # 21 rejected
+    merged = D.merge_source_counts(
+        spark.read.parquet(counts_path).drop(SC.BATCH_COL)
+    )
+    got = {r["source"]: r["n_docs"] for r in merged.collect()}
+    assert got == {"hot": 2, "cold": 1}   # == corpus as stored
