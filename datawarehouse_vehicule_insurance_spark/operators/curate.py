@@ -428,6 +428,9 @@ def release_checkpoints(spark, baseline: set) -> int:
     return n
 
 
+_ZIP_MISMATCH = "Can't zip RDDs with unequal numbers of partitions"
+
+
 @contextmanager
 def curation_run(docs: DataFrame, **kwargs):
     """Context-managed :func:`curate_corpus`: yields the curated frame;
@@ -442,13 +445,46 @@ def curation_run(docs: DataFrame, **kwargs):
     The release is SCOPED to the run's own cuts (the ambient plan-cut
     registry, :mod:`..operators.plancut`): a frame the caller caches or
     checkpoints while the run is open is NOT touched — only the cuts
-    the curation plan itself took are freed."""
+    the curation plan itself took are freed.
+
+    Known Spark 4.1 planner defect, handled here: with EVERY optional
+    stage composed at larger data, adaptive execution can materialize a
+    reused exchange with a partition count that disagrees with a
+    sibling consumer, failing checkpoint materialization with ``Can't
+    zip RDDs with unequal numbers of partitions`` (empirically: plan-
+    complexity-dependent — no single stage pair reproduces it; AQE off
+    or ``spark.sql.exchange.reuse=false`` both cure it; the 10x-replica
+    matrix is in NOTES.md round 7). On that specific failure this
+    manager retries ONCE with exchange reuse disabled and keeps it
+    disabled until exit, so the caller's sink action inside the block
+    runs under the working configuration; the previous setting is
+    restored on exit. Direct :func:`curate_corpus` callers at that
+    composition/scale should set the conf themselves."""
     from .plancut import cut_registry, release_cuts
 
+    spark = docs.sparkSession
     cuts: list = []
-    with cut_registry(cuts):
-        out = curate_corpus(docs, **kwargs)
+    did_set = False
+    reuse_prev = None
     try:
+        try:
+            with cut_registry(cuts):
+                out = curate_corpus(docs, **kwargs)
+        except Exception as e:
+            if _ZIP_MISMATCH not in str(e):
+                raise
+            release_cuts(cuts)
+            cuts = []
+            reuse_prev = spark.conf.get("spark.sql.exchange.reuse", None)
+            spark.conf.set("spark.sql.exchange.reuse", "false")
+            did_set = True
+            with cut_registry(cuts):
+                out = curate_corpus(docs, **kwargs)
         yield out
     finally:
         release_cuts(cuts)
+        if did_set:
+            if reuse_prev is not None:
+                spark.conf.set("spark.sql.exchange.reuse", reuse_prev)
+            else:
+                spark.conf.unset("spark.sql.exchange.reuse")

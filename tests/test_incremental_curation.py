@@ -1950,6 +1950,54 @@ def test_curation_run_releases_checkpoint_blocks(spark):
     assert all(boiler not in t for t in got.values())
 
 
+def test_curation_run_zip_mismatch_retry(spark, monkeypatch):
+    """Known Spark 4.1 planner defect at the full composed stage set on
+    larger data: reused-exchange materialization can fail with "Can't
+    zip RDDs with unequal numbers of partitions" (10x-replica matrix in
+    NOTES round 7). curation_run retries once with
+    spark.sql.exchange.reuse=false, keeps it off for the block (the
+    caller's sink runs under the working config), and restores the
+    previous setting on exit. Unrelated errors propagate unretried."""
+    from datawarehouse_vehicule_insurance_spark.operators import curate as C
+
+    docs = _docs(spark, [(1, _fresh("a"))])
+    calls = []
+    real = C.curate_corpus
+
+    def flaky(d, **kw):
+        calls.append(spark.conf.get("spark.sql.exchange.reuse", None))
+        if len(calls) == 1:
+            raise RuntimeError(
+                "STAGE_MATERIALIZATION: Can't zip RDDs with unequal "
+                "numbers of partitions: List(32, 64)"
+            )
+        return real(d, **kw)
+
+    monkeypatch.setattr(C, "curate_corpus", flaky)
+    prev = spark.conf.get("spark.sql.exchange.reuse", None)
+    with C.curation_run(docs, min_tokens=1, min_alpha_ratio=0.0,
+                        max_dup_2gram_ratio=1.0) as out:
+        assert out.count() == 1
+        # inside the block the working config is active
+        assert spark.conf.get("spark.sql.exchange.reuse") == "false"
+    assert len(calls) == 2 and calls[1] == "false"
+    assert spark.conf.get("spark.sql.exchange.reuse", None) == prev
+
+    # a non-matching error is NOT retried
+    calls.clear()
+
+    def broken(d, **kw):
+        calls.append(1)
+        raise RuntimeError("some other planner failure")
+
+    monkeypatch.setattr(C, "curate_corpus", broken)
+    with pytest.raises(RuntimeError, match="other planner"):
+        with C.curation_run(docs, min_tokens=1, min_alpha_ratio=0.0):
+            pass
+    assert len(calls) == 1
+    assert spark.conf.get("spark.sql.exchange.reuse", None) == prev
+
+
 def test_trim_min_keep_drops_all_quote_husks(spark, tmp_path):
     """A batch doc assembled ENTIRELY from quotes of two different
     stored documents sits below the near-dup threshold against each of
