@@ -87,7 +87,7 @@ def _run_curate(args: argparse.Namespace) -> int:
     """Curate a documents table: read parquet, run the cost-ordered
     curation plan, write survivors; prints one JSON line of counts."""
     from datawarehouse_vehicule_insurance_spark.operators.curate import (
-        curate_corpus,
+        curation_run,
     )
 
     spark = get_spark(app_name="insurance_curate")
@@ -113,9 +113,12 @@ def _run_curate(args: argparse.Namespace) -> int:
             spark.read.parquet(args.dsir_bigrams),
             spark.read.parquet(args.dsir_unigrams),
         )
-    out = curate_corpus(
+    # curation_run (not bare curate_corpus): frees the run's checkpoint
+    # blocks after the sink and self-heals the known reused-exchange
+    # planner defect at the full composition
+    with curation_run(
         docs,
-        benchmark,
+        benchmark=benchmark,
         lang_allow=langs,
         min_tokens=args.min_tokens,
         jaccard_threshold=args.jaccard,
@@ -132,8 +135,8 @@ def _run_curate(args: argparse.Namespace) -> int:
         existing_source_counts=_read_loop_artifact(
             spark, args.source_counts
         ),
-    )
-    out.write.mode("overwrite").parquet(args.output)
+    ) as out:
+        out.write.mode("overwrite").parquet(args.output)
     kept = spark.read.parquet(args.output).count()
     print(json.dumps({"input": docs.count(), "kept": kept}))
     return 0

@@ -721,9 +721,7 @@ def run_incremental_curation(
                 source_counts_path,
             )
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    def _attempt(batch_df: DataFrame, batch_id: int) -> None:
         # free the stage-cut checkpoint blocks this batch materialized
         # once its writes have landed — an availableNow run draining
         # many batches would otherwise hold every batch's blocks for
@@ -737,6 +735,32 @@ def run_incremental_curation(
                 _process_body(batch_df, batch_id)
         finally:
             _release_cut_blocks(cuts)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            _attempt(batch_df, batch_id)
+        except Exception as e:
+            # the known Spark 4.1 reused-exchange planner defect (see
+            # curation_run) can also bite a fully-stage-loaded batch at
+            # scale; batch writes are idempotent dynamic overwrites, so
+            # re-running the whole batch body under exchange-reuse-off
+            # is safe even after a partial first attempt
+            from ..operators.curate import _ZIP_MISMATCH
+
+            if _ZIP_MISMATCH not in str(e):
+                raise
+            sess = batch_df.sparkSession
+            prev = sess.conf.get("spark.sql.exchange.reuse", None)
+            sess.conf.set("spark.sql.exchange.reuse", "false")
+            try:
+                _attempt(batch_df, batch_id)
+            finally:
+                if prev is not None:
+                    sess.conf.set("spark.sql.exchange.reuse", prev)
+                else:
+                    sess.conf.unset("spark.sql.exchange.reuse")
 
     return (
         stream.writeStream.foreachBatch(_process)

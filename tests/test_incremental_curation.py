@@ -1998,6 +1998,41 @@ def test_curation_run_zip_mismatch_retry(spark, monkeypatch):
     assert spark.conf.get("spark.sql.exchange.reuse", None) == prev
 
 
+def test_loop_batch_zip_mismatch_retry(spark, tmp_path, monkeypatch):
+    """The streaming loop gets the same reused-exchange self-heal as
+    curation_run: a batch failing with the zip-mismatch defect is
+    re-run once under exchange-reuse-off (safe — batch writes are
+    idempotent dynamic overwrites), and the conf is restored after."""
+    src, corpus_path, bands_path, hashes_path, ckpt = _paths(tmp_path)
+    calls = []
+    real = SC.curate_batch_incremental
+
+    def flaky(batch, *a, **kw):
+        # read the conf from the MICRO-BATCH's session: foreachBatch
+        # clones the session, and the retry (correctly) toggles the
+        # clone's conf, not the outer session's
+        calls.append(
+            batch.sparkSession.conf.get("spark.sql.exchange.reuse", None)
+        )
+        if len(calls) == 1:
+            raise RuntimeError(
+                "Can't zip RDDs with unequal numbers of partitions: "
+                "List(32, 64)"
+            )
+        return real(batch, *a, **kw)
+
+    monkeypatch.setattr(SC, "curate_batch_incremental", flaky)
+    prev = spark.conf.get("spark.sql.exchange.reuse", None)
+    _docs(spark, [(1, BASE)]).coalesce(1).write.mode("append").parquet(src)
+    q = SC.run_incremental_curation(
+        spark, src, corpus_path, bands_path, hashes_path, ckpt,
+    )
+    q.awaitTermination()
+    assert _corpus_ids(spark, tmp_path) == [1]
+    assert len(calls) == 2 and calls[1] == "false"
+    assert spark.conf.get("spark.sql.exchange.reuse", None) == prev
+
+
 def test_trim_min_keep_drops_all_quote_husks(spark, tmp_path):
     """A batch doc assembled ENTIRELY from quotes of two different
     stored documents sits below the near-dup threshold against each of
