@@ -172,6 +172,16 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
         run_incremental_curation,
     )
 
+    # fail-fast: an invalid compaction threshold must reject the run
+    # BEFORE the (potentially hours-long) stream drains, not after
+    threshold = (
+        args.compact_when_partitions
+        if args.compact_when_partitions is not None
+        else args.compact_every
+    )
+    if threshold is not None and threshold < 1:
+        raise ValueError("compaction threshold must be >= 1")
+
     spark = get_spark(app_name="insurance_curate_stream")
     langs = tuple(args.langs.split(",")) if args.langs else None
     lm_model = _load_lm_model(spark, args)
@@ -214,13 +224,6 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
     )
     q.awaitTermination()
     compacted = None
-    # explicit None checks: a 0 threshold must reach the helper's
-    # validation and raise, not silently disable compaction
-    threshold = (
-        args.compact_when_partitions
-        if args.compact_when_partitions is not None
-        else args.compact_every
-    )
     if threshold is not None:
         from datawarehouse_vehicule_insurance_spark.streaming.curation import (
             compact_loop_indexes_when,

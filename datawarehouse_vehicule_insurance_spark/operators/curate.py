@@ -430,6 +430,32 @@ def release_checkpoints(spark, baseline: set) -> int:
 
 _ZIP_MISMATCH = "Can't zip RDDs with unequal numbers of partitions"
 
+# serializes concurrent self-heals in one session: without it, two
+# healers' save/restore of the session-wide conf can interleave and
+# strand exchange reuse disabled for the rest of the session
+_REUSE_LOCK = __import__("threading").Lock()
+
+
+@contextmanager
+def _exchange_reuse_disabled(sess):
+    """Temporarily set ``spark.sql.exchange.reuse=false`` on ``sess``,
+    restoring (or unsetting) the previous value on exit. SESSION-WIDE
+    while held — any concurrent query on the same session plans without
+    exchange reuse for the duration (documented cost of the self-heal;
+    the streaming loop passes its per-batch session clone, which scopes
+    the effect to that batch). Lock-guarded against concurrent healers.
+    """
+    with _REUSE_LOCK:
+        prev = sess.conf.get("spark.sql.exchange.reuse", None)
+        sess.conf.set("spark.sql.exchange.reuse", "false")
+        try:
+            yield
+        finally:
+            if prev is not None:
+                sess.conf.set("spark.sql.exchange.reuse", prev)
+            else:
+                sess.conf.unset("spark.sql.exchange.reuse")
+
 
 @contextmanager
 def curation_run(docs: DataFrame, **kwargs):
@@ -454,37 +480,46 @@ def curation_run(docs: DataFrame, **kwargs):
     zip RDDs with unequal numbers of partitions`` (empirically: plan-
     complexity-dependent — no single stage pair reproduces it; AQE off
     or ``spark.sql.exchange.reuse=false`` both cure it; the 10x-replica
-    matrix is in NOTES.md round 7). On that specific failure this
-    manager retries ONCE with exchange reuse disabled and keeps it
-    disabled until exit, so the caller's sink action inside the block
-    runs under the working configuration; the previous setting is
-    restored on exit. Direct :func:`curate_corpus` callers at that
-    composition/scale should set the conf themselves."""
+    matrix is in NOTES.md round 7). The run's plan cuts are
+    MATERIALIZED before yielding (they all execute anyway — this only
+    moves the work before the sink), so the defect — every observed
+    instance fires at cut materialization — surfaces inside the
+    protected region; on that specific failure the manager rebuilds
+    ONCE under :func:`_exchange_reuse_disabled`, keeping the conf off
+    until exit so the caller's sink action inside the block also runs
+    under the working configuration (session-wide while held — see the
+    helper's docstring). The final post-cut stage executing at the
+    caller's sink is the one residual unprotected surface. Direct
+    :func:`curate_corpus` callers at that composition/scale should set
+    the conf themselves."""
     from .plancut import cut_registry, release_cuts
 
     spark = docs.sparkSession
     cuts: list = []
-    did_set = False
-    reuse_prev = None
+
+    def _build() -> DataFrame:
+        with cut_registry(cuts):
+            out = curate_corpus(docs, **kwargs)
+        # materialize the (lazy) cuts in registration = dependency
+        # order while still inside the protected region — each count
+        # is the cut's own first execution plus a trivial aggregate,
+        # work the sink would have paid anyway
+        for c in cuts:
+            c.count()
+        return out
+
     try:
         try:
-            with cut_registry(cuts):
-                out = curate_corpus(docs, **kwargs)
+            out = _build()
         except Exception as e:
             if _ZIP_MISMATCH not in str(e):
                 raise
             release_cuts(cuts)
-            cuts = []
-            reuse_prev = spark.conf.get("spark.sql.exchange.reuse", None)
-            spark.conf.set("spark.sql.exchange.reuse", "false")
-            did_set = True
-            with cut_registry(cuts):
-                out = curate_corpus(docs, **kwargs)
+            cuts.clear()
+            with _exchange_reuse_disabled(spark):
+                out = _build()
+                yield out
+            return
         yield out
     finally:
         release_cuts(cuts)
-        if did_set:
-            if reuse_prev is not None:
-                spark.conf.set("spark.sql.exchange.reuse", reuse_prev)
-            else:
-                spark.conf.unset("spark.sql.exchange.reuse")

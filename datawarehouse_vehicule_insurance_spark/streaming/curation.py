@@ -579,10 +579,15 @@ def run_incremental_curation(
         # the true pre-batch state (see _read_artifact)
         corpus = _read_artifact(
             sess, corpus_path, exclude_batch=batch_id,
-            # quota mode must see a source column added by schema
-            # evolution even when an old partition's footer wins plain
-            # inference
-            merge_schema=source_cap is not None,
+            # quota mode AND counts-index mode must see a source column
+            # added by schema evolution even when an old partition's
+            # footer wins plain inference — a plain read hiding the
+            # column would silently skip the counts bootstrap below,
+            # and the once-created index would never count the
+            # pre-existing corpus
+            merge_schema=(
+                source_cap is not None or source_counts_path is not None
+            ),
         )
         corpus_bands = (
             _read_artifact(sess, index_path, exclude_batch=batch_id)
@@ -746,21 +751,17 @@ def run_incremental_curation(
             # curation_run) can also bite a fully-stage-loaded batch at
             # scale; batch writes are idempotent dynamic overwrites, so
             # re-running the whole batch body under exchange-reuse-off
-            # is safe even after a partial first attempt
-            from ..operators.curate import _ZIP_MISMATCH
+            # is safe even after a partial first attempt. The conf
+            # toggle scopes to foreachBatch's per-batch session clone.
+            from ..operators.curate import (
+                _ZIP_MISMATCH,
+                _exchange_reuse_disabled,
+            )
 
             if _ZIP_MISMATCH not in str(e):
                 raise
-            sess = batch_df.sparkSession
-            prev = sess.conf.get("spark.sql.exchange.reuse", None)
-            sess.conf.set("spark.sql.exchange.reuse", "false")
-            try:
+            with _exchange_reuse_disabled(batch_df.sparkSession):
                 _attempt(batch_df, batch_id)
-            finally:
-                if prev is not None:
-                    sess.conf.set("spark.sql.exchange.reuse", prev)
-                else:
-                    sess.conf.unset("spark.sql.exchange.reuse")
 
     return (
         stream.writeStream.foreachBatch(_process)

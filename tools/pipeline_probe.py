@@ -10,8 +10,10 @@ Model artifacts (bigram LM for the perplexity gate and DSIR target)
 are trained inside the probe on a slice of the input — their training
 time is reported separately from the curation wall time.
 
-Also asserts the plan-cut contract: residual checkpoint blocks after
-the run must be 0.
+Also enforces the plan-cut contract: after each run (and after
+freeing the probe's own four pinned model tables) the session's
+storage set must return to that directory's baseline — any leak
+prints in ``resid_blocks`` and the probe exits 1.
 
 Usage: python tools/pipeline_probe.py [sf_dir ...]
        # default: /root/testdata/sf0.1
@@ -42,7 +44,16 @@ from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (  # 
     bigram_lm_tables,
 )
 
+def _storage_ids():
+    return {
+        info.id()
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+
+
+any_leak = False
 for sf_dir in dirs:
+    base_ids = _storage_ids()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "source"
     )
@@ -89,14 +100,24 @@ for sf_dir in dirs:
     ) as curated:
         n_out = curated.count()
     t_curate = time.time() - t0
-    resid = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
-    # the four model tables are pinned by the probe itself; anything
-    # beyond them is a leak
+    # free this iteration's four pinned model tables, then diff the
+    # storage set against the per-directory baseline: anything left is
+    # a genuine plan-cut leak and fails the probe (multi-dir runs
+    # would otherwise count earlier iterations' models as phantoms)
+    from datawarehouse_vehicule_insurance_spark.operators.plancut import (
+        release_cuts,
+    )
+
+    release_cuts([*lm, *target])
+    leaked = len(_storage_ids() - base_ids)
+    any_leak = any_leak or leaked > 0
     print(json.dumps({
         "sf_dir": sf_dir,
         "docs_in": n_in,
         "docs_out": n_out,
         "models_sec": round(t_models, 1),
         "curate_sec": round(t_curate, 1),
-        "resid_blocks_beyond_models": max(0, resid - 4),
+        "resid_blocks": leaked,
     }))
+
+sys.exit(1 if any_leak else 0)
