@@ -180,7 +180,7 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
         else args.compact_every
     )
     if threshold is not None and threshold < 1:
-        raise ValueError("compaction threshold must be >= 1")
+        raise SystemExit("compaction threshold must be >= 1")
 
     spark = get_spark(app_name="insurance_curate_stream")
     langs = tuple(args.langs.split(",")) if args.langs else None

@@ -22,6 +22,7 @@ Cost ordering rationale (the 100-TB argument):
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -430,31 +431,47 @@ def release_checkpoints(spark, baseline: set) -> int:
 
 _ZIP_MISMATCH = "Can't zip RDDs with unequal numbers of partitions"
 
-# serializes concurrent self-heals in one session: without it, two
-# healers' save/restore of the session-wide conf can interleave and
-# strand exchange reuse disabled for the rest of the session
-_REUSE_LOCK = __import__("threading").Lock()
+# guards _REUSE_HELD only — never held across user work, so a nested
+# heal on the same thread (a curation_run opened inside another healed
+# run's block) re-enters instead of deadlocking, and heals on
+# INDEPENDENT session clones (the two foreachBatch loops) proceed
+# concurrently. Entries keep a reference to their session wrapper so
+# id() keys cannot be recycled while an entry is live.
+_REUSE_LOCK = threading.Lock()
+_REUSE_HELD: dict[int, list] = {}  # id(sess) -> [depth, prev, sess]
 
 
 @contextmanager
 def _exchange_reuse_disabled(sess):
     """Temporarily set ``spark.sql.exchange.reuse=false`` on ``sess``,
-    restoring (or unsetting) the previous value on exit. SESSION-WIDE
-    while held — any concurrent query on the same session plans without
-    exchange reuse for the duration (documented cost of the self-heal;
-    the streaming loop passes its per-batch session clone, which scopes
-    the effect to that batch). Lock-guarded against concurrent healers.
-    """
+    restoring (or unsetting) the previous value once the LAST nested
+    holder on that session exits. SESSION-WIDE while held — any
+    concurrent query on the same session plans without exchange reuse
+    for the duration (documented cost of the self-heal; the streaming
+    loop passes its per-batch session clone, which scopes the effect to
+    that batch). Refcounted per session: nested heals share one
+    save/restore (the saved "previous" value is the true pre-heal one,
+    not the inner heal's "false"), and the lock protects only the
+    bookkeeping, never the healed region itself."""
     with _REUSE_LOCK:
-        prev = sess.conf.get("spark.sql.exchange.reuse", None)
-        sess.conf.set("spark.sql.exchange.reuse", "false")
-        try:
-            yield
-        finally:
-            if prev is not None:
-                sess.conf.set("spark.sql.exchange.reuse", prev)
-            else:
-                sess.conf.unset("spark.sql.exchange.reuse")
+        ent = _REUSE_HELD.get(id(sess))
+        if ent is None:
+            prev = sess.conf.get("spark.sql.exchange.reuse", None)
+            sess.conf.set("spark.sql.exchange.reuse", "false")
+            ent = _REUSE_HELD[id(sess)] = [0, prev, sess]
+        ent[0] += 1
+    try:
+        yield
+    finally:
+        with _REUSE_LOCK:
+            ent[0] -= 1
+            if ent[0] == 0:
+                del _REUSE_HELD[id(sess)]
+                prev = ent[1]
+                if prev is not None:
+                    sess.conf.set("spark.sql.exchange.reuse", prev)
+                else:
+                    sess.conf.unset("spark.sql.exchange.reuse")
 
 
 @contextmanager

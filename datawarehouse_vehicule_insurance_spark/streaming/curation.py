@@ -579,15 +579,12 @@ def run_incremental_curation(
         # the true pre-batch state (see _read_artifact)
         corpus = _read_artifact(
             sess, corpus_path, exclude_batch=batch_id,
-            # quota mode AND counts-index mode must see a source column
-            # added by schema evolution even when an old partition's
-            # footer wins plain inference — a plain read hiding the
-            # column would silently skip the counts bootstrap below,
-            # and the once-created index would never count the
-            # pre-existing corpus
-            merge_schema=(
-                source_cap is not None or source_counts_path is not None
-            ),
+            # quota mode must see a source column added by schema
+            # evolution even when an old partition's footer wins plain
+            # inference. This also covers the counts-index bootstrap:
+            # source_counts_path without source_cap is rejected at
+            # entry, so counts mode implies quota mode here.
+            merge_schema=source_cap is not None,
         )
         corpus_bands = (
             _read_artifact(sess, index_path, exclude_batch=batch_id)

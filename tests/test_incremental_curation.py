@@ -1998,6 +1998,37 @@ def test_curation_run_zip_mismatch_retry(spark, monkeypatch):
     assert spark.conf.get("spark.sql.exchange.reuse", None) == prev
 
 
+def test_exchange_reuse_disabled_nested_and_concurrent(spark):
+    """The self-heal's conf toggle is refcounted per session: a heal
+    opened INSIDE another healed run's block (same thread, same
+    session) re-enters instead of deadlocking, the inner exit leaves
+    the conf off for the outer holder, and the outer exit restores the
+    true pre-heal value — not the inner heal's "false". A second
+    session clone toggles independently."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        _exchange_reuse_disabled,
+    )
+
+    key = "spark.sql.exchange.reuse"
+    prev = spark.conf.get(key, None)
+    with _exchange_reuse_disabled(spark):
+        assert spark.conf.get(key) == "false"
+        with _exchange_reuse_disabled(spark):  # nested: must not hang
+            assert spark.conf.get(key) == "false"
+        # inner exit must NOT restore while the outer heal is live
+        assert spark.conf.get(key) == "false"
+
+        # an independent session clone heals concurrently and restores
+        # its own previous value without touching the outer session
+        clone = spark.newSession()
+        clone.conf.set(key, "true")
+        with _exchange_reuse_disabled(clone):
+            assert clone.conf.get(key) == "false"
+            assert spark.conf.get(key) == "false"
+        assert clone.conf.get(key) == "true"
+    assert spark.conf.get(key, None) == prev
+
+
 def test_loop_batch_zip_mismatch_retry(spark, tmp_path, monkeypatch):
     """The streaming loop gets the same reused-exchange self-heal as
     curation_run: a batch failing with the zip-mismatch defect is
@@ -2356,12 +2387,13 @@ def test_compact_loop_indexes_when_signal(spark, tmp_path):
     with pytest.raises(ValueError, match="threshold"):
         SC.compact_loop_indexes_when(spark, 0, index_path=bands_path)
 
-    # CLI: a 0 threshold reaches the helper's validation and raises
-    # (review fix: the falsy-`or` merge used to silently skip the
-    # whole compaction block)
+    # CLI: a 0 threshold is rejected up front (clean SystemExit per
+    # the verb's argument-error convention) BEFORE the stream drains —
+    # the falsy-`or` merge used to silently skip the whole compaction
+    # block instead
     from datawarehouse_vehicule_insurance_spark.__main__ import main
 
-    with pytest.raises(ValueError, match="threshold"):
+    with pytest.raises(SystemExit, match="threshold"):
         main([
             "curate-stream", "--src", src, "--corpus", corpus_path,
             "--bands", bands_path, "--hashes", hashes_path,
