@@ -118,6 +118,7 @@ def _run_curate(args: argparse.Namespace) -> int:
     # planner defect at the full composition
     with curation_run(
         docs,
+        materialize_output=args.materialize_output,
         benchmark=benchmark,
         lang_allow=langs,
         min_tokens=args.min_tokens,
@@ -468,6 +469,13 @@ def main(argv: list[str] | None = None) -> int:
         "run incremental (batch deduped against it)",
     )
     p.add_argument("--langs", help="curate: comma-separated lang allowlist")
+    p.add_argument(
+        "--materialize-output", action="store_true",
+        help="curate: checkpoint the curated frame inside the "
+        "self-heal's protected region so the sink scans materialized "
+        "blocks (closes the residual reused-exchange surface at the "
+        "cost of storing the full output until the run exits)",
+    )
     p.add_argument("--min-tokens", type=int, default=8)
     p.add_argument("--jaccard", type=float, default=0.8)
     p.add_argument("--src", help="curate-stream: incoming document dir")

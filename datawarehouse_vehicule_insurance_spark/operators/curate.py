@@ -475,7 +475,8 @@ def _exchange_reuse_disabled(sess):
 
 
 @contextmanager
-def curation_run(docs: DataFrame, **kwargs):
+def curation_run(docs: DataFrame, *, materialize_output: bool = False,
+                 **kwargs):
     """Context-managed :func:`curate_corpus`: yields the curated frame;
     on exit, frees every checkpoint block the run's plan cuts created,
     so repeated composed runs in ONE session hold no residual executor
@@ -506,10 +507,15 @@ def curation_run(docs: DataFrame, **kwargs):
     until exit so the caller's sink action inside the block also runs
     under the working configuration (session-wide while held — see the
     helper's docstring). The final post-cut stage executing at the
-    caller's sink is the one residual unprotected surface. Direct
+    caller's sink is the one residual unprotected surface by default;
+    ``materialize_output=True`` closes it by checkpointing the curated
+    frame itself inside the protected region, so the sink only scans
+    already-materialized blocks — at the cost of storing the full
+    output (memory-and-disk) until exit. Leave it off unless the sink
+    stage has actually exhibited the defect. Direct
     :func:`curate_corpus` callers at that composition/scale should set
     the conf themselves."""
-    from .plancut import cut_registry, release_cuts
+    from .plancut import checkpoint_cut, cut_registry, release_cuts
 
     spark = docs.sparkSession
     cuts: list = []
@@ -517,6 +523,11 @@ def curation_run(docs: DataFrame, **kwargs):
     def _build() -> DataFrame:
         with cut_registry(cuts):
             out = curate_corpus(docs, **kwargs)
+            if materialize_output:
+                # the output joins the registry: materialized below
+                # with the other cuts (i.e. the WHOLE plan executes
+                # inside the protected region) and freed on exit
+                out = checkpoint_cut(out)
         # materialize the (lazy) cuts in registration = dependency
         # order while still inside the protected region — each count
         # is the cut's own first execution plus a trivial aggregate,

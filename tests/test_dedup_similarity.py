@@ -1248,6 +1248,22 @@ def test_cli_curate_source_cap(spark, tmp_path, capsys):
         per[r["source"]] += 1
     assert per == {"hot.example": 2, "cold.example": 1}
 
+    # --materialize-output: same result through the checkpointed-sink
+    # mode, and the run leaves no residual blocks behind
+    base = {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    out2 = str(tmp_path / "curated_mat")
+    assert main([
+        "curate", "--input", pool, "--output", out2,
+        "--min-tokens", "5", "--source-cap", "2",
+        "--materialize-output",
+    ]) == 0
+    capsys.readouterr()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out2).collect()
+    ) == sorted(r["doc_id"] for r in spark.read.parquet(out_path).collect())
+    after = {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    assert after - base == set()
+
 
 def test_curate_corpus_every_optional_stage(spark):
     """The kitchen sink, literally: EVERY optional curate_corpus stage

@@ -1998,6 +1998,58 @@ def test_curation_run_zip_mismatch_retry(spark, monkeypatch):
     assert spark.conf.get("spark.sql.exchange.reuse", None) == prev
 
 
+def test_curation_run_materialize_output(spark, monkeypatch):
+    """materialize_output=True checkpoints the curated frame inside the
+    protected region: the yielded frame's analyzed plan is a bare
+    LogicalRDD scan (the whole curation plan already executed — the
+    sink can no longer trip the reused-exchange defect), results match
+    the default mode, the heal path still covers the output stage, and
+    the output's blocks are freed on exit like every other cut."""
+    from datawarehouse_vehicule_insurance_spark.operators import curate as C
+
+    rows = [(i, _fresh(f"m{i}")) for i in range(1, 6)] + [(9, _fresh("m1"))]
+    docs = _docs(spark, rows)
+    kw = dict(min_tokens=1, min_alpha_ratio=0.0, max_dup_2gram_ratio=1.0)
+    with C.curation_run(docs, **kw) as plain:
+        expect = sorted(r.doc_id for r in plain.select("doc_id").collect())
+
+    base = {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    with C.curation_run(docs, materialize_output=True, **kw) as curated:
+        leaves = (
+            curated._jdf.queryExecution().analyzed().collectLeaves()
+        )
+        names = [
+            leaves.apply(i).getClass().getSimpleName()
+            for i in range(leaves.length())
+        ]
+        assert names == ["LogicalRDD"], names
+        got = sorted(r.doc_id for r in curated.select("doc_id").collect())
+    assert got == expect
+    after = {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    assert after - base == set()  # output blocks freed with the cuts
+
+    # the heal path composes: first build fails with the zip defect,
+    # the rebuild (still materialize_output) yields the same rows
+    calls = []
+    real = C.curate_corpus
+
+    def flaky(d, **kws):
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError(
+                "Can't zip RDDs with unequal numbers of partitions: "
+                "List(32, 64)"
+            )
+        return real(d, **kws)
+
+    monkeypatch.setattr(C, "curate_corpus", flaky)
+    with C.curation_run(docs, materialize_output=True, **kw) as curated:
+        assert sorted(
+            r.doc_id for r in curated.select("doc_id").collect()
+        ) == expect
+    assert len(calls) == 2
+
+
 def test_exchange_reuse_disabled_nested_and_concurrent(spark):
     """The self-heal's conf toggle is refcounted per session: a heal
     opened INSIDE another healed run's block (same thread, same
