@@ -88,6 +88,7 @@ def _run_curate(args: argparse.Namespace) -> int:
     curation plan, write survivors; prints one JSON line of counts."""
     from datawarehouse_vehicule_insurance_spark.operators.curate import (
         curation_run,
+        stage_counts,
     )
 
     spark = get_spark(app_name="insurance_curate")
@@ -116,9 +117,11 @@ def _run_curate(args: argparse.Namespace) -> int:
     # curation_run (not bare curate_corpus): frees the run's checkpoint
     # blocks after the sink and self-heals the known reused-exchange
     # planner defect at the full composition
+    observations = {} if args.stage_counts else None
     with curation_run(
         docs,
         materialize_output=args.materialize_output,
+        stage_observations=observations,
         benchmark=benchmark,
         lang_allow=langs,
         min_tokens=args.min_tokens,
@@ -138,8 +141,14 @@ def _run_curate(args: argparse.Namespace) -> int:
         ),
     ) as out:
         out.write.mode("overwrite").parquet(args.output)
+        # stage_counts blocks on each Observation -> read inside the
+        # run, after the sink, before the cuts it observed are freed
+        stages = stage_counts(observations) if observations else None
     kept = spark.read.parquet(args.output).count()
-    print(json.dumps({"input": docs.count(), "kept": kept}))
+    stats = {"input": docs.count(), "kept": kept}
+    if stages is not None:
+        stats["stages"] = stages
+    print(json.dumps(stats))
     return 0
 
 
@@ -469,6 +478,12 @@ def main(argv: list[str] | None = None) -> int:
         "run incremental (batch deduped against it)",
     )
     p.add_argument("--langs", help="curate: comma-separated lang allowlist")
+    p.add_argument(
+        "--stage-counts", action="store_true",
+        help="curate: include the per-stage survivor funnel in the "
+        "printed stats (diagnostic mode -- each stage boundary is "
+        "eagerly checkpointed to deliver its observe metric)",
+    )
     p.add_argument(
         "--materialize-output", action="store_true",
         help="curate: checkpoint the curated frame inside the "

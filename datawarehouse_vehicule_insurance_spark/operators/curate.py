@@ -83,6 +83,7 @@ def curate_corpus(
     source_col: str = "source",
     source_cap_order_by=None,
     existing_source_counts: DataFrame | None = None,
+    stage_observations: dict | None = None,
 ) -> DataFrame:
     """Curate ``docs`` for training; returns surviving rows with the
     input schema. ``benchmark`` (optional) enables the decontamination
@@ -147,14 +148,51 @@ def curate_corpus(
     defaults to a bigram model trained on the input batch itself (the
     raw-pool distribution of the DSIR paper).
 
+    ``stage_observations`` (optional, an empty dict the caller owns)
+    enables the per-stage funnel: each ENABLED stage's survivor frame
+    gets an ``observe`` metric (``approx_count_distinct(id_col)``) and
+    an EAGER boundary checkpoint that delivers it, and the dict fills
+    with ``{stage_name: Observation}`` in pipeline order — read it
+    with :func:`stage_counts`. This is a DIAGNOSTIC mode: the eager
+    boundary cuts mean every stage executes (and its survivors are
+    stored, memory-and-disk, until :func:`curation_run` frees them)
+    during plan construction rather than at the sink — the same total
+    work, paid early, plus the per-stage storage. Counts are
+    HyperLogLog estimates — exact in practice at test sizes, ~2% at
+    billions of documents, which is what a funnel diagnostic needs.
+
     Thresholds are the Gopher-style defaults scaled down for the test
     corpus; every one is a parameter because curation policy is a
     property of the training run, not of the engine.
     """
     cols = docs.columns
 
+    def _funnel(frame: DataFrame, stage: str) -> DataFrame:
+        if stage_observations is None:
+            return frame
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        stage_observations[stage] = obs
+        frame = frame.observe(
+            obs, F.approx_count_distinct(id_col).alias("docs")
+        )
+        # EAGER boundary cut: the observation's value is delivered by
+        # the cut's own tracked action, here and now. Left lazy, any
+        # downstream operator-internal lazy cut (span-trim's tok
+        # frame, minhash's candidates) would truncate the observed
+        # subtree out of every tracked plan and the metric would
+        # silently read 0 (see checkpoint_cut's docstring). Funnel
+        # mode therefore materializes each stage boundary — the
+        # diagnostic trades stage-intermediate storage (freed with the
+        # run's other cuts by curation_run) for an exact live funnel.
+        return checkpoint_cut(frame, eager=True)
+
+    docs = _funnel(docs, "input")
+
     # 1. exact dedup (content hash, min-id survivor)
     out = exact_dedup_by_content(docs, text_col=text_col, id_col=id_col)
+    out = _funnel(out, "exact_dedup")
 
     # 1.5 line-level boilerplate removal (optional). Raw-text exact
     #     corpus matches are dropped FIRST so (a) a re-submission of a
@@ -166,6 +204,7 @@ def curate_corpus(
             out = drop_exact_corpus_matches(
                 out, existing_corpus, existing_hashes, text_col, id_col
             )
+            out = _funnel(out, "corpus_exact")
         out = line_dedup_incremental(
             out,
             existing_line_counts,
@@ -174,6 +213,7 @@ def curate_corpus(
             text_col=text_col,
             id_col=id_col,
         )
+        out = _funnel(out, "line_dedup")
     elif existing_line_counts is not None:
         raise ValueError(
             "existing_line_counts requires line_dedup_min_freq (the "
@@ -192,6 +232,7 @@ def curate_corpus(
             text_col=text_col, id_col=id_col,
             corpus=existing_corpus,
         )
+        out = _funnel(out, "span_trim")
 
     # 2. quality + language gates — one fused projection, then restore
     #    the input schema so downstream stages see plain documents
@@ -204,6 +245,7 @@ def curate_corpus(
     if lang_allow is not None:
         gate = gate & lang_id(F.col(text_col)).isin(*lang_allow)
     out = feats.filter(gate).select(*cols)
+    out = _funnel(out, "quality_gates")
 
     # 2.2 full Gopher rule family (optional): formatting + stop-word +
     #     repetition thresholds beyond the basic gate above; pass
@@ -215,6 +257,7 @@ def curate_corpus(
         out = gopher_filter(
             out, text_col=text_col, id_col=id_col, **gopher_rules
         )
+        out = _funnel(out, "gopher")
 
     # 2.5 LM-perplexity gate (optional, CCNet-style): keep the
     #     low-perplexity head under a reference bigram model — a hash
@@ -230,6 +273,7 @@ def curate_corpus(
             out, *lm_model, max_perplexity,
             text_col=text_col, id_col=id_col,
         )
+        out = _funnel(out, "lm_perplexity")
 
     # --- stage-boundary plan cut. Every stage references its input
     # several times (reassembly joins, verify joins, anti-joins), so a
@@ -246,7 +290,9 @@ def curate_corpus(
         or gopher_rules is not None
         or lm_model is not None
     ):
-        out = checkpoint_cut(out)
+        # eager in funnel mode: upstream observe metrics die across a
+        # lazy cut (see checkpoint_cut's docstring)
+        out = checkpoint_cut(out, eager=stage_observations is not None)
 
     # 3. near-dup removal over survivors only; ``near_dup_keep_by``
     #    (optional column/expression) keeps the highest-scoring member
@@ -259,6 +305,7 @@ def curate_corpus(
         transitive=transitive,
         keep_by=near_dup_keep_by,
     )
+    out = _funnel(out, "near_dup")
 
     # 3.5 verbatim span-overlap removal (optional): partial containment
     #     the set-based stage can't see
@@ -267,6 +314,7 @@ def curate_corpus(
             out, text_col=text_col, id_col=id_col,
             min_shared=span_dedup_min_shared,
         )
+        out = _funnel(out, "span_overlap")
     elif existing_winnow is not None:
         raise ValueError(
             "existing_winnow requires span_dedup_min_shared (the stage "
@@ -281,6 +329,7 @@ def curate_corpus(
             id_col=id_col, text_col=text_col,
         ).select(F.col(id_col)).distinct()
         out = out.join(hits, id_col, "left_anti")
+        out = _funnel(out, "decontamination")
 
     # 5. incremental mode: dedup the (already small) survivor set
     #    against the existing corpus — exact hash anti-join, then
@@ -315,6 +364,7 @@ def curate_corpus(
             corpus_hashes=existing_hashes,
             corpus_shingles=existing_shingles,
         )
+        out = _funnel(out, "incremental_dedup")
 
     # 5.5 incremental span-overlap: drop batch docs sharing a verbatim
     #     run with a CORPUS document, served by the persisted winnow
@@ -331,6 +381,7 @@ def curate_corpus(
             corpus_fps=existing_winnow,
         ).select(F.col("id_a").alias(id_col)).distinct()
         out = out.join(hits, id_col, "left_anti")
+        out = _funnel(out, "corpus_span_overlap")
 
     # 5.7 per-source frequency cap (optional): at most source_cap
     #     survivors per source value — after every dedup/quality stage
@@ -350,6 +401,7 @@ def curate_corpus(
             order_by=source_cap_order_by, id_col=id_col,
             stored_counts=existing_source_counts,
         )
+        out = _funnel(out, "source_cap")
 
     # 6. DSIR budget selection (optional, last): importance-resample the
     #    clean survivor pool down to ``dsir_top_n`` documents that look
@@ -372,8 +424,8 @@ def curate_corpus(
 
         # second plan cut: DSIR's two scoring passes reference the
         # survivor frame three more times on top of stages 3-5.5's
-        # fan-out
-        out = checkpoint_cut(out)
+        # fan-out (eager in funnel mode — see the first cut)
+        out = checkpoint_cut(out, eager=stage_observations is not None)
         raw_model = dsir_raw_model
         if raw_model is None:
             raw_model = bigram_lm_tables(docs, text_col, id_col)
@@ -382,8 +434,20 @@ def curate_corpus(
             seed=dsir_seed, temperature=dsir_temperature,
             text_col=text_col, id_col=id_col,
         )
+        out = _funnel(out, "dsir")
 
     return out
+
+
+def stage_counts(stage_observations: dict) -> dict:
+    """Materialized view of a :func:`curate_corpus`
+    ``stage_observations`` dict: ``{stage_name: surviving_doc_count}``
+    in pipeline order. Call AFTER the sink action — each
+    ``Observation.get`` blocks until the query that computed its
+    metric finishes, so reading before any action would hang."""
+    return {
+        name: obs.get["docs"] for name, obs in stage_observations.items()
+    }
 
 
 def checkpoint_baseline(spark) -> set:

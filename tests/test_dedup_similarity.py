@@ -1240,9 +1240,19 @@ def test_cli_curate_source_cap(spark, tmp_path, capsys):
     assert main([
         "curate", "--input", pool, "--output", out_path,
         "--min-tokens", "5", "--source-cap", "2",
+        "--stage-counts",
     ]) == 0
     stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["kept"] == 3
+    # --stage-counts: the funnel covers exactly the enabled stages, in
+    # pipeline order, non-increasing, ending at the kept count
+    funnel = stats["stages"]
+    assert list(funnel) == [
+        "input", "exact_dedup", "quality_gates", "near_dup", "source_cap",
+    ]
+    assert funnel["input"] == 9 and funnel["source_cap"] == 3
+    vals = list(funnel.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
     per = {r["source"]: 0 for r in spark.read.parquet(out_path).collect()}
     for r in spark.read.parquet(out_path).collect():
         per[r["source"]] += 1
@@ -1324,8 +1334,10 @@ def test_curate_corpus_every_optional_stage(spark):
     lm = tuple(t.localCheckpoint() for t in bigram_lm_tables(
         docs.filter(F.col("doc_id").isin(1, 3, 12, 13, 14))
     ))
+    observations = {}
     out = curate_corpus(
         docs, benchmark,
+        stage_observations=observations,
         lang_allow=("en",), min_tokens=5, min_alpha_ratio=0.3,
         max_dup_2gram_ratio=0.9,
         line_dedup_min_freq=2,
@@ -1349,3 +1361,32 @@ def test_curate_corpus_every_optional_stage(spark):
     assert "quote3" not in got[8]             # quote trimmed from 8
     assert all(boiler not in t for t in got.values())
     assert out.columns == ["doc_id", "text", "source"]
+
+    # per-stage funnel (observe metrics, completed by the collect
+    # above — no extra actions): every enabled stage reports, in
+    # pipeline order, with the exact survivor counts the assertions
+    # above imply. Text-rewriting stages (line_dedup, span_trim)
+    # rewrite but drop nothing here. Also pins that the observed input
+    # frame survives DSIR's second reference (raw-model training reads
+    # `docs` again) without a duplicate-metrics analysis error.
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        stage_counts,
+    )
+
+    assert stage_counts(observations) == {
+        "input": 14,
+        "exact_dedup": 13,         # 2 is a byte-copy of 1
+        "line_dedup": 13,
+        "span_trim": 13,
+        # 4 fails lang, 5 fails min_tokens, and 6's spam-ham
+        # alternation already fails the basic dup-2gram gate (ratio
+        # ~0.97 > 0.9) before the gopher stage ever sees it
+        "quality_gates": 10,
+        "gopher": 10,
+        "lm_perplexity": 10,
+        "near_dup": 10,
+        "span_overlap": 9,         # 10 shares run15 with 9
+        "decontamination": 8,      # 11 overlaps the benchmark
+        "source_cap": 6,           # 7 (s2) and 12 (s3) over cap 2
+        "dsir": 6,                 # top_n 50 >= pool
+    }
