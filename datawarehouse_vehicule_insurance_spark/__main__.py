@@ -88,6 +88,7 @@ def _run_curate(args: argparse.Namespace) -> int:
     curation plan, write survivors; prints one JSON line of counts."""
     from datawarehouse_vehicule_insurance_spark.operators.curate import (
         curation_run,
+        rejection_log,
         stage_counts,
     )
 
@@ -118,10 +119,12 @@ def _run_curate(args: argparse.Namespace) -> int:
     # blocks after the sink and self-heals the known reused-exchange
     # planner defect at the full composition
     observations = {} if args.stage_counts else None
+    frames = {} if args.rejections else None
     with curation_run(
         docs,
         materialize_output=args.materialize_output,
         stage_observations=observations,
+        stage_frames=frames,
         benchmark=benchmark,
         lang_allow=langs,
         min_tokens=args.min_tokens,
@@ -144,6 +147,12 @@ def _run_curate(args: argparse.Namespace) -> int:
         # stage_counts blocks on each Observation -> read inside the
         # run, after the sink, before the cuts it observed are freed
         stages = stage_counts(observations) if observations else None
+        if frames is not None:
+            # the log derives from the run's boundary cuts: write it
+            # inside the block, before curation_run frees them
+            rejection_log(frames).write.mode("overwrite").parquet(
+                args.rejections
+            )
     kept = spark.read.parquet(args.output).count()
     stats = {"input": docs.count(), "kept": kept}
     if stages is not None:
@@ -478,6 +487,12 @@ def main(argv: list[str] | None = None) -> int:
         "run incremental (batch deduped against it)",
     )
     p.add_argument("--langs", help="curate: comma-separated lang allowlist")
+    p.add_argument(
+        "--rejections",
+        help="curate: write a (doc_id, stage) parquet audit of every "
+        "dropped document to this dir (diagnostic mode -- stage "
+        "boundaries are eagerly checkpointed)",
+    )
     p.add_argument(
         "--stage-counts", action="store_true",
         help="curate: include the per-stage survivor funnel in the "

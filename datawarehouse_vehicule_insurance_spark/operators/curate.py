@@ -84,6 +84,7 @@ def curate_corpus(
     source_cap_order_by=None,
     existing_source_counts: DataFrame | None = None,
     stage_observations: dict | None = None,
+    stage_frames: dict | None = None,
 ) -> DataFrame:
     """Curate ``docs`` for training; returns surviving rows with the
     input schema. ``benchmark`` (optional) enables the decontamination
@@ -161,22 +162,32 @@ def curate_corpus(
     HyperLogLog estimates — exact in practice at test sizes, ~2% at
     billions of documents, which is what a funnel diagnostic needs.
 
+    ``stage_frames`` (optional, an empty dict the caller owns) keeps
+    the materialized boundary frame of every enabled stage instead of
+    (or alongside) the counts — feed it to :func:`rejection_log` for a
+    per-document audit of WHICH stage dropped each id. Same diagnostic
+    cost as the funnel (the boundary cuts are shared), same lifetime
+    rule: the frames are the run's cuts, so consume anything derived
+    from them inside the :func:`curation_run` block.
+
     Thresholds are the Gopher-style defaults scaled down for the test
     corpus; every one is a parameter because curation policy is a
     property of the training run, not of the engine.
     """
     cols = docs.columns
+    funnel_on = stage_observations is not None or stage_frames is not None
 
     def _funnel(frame: DataFrame, stage: str) -> DataFrame:
-        if stage_observations is None:
+        if not funnel_on:
             return frame
-        from pyspark.sql import Observation
+        if stage_observations is not None:
+            from pyspark.sql import Observation
 
-        obs = Observation()
-        stage_observations[stage] = obs
-        frame = frame.observe(
-            obs, F.approx_count_distinct(id_col).alias("docs")
-        )
+            obs = Observation()
+            stage_observations[stage] = obs
+            frame = frame.observe(
+                obs, F.approx_count_distinct(id_col).alias("docs")
+            )
         # EAGER boundary cut: the observation's value is delivered by
         # the cut's own tracked action, here and now. Left lazy, any
         # downstream operator-internal lazy cut (span-trim's tok
@@ -186,7 +197,10 @@ def curate_corpus(
         # mode therefore materializes each stage boundary — the
         # diagnostic trades stage-intermediate storage (freed with the
         # run's other cuts by curation_run) for an exact live funnel.
-        return checkpoint_cut(frame, eager=True)
+        frame = checkpoint_cut(frame, eager=True)
+        if stage_frames is not None:
+            stage_frames[stage] = frame
+        return frame
 
     docs = _funnel(docs, "input")
 
@@ -436,6 +450,36 @@ def curate_corpus(
         )
         out = _funnel(out, "dsir")
 
+    return out
+
+
+def rejection_log(
+    stage_frames: dict, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document curation audit from a :func:`curate_corpus`
+    ``stage_frames`` dict: one row ``(id_col, stage)`` for every
+    document dropped by an enabled stage (the id appears in the stage's
+    input boundary but not its output boundary). Text-rewriting stages
+    that kept the document produce no row. Each per-stage term is an
+    id-column-only ``subtract`` over the materialized boundary blocks —
+    diagnostic-cheap. The result derives from the run's checkpoint
+    cuts: action it INSIDE the :func:`curation_run` block, before the
+    cuts are freed."""
+    stages = list(stage_frames.items())
+    if len(stages) < 2:
+        raise ValueError(
+            "rejection_log needs a stage_frames dict from a "
+            "curate_corpus call (>= 2 boundaries)"
+        )
+    parts = [
+        prev_f.select(id_col)
+        .subtract(cur_f.select(id_col))
+        .withColumn("stage", F.lit(cur_name))
+        for (_, prev_f), (cur_name, cur_f) in zip(stages, stages[1:])
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
     return out
 
 

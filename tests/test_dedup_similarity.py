@@ -1237,13 +1237,27 @@ def test_cli_curate_source_cap(spark, tmp_path, capsys):
         "doc_id long, text string, source string",
     ).write.parquet(pool)
     out_path = str(tmp_path / "curated")
+    rej_path = str(tmp_path / "rejections")
     assert main([
         "curate", "--input", pool, "--output", out_path,
         "--min-tokens", "5", "--source-cap", "2",
-        "--stage-counts",
+        "--stage-counts", "--rejections", rej_path,
     ]) == 0
     stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["kept"] == 3
+    # --rejections: every non-kept input doc is attributed to exactly
+    # one enabled stage
+    rej = {
+        r["doc_id"]: r["stage"]
+        for r in spark.read.parquet(rej_path).collect()
+    }
+    kept_ids = {
+        r["doc_id"] for r in spark.read.parquet(out_path).collect()
+    }
+    assert set(rej) == (set(range(8)) | {50}) - kept_ids
+    assert set(rej.values()) <= {
+        "exact_dedup", "quality_gates", "near_dup", "source_cap",
+    }
     # --stage-counts: the funnel covers exactly the enabled stages, in
     # pipeline order, non-increasing, ending at the kept count
     funnel = stats["stages"]
@@ -1335,9 +1349,11 @@ def test_curate_corpus_every_optional_stage(spark):
         docs.filter(F.col("doc_id").isin(1, 3, 12, 13, 14))
     ))
     observations = {}
+    frames = {}
     out = curate_corpus(
         docs, benchmark,
         stage_observations=observations,
+        stage_frames=frames,
         lang_allow=("en",), min_tokens=5, min_alpha_ratio=0.3,
         max_dup_2gram_ratio=0.9,
         line_dedup_min_freq=2,
@@ -1389,4 +1405,22 @@ def test_curate_corpus_every_optional_stage(spark):
         "decontamination": 8,      # 11 overlaps the benchmark
         "source_cap": 6,           # 7 (s2) and 12 (s3) over cap 2
         "dsir": 6,                 # top_n 50 >= pool
+    }
+
+    # rejection log: every dropped doc attributed to EXACTLY the stage
+    # the funnel counts above imply (doc 6 dies at the basic dup-2gram
+    # gate, NOT at gopher — the audit makes that visible per document)
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        rejection_log,
+    )
+
+    rej = {
+        r["doc_id"]: r["stage"] for r in rejection_log(frames).collect()
+    }
+    assert rej == {
+        2: "exact_dedup",
+        4: "quality_gates", 5: "quality_gates", 6: "quality_gates",
+        10: "span_overlap",
+        11: "decontamination",
+        7: "source_cap", 12: "source_cap",
     }
