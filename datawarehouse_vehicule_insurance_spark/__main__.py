@@ -118,12 +118,10 @@ def _run_curate(args: argparse.Namespace) -> int:
     # curation_run (not bare curate_corpus): frees the run's checkpoint
     # blocks after the sink and self-heals the known reused-exchange
     # planner defect at the full composition
-    observations = {} if args.stage_counts else None
-    frames = {} if args.rejections else None
+    frames = {} if (args.stage_counts or args.rejections) else None
     with curation_run(
         docs,
         materialize_output=args.materialize_output,
-        stage_observations=observations,
         stage_frames=frames,
         benchmark=benchmark,
         lang_allow=langs,
@@ -144,12 +142,10 @@ def _run_curate(args: argparse.Namespace) -> int:
         ),
     ) as out:
         out.write.mode("overwrite").parquet(args.output)
-        # stage_counts blocks on each Observation -> read inside the
-        # run, after the sink, before the cuts it observed are freed
-        stages = stage_counts(observations) if observations else None
-        if frames is not None:
-            # the log derives from the run's boundary cuts: write it
-            # inside the block, before curation_run frees them
+        # both diagnostics derive from the run's boundary cuts: read /
+        # write them inside the block, before curation_run frees them
+        stages = stage_counts(frames) if args.stage_counts else None
+        if args.rejections:
             rejection_log(frames).write.mode("overwrite").parquet(
                 args.rejections
             )
@@ -490,14 +486,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--rejections",
         help="curate: write a (doc_id, stage) parquet audit of every "
-        "dropped document to this dir (diagnostic mode -- stage "
-        "boundaries are eagerly checkpointed)",
+        "dropped document to this dir (diagnostic mode -- every stage "
+        "boundary is checkpointed and held until the run exits)",
     )
     p.add_argument(
         "--stage-counts", action="store_true",
-        help="curate: include the per-stage survivor funnel in the "
-        "printed stats (diagnostic mode -- each stage boundary is "
-        "eagerly checkpointed to deliver its observe metric)",
+        help="curate: include the exact per-stage survivor funnel in "
+        "the printed stats (diagnostic mode -- every stage boundary "
+        "is checkpointed and held until the run exits)",
     )
     p.add_argument(
         "--materialize-output", action="store_true",

@@ -83,7 +83,6 @@ def curate_corpus(
     source_col: str = "source",
     source_cap_order_by=None,
     existing_source_counts: DataFrame | None = None,
-    stage_observations: dict | None = None,
     stage_frames: dict | None = None,
 ) -> DataFrame:
     """Curate ``docs`` for training; returns surviving rows with the
@@ -149,57 +148,38 @@ def curate_corpus(
     defaults to a bigram model trained on the input batch itself (the
     raw-pool distribution of the DSIR paper).
 
-    ``stage_observations`` (optional, an empty dict the caller owns)
-    enables the per-stage funnel: each ENABLED stage's survivor frame
-    gets an ``observe`` metric (``approx_count_distinct(id_col)``) and
-    an EAGER boundary checkpoint that delivers it, and the dict fills
-    with ``{stage_name: Observation}`` in pipeline order — read it
-    with :func:`stage_counts`. This is a DIAGNOSTIC mode: the eager
-    boundary cuts mean every stage executes (and its survivors are
-    stored, memory-and-disk, until :func:`curation_run` frees them)
-    during plan construction rather than at the sink — the same total
-    work, paid early, plus the per-stage storage. Counts are
-    HyperLogLog estimates — exact in practice at test sizes, ~2% at
-    billions of documents, which is what a funnel diagnostic needs.
-
-    ``stage_frames`` (optional, an empty dict the caller owns) keeps
-    the materialized boundary frame of every enabled stage instead of
-    (or alongside) the counts — feed it to :func:`rejection_log` for a
-    per-document audit of WHICH stage dropped each id. Same diagnostic
-    cost as the funnel (the boundary cuts are shared), same lifetime
-    rule: the frames are the run's cuts, so consume anything derived
-    from them inside the :func:`curation_run` block.
+    ``stage_frames`` (optional, an empty dict the caller owns)
+    enables the DIAGNOSTIC funnel: every enabled stage's survivor
+    frame becomes a registered checkpoint cut and lands in the dict in
+    pipeline order. Feed the dict to :func:`stage_counts` for the
+    exact per-stage survivor funnel (one cheap scan of each boundary's
+    cached blocks) and/or :func:`rejection_log` for a per-document
+    audit of WHICH stage dropped each id. Cost: every boundary's
+    survivors stay stored (memory-and-disk) simultaneously until
+    :func:`curation_run` frees them — budget roughly the SUM of the
+    stage survivor sizes, not one intermediate. Lifetime rule: the
+    frames are the run's cuts, so consume anything derived from them
+    inside the :func:`curation_run` block. (Deliberately NOT built on
+    ``observe``: an Observation upstream of a lazy localCheckpoint
+    silently reports 0 — its subtree materializes outside any tracked
+    SQL execution — and the eager-cut workaround leaks an
+    unregistered persisted RDD when materialization fails.)
 
     Thresholds are the Gopher-style defaults scaled down for the test
     corpus; every one is a parameter because curation policy is a
     property of the training run, not of the engine.
     """
     cols = docs.columns
-    funnel_on = stage_observations is not None or stage_frames is not None
+    funnel_on = stage_frames is not None
 
     def _funnel(frame: DataFrame, stage: str) -> DataFrame:
         if not funnel_on:
             return frame
-        if stage_observations is not None:
-            from pyspark.sql import Observation
-
-            obs = Observation()
-            stage_observations[stage] = obs
-            frame = frame.observe(
-                obs, F.approx_count_distinct(id_col).alias("docs")
-            )
-        # EAGER boundary cut: the observation's value is delivered by
-        # the cut's own tracked action, here and now. Left lazy, any
-        # downstream operator-internal lazy cut (span-trim's tok
-        # frame, minhash's candidates) would truncate the observed
-        # subtree out of every tracked plan and the metric would
-        # silently read 0 (see checkpoint_cut's docstring). Funnel
-        # mode therefore materializes each stage boundary — the
-        # diagnostic trades stage-intermediate storage (freed with the
-        # run's other cuts by curation_run) for an exact live funnel.
-        frame = checkpoint_cut(frame, eager=True)
-        if stage_frames is not None:
-            stage_frames[stage] = frame
+        # a plain registered cut: created lazily (so a failed
+        # materialization can still be freed through the registry) and
+        # materialized with the run's other cuts in dependency order
+        frame = checkpoint_cut(frame)
+        stage_frames[stage] = frame
         return frame
 
     docs = _funnel(docs, "input")
@@ -303,10 +283,11 @@ def curate_corpus(
         or span_trim_min_span is not None
         or gopher_rules is not None
         or lm_model is not None
-    ):
-        # eager in funnel mode: upstream observe metrics die across a
-        # lazy cut (see checkpoint_cut's docstring)
-        out = checkpoint_cut(out, eager=stage_observations is not None)
+    ) and not funnel_on:
+        # funnel mode skips this: the adjacent boundary cut already
+        # bounds the tree, and a second cut would store a byte-
+        # identical copy of the same survivor set
+        out = checkpoint_cut(out)
 
     # 3. near-dup removal over survivors only; ``near_dup_keep_by``
     #    (optional column/expression) keeps the highest-scoring member
@@ -438,8 +419,10 @@ def curate_corpus(
 
         # second plan cut: DSIR's two scoring passes reference the
         # survivor frame three more times on top of stages 3-5.5's
-        # fan-out (eager in funnel mode — see the first cut)
-        out = checkpoint_cut(out, eager=stage_observations is not None)
+        # fan-out (skipped in funnel mode — out is already the
+        # previous stage's boundary cut)
+        if not funnel_on:
+            out = checkpoint_cut(out)
         raw_model = dsir_raw_model
         if raw_model is None:
             raw_model = bigram_lm_tables(docs, text_col, id_col)
@@ -483,15 +466,14 @@ def rejection_log(
     return out
 
 
-def stage_counts(stage_observations: dict) -> dict:
-    """Materialized view of a :func:`curate_corpus`
-    ``stage_observations`` dict: ``{stage_name: surviving_doc_count}``
-    in pipeline order. Call AFTER the sink action — each
-    ``Observation.get`` blocks until the query that computed its
-    metric finishes, so reading before any action would hang."""
-    return {
-        name: obs.get["docs"] for name, obs in stage_observations.items()
-    }
+def stage_counts(stage_frames: dict) -> dict:
+    """The exact per-stage survivor funnel from a :func:`curate_corpus`
+    ``stage_frames`` dict: ``{stage_name: surviving_doc_count}`` in
+    pipeline order. Each count scans the boundary cut's cached blocks
+    (called before any other action, it materializes them — the same
+    work the sink would do). Read it INSIDE the :func:`curation_run`
+    block, before the cuts are freed."""
+    return {name: frame.count() for name, frame in stage_frames.items()}
 
 
 def checkpoint_baseline(spark) -> set:

@@ -32,15 +32,17 @@ _CUT_REGISTRY: contextvars.ContextVar = contextvars.ContextVar(
 )
 
 
-def checkpoint_cut(df: DataFrame, eager: bool = False) -> DataFrame:
-    """``df.localCheckpoint(eager=eager)`` that also registers the cut
+def checkpoint_cut(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint(eager=False)`` that also registers the cut
     frame with the ambient :func:`cut_registry`, when one is active.
-    Default lazy; pass ``eager=True`` when the cut's subtree carries
-    ``observe`` metrics — a LAZY cut's RDD materializes outside any
-    tracked SQL execution, so Observations upstream of it silently
-    report 0, while an eager cut runs as a real action and delivers
-    them (curate_corpus's funnel mode relies on this)."""
-    df = df.localCheckpoint(eager=eager)
+    Always lazy — the frame is registered before anything executes, so
+    a later materialization failure still leaves the cut freeable
+    through the registry. Known interaction, pinned in NOTES r7: an
+    ``observe`` metric UPSTREAM of one of these cuts silently reports
+    0 (the cut's RDD materializes outside any tracked SQL execution);
+    curate_corpus's funnel therefore counts boundary frames directly
+    instead of using Observations."""
+    df = df.localCheckpoint(eager=False)
     reg = _CUT_REGISTRY.get()
     if reg is not None:
         reg.append(df)

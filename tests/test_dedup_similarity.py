@@ -1348,11 +1348,9 @@ def test_curate_corpus_every_optional_stage(spark):
     lm = tuple(t.localCheckpoint() for t in bigram_lm_tables(
         docs.filter(F.col("doc_id").isin(1, 3, 12, 13, 14))
     ))
-    observations = {}
     frames = {}
     out = curate_corpus(
         docs, benchmark,
-        stage_observations=observations,
         stage_frames=frames,
         lang_allow=("en",), min_tokens=5, min_alpha_ratio=0.3,
         max_dup_2gram_ratio=0.9,
@@ -1378,18 +1376,21 @@ def test_curate_corpus_every_optional_stage(spark):
     assert all(boiler not in t for t in got.values())
     assert out.columns == ["doc_id", "text", "source"]
 
-    # per-stage funnel (observe metrics, completed by the collect
-    # above — no extra actions): every enabled stage reports, in
-    # pipeline order, with the exact survivor counts the assertions
-    # above imply. Text-rewriting stages (line_dedup, span_trim)
-    # rewrite but drop nothing here. Also pins that the observed input
-    # frame survives DSIR's second reference (raw-model training reads
-    # `docs` again) without a duplicate-metrics analysis error.
+    # per-stage funnel: every enabled stage reports, in pipeline
+    # order, the exact survivor count the assertions above imply
+    # (counts scan the boundary cuts the collect above materialized).
+    # Text-rewriting stages (line_dedup, span_trim) rewrite but drop
+    # nothing here.
     from datawarehouse_vehicule_insurance_spark.operators.curate import (
         stage_counts,
     )
 
-    assert stage_counts(observations) == {
+    assert list(frames) == [
+        "input", "exact_dedup", "line_dedup", "span_trim",
+        "quality_gates", "gopher", "lm_perplexity", "near_dup",
+        "span_overlap", "decontamination", "source_cap", "dsir",
+    ]
+    assert stage_counts(frames) == {
         "input": 14,
         "exact_dedup": 13,         # 2 is a byte-copy of 1
         "line_dedup": 13,
