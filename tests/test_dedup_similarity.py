@@ -453,10 +453,34 @@ def test_curate_corpus_end_to_end(spark):
         [(900, base), (901, clean2 + " zzz")],  # exact + near (J≈0.96)
         "doc_id long, text string",
     )
+    frames = {}
     out2 = curate_corpus(
-        docs, benchmark, lang_allow=("en",), existing_corpus=existing
+        docs, benchmark, lang_allow=("en",), existing_corpus=existing,
+        stage_frames=frames,
     )
     assert sorted(r["doc_id"] for r in out2.collect()) == []
+
+    # the diagnostic funnel covers the INCREMENTAL boundary too: both
+    # remaining survivors die against the existing corpus (0 exact,
+    # 7 near), and every drop is attributed per document
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        rejection_log,
+        stage_counts,
+    )
+
+    assert stage_counts(frames) == {
+        "input": 8, "exact_dedup": 7, "quality_gates": 4,
+        "near_dup": 3, "decontamination": 2, "incremental_dedup": 0,
+    }
+    assert {
+        r["doc_id"]: r["stage"] for r in rejection_log(frames).collect()
+    } == {
+        1: "exact_dedup",
+        3: "quality_gates", 4: "quality_gates", 5: "quality_gates",
+        2: "near_dup",
+        6: "decontamination",
+        0: "incremental_dedup", 7: "incremental_dedup",
+    }
     # a disjoint existing corpus changes nothing
     disjoint = spark.createDataFrame(
         [(900, "totally unrelated corpus text about other things entirely")],
