@@ -221,9 +221,13 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
             out = perplexity_filter(out, *lm_model, args.max_perplexity)
         return out
 
+    def _print_batch_stats(batch_id, stages):
+        print(json.dumps({"batch": batch_id, "stages": stages}))
+
     q = run_incremental_curation(
         spark, args.src, args.corpus, args.bands, args.hashes,
         args.checkpoint, jaccard_threshold=args.jaccard,
+        on_batch_stats=_print_batch_stats if args.stage_counts else None,
         transform=transform, shingles_path=args.shingles,
         line_counts_path=args.line_counts,
         line_dedup_min_freq=args.line_dedup_freq,
@@ -492,8 +496,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--stage-counts", action="store_true",
         help="curate: include the exact per-stage survivor funnel in "
-        "the printed stats (diagnostic mode -- every stage boundary "
-        "is checkpointed and held until the run exits)",
+        "the printed stats; curate-stream: print one JSON line per "
+        "batch with that batch's funnel (diagnostic mode -- stage "
+        "boundaries are checkpointed for the duration of the run or "
+        "batch)",
     )
     p.add_argument(
         "--materialize-output", action="store_true",

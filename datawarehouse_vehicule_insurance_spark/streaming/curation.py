@@ -148,6 +148,7 @@ def curate_batch_incremental(
     source_cap: int | None = None,
     source_col: str = "source",
     corpus_source_counts: DataFrame | None = None,
+    stage_frames: dict | None = None,
 ) -> DataFrame:
     """One batch's survivors: within-batch exact dedup (+ optional
     C4-style line cleaning when ``line_dedup_min_freq`` is set — batch
@@ -174,11 +175,24 @@ def curate_batch_incremental(
     # any single stage's own work). Cuts register with the ambient
     # plan-cut registry (operators/plancut.py) so a caller that
     # installed one — run_incremental_curation does, per batch — can
-    # free EXACTLY these blocks after its sink action.
-    _cut = checkpoint_cut
+    # free EXACTLY these blocks after its sink action. stage_frames
+    # (curate_corpus's diagnostic contract): the already-present cuts
+    # double as funnel boundaries, plus cuts at the three boundaries
+    # that need none otherwise (input, corpus span overlap, quota).
+    def _cut(frame: DataFrame, stage: str | None = None) -> DataFrame:
+        frame = checkpoint_cut(frame)
+        if stage_frames is not None and stage is not None:
+            stage_frames[stage] = frame
+        return frame
 
+    def _mark(frame: DataFrame, stage: str) -> DataFrame:
+        # funnel-only boundary — a no-op unless diagnostics are on
+        return frame if stage_frames is None else _cut(frame, stage)
+
+    batch = _mark(batch, "input")
     out = _cut(
-        exact_dedup_by_content(batch, text_col=text_col, id_col=id_col)
+        exact_dedup_by_content(batch, text_col=text_col, id_col=id_col),
+        "exact_dedup",
     )
     if line_dedup_min_freq is not None:
         if corpus is not None or corpus_hashes is not None:
@@ -192,7 +206,7 @@ def curate_batch_incremental(
             min_chars=line_min_chars,
             text_col=text_col,
             id_col=id_col,
-        ))
+        ), "line_dedup")
     if trim_min_span is not None:
         # exact-substring passage trimming vs batch AND corpus. With a
         # persisted corpus_span_grams (span_gram_table) the corpus side
@@ -220,7 +234,7 @@ def curate_batch_incremental(
                     tokens(F.col(text_col)), lambda t: t != ""
                 )) >= int(trim_min_keep)
             )
-        out = _cut(out)
+        out = _cut(out, "span_trim")
     if within_batch_neardup:
         # near_dup_keep_by: quality-keyed survivor selection within the
         # batch (curate_corpus parity) — batch-vs-CORPUS near-dups are
@@ -230,14 +244,14 @@ def curate_batch_incremental(
             threshold=jaccard_threshold,
             k=k, bands=bands, shingle_n=shingle_n, seed=seed,
             keep_by=near_dup_keep_by,
-        ))
+        ), "near_dup")
     if span_min_shared is not None:
         # within-batch verbatim-run dedup (partial containment the
         # set-based near-dup can't see)
         out = _cut(span_overlap_dedup(
             out, text_col=text_col, id_col=id_col,
             min_shared=span_min_shared,
-        ))
+        ), "span_overlap")
     if corpus is not None:
         out = _cut(incremental_dedup(
             out, corpus,
@@ -246,7 +260,7 @@ def curate_batch_incremental(
             k=k, bands=bands, shingle_n=shingle_n, seed=seed,
             corpus_bands=corpus_bands, corpus_hashes=corpus_hashes,
             corpus_shingles=corpus_shingles,
-        ))
+        ), "incremental_dedup")
     if span_min_shared is not None and (
         corpus_winnow is not None or corpus is not None
     ):
@@ -260,7 +274,8 @@ def curate_batch_incremental(
             min_shared=span_min_shared,
             corpus_fps=corpus_winnow,
         ).select(F.col("id_a").alias(id_col)).distinct()
-        out = out.join(hits, id_col, "left_anti")
+        out = _mark(out.join(hits, id_col, "left_anti"),
+                    "corpus_span_overlap")
     if source_cap is not None:
         # per-source quota vs the GROWING corpus, dead last so the
         # budget spends on otherwise-accepted docs only. Stored counts
@@ -331,6 +346,7 @@ def curate_batch_incremental(
             out = ranked.filter(
                 F.col("__rk") <= int(source_cap)
             ).drop("__rk")
+        out = _mark(out, "source_cap")
     return out
 
 
@@ -453,6 +469,7 @@ def run_incremental_curation(
     trim_min_span: int | None = None,
     span_grams_path: str | None = None,
     trim_min_keep: int | None = None,
+    on_batch_stats=None,
 ):
     """One incremental curation run: stream the document directory with
     ``availableNow`` (process exactly the files the checkpoint hasn't
@@ -467,7 +484,14 @@ def run_incremental_curation(
        the grown corpus for free.
 
     ``transform`` (optional) maps the raw batch DataFrame first (e.g. a
-    quality-gate filter). Returns the started query; callers
+    quality-gate filter). ``on_batch_stats`` (optional,
+    ``callable(batch_id, {stage: count})``) receives each batch's
+    exact per-stage survivor funnel (the batch's existing stage cuts
+    double as the boundaries — :func:`~..operators.curate.stage_counts`
+    over them; diagnostic cost is three extra boundary cuts plus one
+    scan per stage). It fires once per ATTEMPT, so a replayed or
+    self-healed batch reports more than once — treat the last report
+    per batch id as authoritative. Returns the started query; callers
     ``awaitTermination()``. Re-running with the same checkpoint after
     new files arrive processes ONLY the new files; replayed batches
     rewrite their own ``__batch_id`` partitions (idempotent).
@@ -642,6 +666,7 @@ def run_incremental_curation(
                 .parquet(source_counts_path)
             )
             corpus_source_counts = boot
+        stage_frames = {} if on_batch_stats is not None else None
         survivors = curate_batch_incremental(
             batch, corpus, corpus_bands, corpus_hashes,
             text_col=text_col, id_col=id_col,
@@ -661,6 +686,7 @@ def run_incremental_curation(
             source_cap=source_cap,
             source_col=source_col,
             corpus_source_counts=corpus_source_counts,
+            stage_frames=stage_frames,
         )
         # One computation serving three writes: checkpoint the (small)
         # survivor set so corpus/index/hash appends don't re-run the
@@ -722,6 +748,14 @@ def run_incremental_curation(
                 source_count_table(survivors, source_col, id_col),
                 source_counts_path,
             )
+        if on_batch_stats is not None:
+            # after the appends (the boundary blocks are warm), before
+            # the caller frees the batch's cuts. Fires once per
+            # ATTEMPT: a replayed/healed batch reports again, and the
+            # last report is the authoritative one.
+            from ..operators.curate import stage_counts
+
+            on_batch_stats(int(batch_id), stage_counts(stage_frames))
 
     def _attempt(batch_df: DataFrame, batch_id: int) -> None:
         # free the stage-cut checkpoint blocks this batch materialized

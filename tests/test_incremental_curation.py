@@ -301,6 +301,57 @@ def test_streaming_incremental_curation_grows_corpus(spark, tmp_path):
     assert oracle == [1, 2, 13, 22]
 
 
+def test_loop_per_batch_stage_funnel(spark, tmp_path, capsys):
+    """on_batch_stats receives each batch's exact per-stage survivor
+    funnel (the loop's existing stage cuts double as the boundaries):
+    batch 1 loses its within-batch exact dup, batch 2 loses a
+    within-batch near-dup and then its corpus clone at the incremental
+    boundary. The CLI surface (`curate-stream --stage-counts`) prints
+    one JSON line per batch with the same payload."""
+    src, corpus_path, bands_path, hashes_path, ckpt = _paths(tmp_path)
+    got: dict[int, dict] = {}
+
+    _docs(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, on_batch_stats=lambda b, st: got.update({b: st}))
+    assert got == {0: {"input": 3, "exact_dedup": 2, "near_dup": 2}}
+
+    got.clear()
+    _docs(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, on_batch_stats=lambda b, st: got.update({b: st}))
+    # 12 is a within-batch near-dup of 11; 11 then dies as an exact
+    # corpus clone at the incremental boundary
+    assert got == {1: {
+        "input": 3, "exact_dedup": 3, "near_dup": 2,
+        "incremental_dedup": 1,
+    }}
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 13]
+
+    # CLI: batch 3 through the curate-stream verb with --stage-counts
+    import json as _json
+
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    _docs(spark, BATCH_3).coalesce(1).write.mode("append").parquet(src)
+    assert main([
+        "curate-stream", "--src", src, "--corpus", corpus_path,
+        "--bands", bands_path, "--hashes", hashes_path,
+        "--checkpoint", ckpt, "--stage-counts",
+    ]) == 0
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    batch_lines = [ln for ln in lines if "batch" in ln]
+    # 21 near-dups corpus doc 13, 23 exactly clones corpus doc 2 —
+    # both die at the incremental boundary, after surviving the
+    # within-batch stages
+    assert batch_lines == [{"batch": 2, "stages": {
+        "input": 3, "exact_dedup": 3, "near_dup": 3,
+        "incremental_dedup": 1,
+    }}]
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 13, 22]
+
+
 def test_streaming_curation_no_corpus_side_recompute(spark, tmp_path):
     """Job probe for the production contract: once the corpus exists,
     a new batch's run computes MinHash signatures ONLY over new-batch
