@@ -497,9 +497,10 @@ def main(argv: list[str] | None = None) -> int:
         "--stage-counts", action="store_true",
         help="curate: include the exact per-stage survivor funnel in "
         "the printed stats; curate-stream: print one JSON line per "
-        "batch with that batch's funnel (diagnostic mode -- stage "
-        "boundaries are checkpointed for the duration of the run or "
-        "batch)",
+        "batch ATTEMPT with that batch's funnel (a replayed or "
+        "self-healed batch reports again -- last line per batch id "
+        "wins; stage boundaries are checkpointed for the duration of "
+        "the run or batch)",
     )
     p.add_argument(
         "--materialize-output", action="store_true",

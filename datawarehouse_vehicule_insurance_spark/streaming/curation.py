@@ -196,9 +196,9 @@ def curate_batch_incremental(
     )
     if line_dedup_min_freq is not None:
         if corpus is not None or corpus_hashes is not None:
-            out = drop_exact_corpus_matches(
+            out = _mark(drop_exact_corpus_matches(
                 out, corpus, corpus_hashes, text_col, id_col
-            )
+            ), "corpus_exact")
         out = _cut(line_dedup_incremental(
             out,
             corpus_line_counts,
@@ -488,10 +488,13 @@ def run_incremental_curation(
     ``callable(batch_id, {stage: count})``) receives each batch's
     exact per-stage survivor funnel (the batch's existing stage cuts
     double as the boundaries — :func:`~..operators.curate.stage_counts`
-    over them; diagnostic cost is three extra boundary cuts plus one
-    scan per stage). It fires once per ATTEMPT, so a replayed or
-    self-healed batch reports more than once — treat the last report
-    per batch id as authoritative. Returns the started query; callers
+    over them; diagnostic cost is a few extra boundary cuts plus one
+    scan per stage). The funnel starts at ``received`` (the raw
+    micro-batch, BEFORE ``transform``), so the gap to the next
+    boundary is the transform's own (quality-gate) rejections. It
+    fires once per ATTEMPT, so a replayed or self-healed batch reports
+    more than once — treat the last report per batch id as
+    authoritative. Returns the started query; callers
     ``awaitTermination()``. Re-running with the same checkpoint after
     new files arrive processes ONLY the new files; replayed batches
     rewrite their own ``__batch_id`` partitions (idempotent).
@@ -597,6 +600,15 @@ def run_incremental_curation(
 
     def _process_body(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        stage_frames = {} if on_batch_stats is not None else None
+        if stage_frames is not None:
+            # pre-transform boundary: the gap between "received" and
+            # the batch's "input" is exactly the transform's (quality
+            # gate) rejections — otherwise gate drops would be
+            # invisible to the funnel. The cut registers with the
+            # batch's registry like every other boundary.
+            batch_df = checkpoint_cut(batch_df)
+            stage_frames["received"] = batch_df
         batch = transform(batch_df) if transform is not None else batch_df
         # snapshot semantics: exclude this batch id from every artifact
         # read, so a replay after a partial-write crash dedups against
@@ -666,7 +678,6 @@ def run_incremental_curation(
                 .parquet(source_counts_path)
             )
             corpus_source_counts = boot
-        stage_frames = {} if on_batch_stats is not None else None
         survivors = curate_batch_incremental(
             batch, corpus, corpus_bands, corpus_hashes,
             text_col=text_col, id_col=id_col,
@@ -752,7 +763,12 @@ def run_incremental_curation(
             # after the appends (the boundary blocks are warm), before
             # the caller frees the batch's cuts. Fires once per
             # ATTEMPT: a replayed/healed batch reports again, and the
-            # last report is the authoritative one.
+            # last report is the authoritative one. Known diagnostic
+            # overlap: when the final enabled stage is a funnel-only
+            # boundary (source_cap / corpus_span_overlap), its cut
+            # briefly stores the same survivor rows the eager
+            # survivors checkpoint above also holds — bounded by the
+            # batch's (smallest) final frame, freed with the batch.
             from ..operators.curate import stage_counts
 
             on_batch_stats(int(batch_id), stage_counts(stage_frames))

@@ -313,7 +313,10 @@ def test_loop_per_batch_stage_funnel(spark, tmp_path, capsys):
 
     _docs(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
     _run(spark, tmp_path, on_batch_stats=lambda b, st: got.update({b: st}))
-    assert got == {0: {"input": 3, "exact_dedup": 2, "near_dup": 2}}
+    # no transform -> received == input
+    assert got == {0: {
+        "received": 3, "input": 3, "exact_dedup": 2, "near_dup": 2,
+    }}
 
     got.clear()
     _docs(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
@@ -321,7 +324,7 @@ def test_loop_per_batch_stage_funnel(spark, tmp_path, capsys):
     # 12 is a within-batch near-dup of 11; 11 then dies as an exact
     # corpus clone at the incremental boundary
     assert got == {1: {
-        "input": 3, "exact_dedup": 3, "near_dup": 2,
+        "received": 3, "input": 3, "exact_dedup": 3, "near_dup": 2,
         "incremental_dedup": 1,
     }}
     assert _corpus_ids(spark, tmp_path) == [1, 2, 13]
@@ -346,10 +349,47 @@ def test_loop_per_batch_stage_funnel(spark, tmp_path, capsys):
     # both die at the incremental boundary, after surviving the
     # within-batch stages
     assert batch_lines == [{"batch": 2, "stages": {
-        "input": 3, "exact_dedup": 3, "near_dup": 3,
+        "received": 3, "input": 3, "exact_dedup": 3, "near_dup": 3,
         "incremental_dedup": 1,
     }}]
     assert _corpus_ids(spark, tmp_path) == [1, 2, 13, 22]
+
+    # the received->input gap is the CLI transform's quality-gate
+    # rejections: a batch with one too-short doc reports it in no
+    # later stage but visibly at the first boundary
+    _docs(spark, [(31, "tiny doc"), (32, _fresh("delta"))]).coalesce(
+        1).write.mode("append").parquet(src)
+    assert main([
+        "curate-stream", "--src", src, "--corpus", corpus_path,
+        "--bands", bands_path, "--hashes", hashes_path,
+        "--checkpoint", ckpt, "--stage-counts",
+    ]) == 0
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [ln for ln in lines if "batch" in ln] == [
+        {"batch": 3, "stages": {
+            "received": 2, "input": 1, "exact_dedup": 1, "near_dup": 1,
+            "incremental_dedup": 1,
+        }}
+    ]
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 13, 22, 32]
+
+    # with line dedup on, a re-submission of stored corpus content is
+    # attributed to the dedicated corpus_exact boundary (curate_corpus
+    # parity), not folded into line_dedup
+    got.clear()
+    _docs(spark, [(41, BASE), (42, _fresh("eps"))]).coalesce(
+        1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, line_dedup_min_freq=2,
+         line_counts_path=str(tmp_path / "lc"),
+         on_batch_stats=lambda b, st: got.update({b: st}))
+    assert got == {4: {
+        "received": 2, "input": 2, "exact_dedup": 2, "corpus_exact": 1,
+        "line_dedup": 1, "near_dup": 1, "incremental_dedup": 1,
+    }}
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 13, 22, 32, 42]
 
 
 def test_streaming_curation_no_corpus_side_recompute(spark, tmp_path):
