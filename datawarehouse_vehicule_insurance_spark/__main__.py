@@ -228,6 +228,7 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
         spark, args.src, args.corpus, args.bands, args.hashes,
         args.checkpoint, jaccard_threshold=args.jaccard,
         on_batch_stats=_print_batch_stats if args.stage_counts else None,
+        rejections_path=args.rejections,
         transform=transform, shingles_path=args.shingles,
         line_counts_path=args.line_counts,
         line_dedup_min_freq=args.line_dedup_freq,
@@ -490,8 +491,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--rejections",
         help="curate: write a (doc_id, stage) parquet audit of every "
-        "dropped document to this dir (diagnostic mode -- every stage "
-        "boundary is checkpointed and held until the run exits)",
+        "dropped document to this dir; curate-stream: append each "
+        "batch's audit under its batch partition (diagnostic mode -- "
+        "stage boundaries are checkpointed for the run or batch)",
     )
     p.add_argument(
         "--stage-counts", action="store_true",

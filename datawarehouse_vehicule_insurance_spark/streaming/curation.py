@@ -470,6 +470,7 @@ def run_incremental_curation(
     span_grams_path: str | None = None,
     trim_min_keep: int | None = None,
     on_batch_stats=None,
+    rejections_path: str | None = None,
 ):
     """One incremental curation run: stream the document directory with
     ``availableNow`` (process exactly the files the checkpoint hasn't
@@ -494,7 +495,12 @@ def run_incremental_curation(
     boundary is the transform's own (quality-gate) rejections. It
     fires once per ATTEMPT, so a replayed or self-healed batch reports
     more than once — treat the last report per batch id as
-    authoritative. Returns the started query; callers
+    authoritative. ``rejections_path`` (optional) appends each batch's
+    per-document audit — one ``(id_col, stage)`` row per dropped doc
+    (:func:`~..operators.curate.rejection_log` over the same
+    boundaries) — under the batch's partition: idempotent on replay
+    like every other loop write, and queryable across the run's whole
+    history. Returns the started query; callers
     ``awaitTermination()``. Re-running with the same checkpoint after
     new files arrive processes ONLY the new files; replayed batches
     rewrite their own ``__batch_id`` partitions (idempotent).
@@ -600,7 +606,10 @@ def run_incremental_curation(
 
     def _process_body(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        stage_frames = {} if on_batch_stats is not None else None
+        diagnostics = (
+            on_batch_stats is not None or rejections_path is not None
+        )
+        stage_frames = {} if diagnostics else None
         if stage_frames is not None:
             # pre-transform boundary: the gap between "received" and
             # the batch's "input" is exactly the transform's (quality
@@ -759,6 +768,12 @@ def run_incremental_curation(
                 source_count_table(survivors, source_col, id_col),
                 source_counts_path,
             )
+        if rejections_path is not None:
+            # per-document audit, appended like every other loop write
+            # (replay rewrites the batch's own partition)
+            from ..operators.curate import rejection_log
+
+            _append(rejection_log(stage_frames, id_col), rejections_path)
         if on_batch_stats is not None:
             # after the appends (the boundary blocks are warm), before
             # the caller frees the batch's cuts. Fires once per

@@ -378,18 +378,24 @@ def test_loop_per_batch_stage_funnel(spark, tmp_path, capsys):
 
     # with line dedup on, a re-submission of stored corpus content is
     # attributed to the dedicated corpus_exact boundary (curate_corpus
-    # parity), not folded into line_dedup
+    # parity), not folded into line_dedup; rejections_path appends the
+    # per-document audit under the batch's partition
     got.clear()
+    rej_path = str(tmp_path / "rej")
     _docs(spark, [(41, BASE), (42, _fresh("eps"))]).coalesce(
         1).write.mode("append").parquet(src)
     _run(spark, tmp_path, line_dedup_min_freq=2,
          line_counts_path=str(tmp_path / "lc"),
-         on_batch_stats=lambda b, st: got.update({b: st}))
+         on_batch_stats=lambda b, st: got.update({b: st}),
+         rejections_path=rej_path)
     assert got == {4: {
         "received": 2, "input": 2, "exact_dedup": 2, "corpus_exact": 1,
         "line_dedup": 1, "near_dup": 1, "incremental_dedup": 1,
     }}
     assert _corpus_ids(spark, tmp_path) == [1, 2, 13, 22, 32, 42]
+    rej = spark.read.parquet(rej_path)
+    assert [(r["doc_id"], r["stage"], r[SC.BATCH_COL])
+            for r in rej.collect()] == [(41, "corpus_exact", 4)]
 
 
 def test_streaming_curation_no_corpus_side_recompute(spark, tmp_path):
