@@ -390,6 +390,9 @@ def _run_embed_stream(args: argparse.Namespace) -> int:
     )
 
     spark = get_spark(app_name="insurance_embed_stream")
+    def _print_batch_stats(batch_id, stages):
+        print(json.dumps({"batch": batch_id, "stages": stages}))
+
     q = run_incremental_embedding_ingest(
         spark, args.src, args.corpus, args.centroids, args.assignments,
         args.checkpoint,
@@ -397,6 +400,7 @@ def _run_embed_stream(args: argparse.Namespace) -> int:
         n_probe=args.n_probe, n_cells=args.n_cells,
         codebooks_path=args.codebooks, codes_path=args.codes,
         semantic_threshold=args.semantic_threshold,
+        on_batch_stats=_print_batch_stats if args.stage_counts else None,
     )
     q.awaitTermination()
     corpus = _try_read_parquet(spark, args.corpus)
@@ -498,8 +502,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--stage-counts", action="store_true",
         help="curate: include the exact per-stage survivor funnel in "
-        "the printed stats; curate-stream: print one JSON line per "
-        "batch ATTEMPT with that batch's funnel (a replayed or "
+        "the printed stats; curate-stream/embed-stream: print one "
+        "JSON line per batch ATTEMPT with that batch's funnel (a "
+        "replayed or "
         "self-healed batch reports again -- last line per batch id "
         "wins; stage boundaries are checkpointed for the duration of "
         "the run or batch)",

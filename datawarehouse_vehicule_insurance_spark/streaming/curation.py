@@ -1142,6 +1142,7 @@ def run_incremental_embedding_ingest(
     pq_train_sample: int = 2048,
     pq_kmeans_iters: int = 5,
     semantic_threshold: float | None = None,
+    on_batch_stats=None,
 ):
     """The embedding-corpus twin of :func:`run_incremental_curation`:
     each ``availableNow`` run streams newly arrived vector files, drops
@@ -1160,6 +1161,12 @@ def run_incremental_embedding_ingest(
     if needed). Batch writes land in ``__batch_id`` partitions via
     dynamic partition overwrite — idempotent replays, same as the
     document loop.
+
+    ``on_batch_stats`` (optional) — the document loop's per-batch
+    funnel contract: ``callable(batch_id, {stage: count})`` with
+    boundaries ``received`` (raw micro-batch), ``id_dedup``
+    (post-transform, id-deduplicated), ``ivf_neardup`` and
+    ``semantic_dedup`` (when enabled); fires once per attempt.
 
     ``codebooks_path`` + ``codes_path`` (optional, both or neither)
     additionally maintain the PQ tier: the first batch trains the
@@ -1208,8 +1215,23 @@ def run_incremental_embedding_ingest(
 
     def _process_body(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        # per-batch funnel, the document loop's diagnostic contract:
+        # boundary cuts register with the batch's registry, counts
+        # delivered to the callback after the appends
+        stage_frames = {} if on_batch_stats is not None else None
+
+        def _mark(frame: DataFrame, stage: str) -> DataFrame:
+            if stage_frames is None:
+                return frame
+            frame = checkpoint_cut(frame)
+            stage_frames[stage] = frame
+            return frame
+
+        batch_df = _mark(batch_df, "received")
         batch = transform(batch_df) if transform is not None else batch_df
-        batch = batch.dropDuplicates([vec_id])
+        batch = _mark(
+            batch.dropDuplicates([vec_id]), "id_dedup"
+        )
         cents = _try_read_parquet(sess, centroids_path)
         # snapshot semantics — same replay contract as the document loop
         corpus = _read_artifact(sess, corpus_path, exclude_batch=batch_id)
@@ -1252,13 +1274,15 @@ def run_incremental_embedding_ingest(
             drop_ids = dup.select(
                 F.col("id_a").alias(vec_id)
             ).distinct()
-            survivors = batch.join(drop_ids, vec_id, "left_anti")
+            survivors = _mark(
+                batch.join(drop_ids, vec_id, "left_anti"), "ivf_neardup"
+            )
         if semantic_threshold is not None:
-            survivors = semantic_dedup(
+            survivors = _mark(semantic_dedup(
                 survivors, threshold=semantic_threshold,
                 centroids=cents, id_col=vec_id, vec_col=vec_col,
                 **ivf_kw,
-            )
+            ), "semantic_dedup")
         survivors = register_cut(survivors.localCheckpoint(eager=True))
 
         def _append(df: DataFrame, path: str) -> None:
@@ -1306,6 +1330,12 @@ def run_incremental_embedding_ingest(
                 ),
                 codes_path,
             )
+        if on_batch_stats is not None:
+            # document-loop contract: fires once per attempt, after
+            # the appends, before the batch's cuts are freed
+            from ..operators.curate import stage_counts
+
+            on_batch_stats(int(batch_id), stage_counts(stage_frames))
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -470,10 +470,13 @@ def test_streaming_embedding_ingest_grows_corpus(spark, tmp_path):
     asg_path = str(tmp_path / "assignments")
     ckpt = str(tmp_path / "ckpt")
 
+    funnels: dict[int, dict] = {}
+
     def run():
         q = SC.run_incremental_embedding_ingest(
             spark, src, corpus_path, cent_path, asg_path, ckpt,
             neardup_threshold=0.95, n_probe=4, n_cells=4,
+            on_batch_stats=lambda b, st: funnels.update({b: st}),
         )
         q.awaitTermination()
 
@@ -499,6 +502,10 @@ def test_streaming_embedding_ingest_grows_corpus(spark, tmp_path):
     run()
     assert corpus_ids() == [1, 2]
     assert spark.read.parquet(cent_path).count() > 0
+    # per-batch funnel (document-loop contract): batch 1 trains the
+    # index, nothing to dedup against yet
+    assert funnels == {0: {"received": 2, "id_dedup": 2}}
+    funnels.clear()
 
     real = S._train_ivf
 
@@ -510,6 +517,11 @@ def test_streaming_embedding_ingest_grows_corpus(spark, tmp_path):
         b2.coalesce(1).write.mode("append").parquet(src)
         run()
         assert corpus_ids() == [1, 2, 12]
+        # 11 dies against the persisted IVF index
+        assert funnels == {1: {
+            "received": 2, "id_dedup": 2, "ivf_neardup": 1,
+        }}
+        funnels.clear()
         b3.coalesce(1).write.mode("append").parquet(src)
         run()
         assert corpus_ids() == [1, 2, 12, 22]
@@ -1831,9 +1843,20 @@ def test_cli_embed_stream(spark, tmp_path, capsys):
         (11, _unit_row(0, eps_axis=4, eps=0.02)),  # corpus near-dup
         (12, _unit_row(2)),                        # fresh
     ]).coalesce(1).write.mode("append").parquet(src)
-    assert main(cli) == 0
-    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert stats["corpus_rows"] == 3
+    assert main(cli + ["--stage-counts"]) == 0
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert lines[-1]["corpus_rows"] == 3
+    # --stage-counts: one funnel line for the batch — 11 dies against
+    # the persisted IVF index, 12 survives the semantic prune
+    assert [ln for ln in lines if "batch" in ln] == [
+        {"batch": 1, "stages": {
+            "received": 2, "id_dedup": 2, "ivf_neardup": 1,
+            "semantic_dedup": 1,
+        }}
+    ]
 
 
 def test_cli_compact_every_ignores_missing_artifacts(spark, tmp_path,
