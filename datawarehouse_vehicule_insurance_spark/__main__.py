@@ -157,6 +157,12 @@ def _run_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _print_batch_stats(batch_id, stages):
+    """One funnel JSON line per batch attempt — the shared
+    --stage-counts output format for both ingest verbs."""
+    print(json.dumps({"batch": batch_id, "stages": stages}))
+
+
 def _read_loop_artifact(spark, path):
     """Read a loop-maintained artifact for batch-side use, stripping the
     loop's internal per-batch partition column (it would otherwise leak
@@ -220,9 +226,6 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
 
             out = perplexity_filter(out, *lm_model, args.max_perplexity)
         return out
-
-    def _print_batch_stats(batch_id, stages):
-        print(json.dumps({"batch": batch_id, "stages": stages}))
 
     q = run_incremental_curation(
         spark, args.src, args.corpus, args.bands, args.hashes,
@@ -390,9 +393,6 @@ def _run_embed_stream(args: argparse.Namespace) -> int:
     )
 
     spark = get_spark(app_name="insurance_embed_stream")
-    def _print_batch_stats(batch_id, stages):
-        print(json.dumps({"batch": batch_id, "stages": stages}))
-
     q = run_incremental_embedding_ingest(
         spark, args.src, args.corpus, args.centroids, args.assignments,
         args.checkpoint,

@@ -28,7 +28,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .plancut import checkpoint_cut
+from .plancut import checkpoint_cut, mark_stage
 
 from .dedup import (
     cross_corpus_verbatim_pairs,
@@ -173,14 +173,11 @@ def curate_corpus(
     funnel_on = stage_frames is not None
 
     def _funnel(frame: DataFrame, stage: str) -> DataFrame:
-        if not funnel_on:
-            return frame
         # a plain registered cut: created lazily (so a failed
         # materialization can still be freed through the registry) and
-        # materialized with the run's other cuts in dependency order
-        frame = checkpoint_cut(frame)
-        stage_frames[stage] = frame
-        return frame
+        # materialized with the run's other cuts in dependency order.
+        # Shared contract: operators/plancut.py mark_stage.
+        return mark_stage(frame, stage, stage_frames)
 
     docs = _funnel(docs, "input")
 

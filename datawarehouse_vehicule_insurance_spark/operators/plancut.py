@@ -49,6 +49,23 @@ def checkpoint_cut(df: DataFrame) -> DataFrame:
     return df
 
 
+def mark_stage(
+    frame: DataFrame, stage: str, stage_frames: dict | None
+) -> DataFrame:
+    """The diagnostic-funnel boundary contract, in one place: when a
+    ``stage_frames`` dict is supplied, take a registered
+    :func:`checkpoint_cut` of ``frame`` and record it under ``stage``
+    (insertion order = pipeline order); otherwise return ``frame``
+    untouched. Shared by curate_corpus and both ingest loops so the
+    cut-plus-record semantics (and the NOTES r7 observe-metric pin
+    behind them) cannot drift between surfaces."""
+    if stage_frames is None:
+        return frame
+    frame = checkpoint_cut(frame)
+    stage_frames[stage] = frame
+    return frame
+
+
 def register_cut(df: DataFrame) -> DataFrame:
     """Register an ALREADY-checkpointed frame (e.g. an eager
     ``localCheckpoint``) with the ambient registry, when one is

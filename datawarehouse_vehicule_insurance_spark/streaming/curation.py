@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..operators.plancut import (
     checkpoint_cut,
     cut_registry,
+    mark_stage,
     register_cut,
     release_cuts,
 )
@@ -187,7 +188,8 @@ def curate_batch_incremental(
 
     def _mark(frame: DataFrame, stage: str) -> DataFrame:
         # funnel-only boundary — a no-op unless diagnostics are on
-        return frame if stage_frames is None else _cut(frame, stage)
+        # (shared contract: operators/plancut.py mark_stage)
+        return mark_stage(frame, stage, stage_frames)
 
     batch = _mark(batch, "input")
     out = _cut(
@@ -500,7 +502,10 @@ def run_incremental_curation(
     (:func:`~..operators.curate.rejection_log` over the same
     boundaries) — under the batch's partition: idempotent on replay
     like every other loop write, and queryable across the run's whole
-    history. Returns the started query; callers
+    history. Audit semantics: ``stage`` names the boundary that first
+    misses the id, so rows labeled ``input`` were dropped by the
+    caller's ``transform`` (the CLI's quality gates). The directory is
+    created lazily, by the first batch that rejects anything. Returns the started query; callers
     ``awaitTermination()``. Re-running with the same checkpoint after
     new files arrive processes ONLY the new files; replayed batches
     rewrite their own ``__batch_id`` partitions (idempotent).
@@ -610,14 +615,13 @@ def run_incremental_curation(
             on_batch_stats is not None or rejections_path is not None
         )
         stage_frames = {} if diagnostics else None
-        if stage_frames is not None:
-            # pre-transform boundary: the gap between "received" and
-            # the batch's "input" is exactly the transform's (quality
-            # gate) rejections — otherwise gate drops would be
-            # invisible to the funnel. The cut registers with the
-            # batch's registry like every other boundary.
-            batch_df = checkpoint_cut(batch_df)
-            stage_frames["received"] = batch_df
+        # pre-transform boundary: the gap between "received" and the
+        # batch's "input" is exactly the transform's (quality gate)
+        # rejections — otherwise gate drops would be invisible to the
+        # funnel (and in the REJECTION audit, rows labeled stage=
+        # "input" mean exactly "dropped by the transform"). The cut
+        # registers with the batch's registry like every boundary.
+        batch_df = mark_stage(batch_df, "received", stage_frames)
         batch = transform(batch_df) if transform is not None else batch_df
         # snapshot semantics: exclude this batch id from every artifact
         # read, so a replay after a partial-write crash dedups against
@@ -770,10 +774,16 @@ def run_incremental_curation(
             )
         if rejections_path is not None:
             # per-document audit, appended like every other loop write
-            # (replay rewrites the batch's own partition)
+            # (replay rewrites the batch's own partition). A batch
+            # with no drops writes NOTHING — a zero-row partitioned
+            # write emits no part files, and a directory holding only
+            # such husks is unreadable (schema inference fails); the
+            # audit directory therefore exists once any batch rejects
             from ..operators.curate import rejection_log
 
-            _append(rejection_log(stage_frames, id_col), rejections_path)
+            rej = rejection_log(stage_frames, id_col)
+            if not rej.isEmpty():
+                _append(rej, rejections_path)
         if on_batch_stats is not None:
             # after the appends (the boundary blocks are warm), before
             # the caller frees the batch's cuts. Fires once per
@@ -1165,8 +1175,10 @@ def run_incremental_embedding_ingest(
     ``on_batch_stats`` (optional) — the document loop's per-batch
     funnel contract: ``callable(batch_id, {stage: count})`` with
     boundaries ``received`` (raw micro-batch), ``id_dedup``
-    (post-transform, id-deduplicated), ``ivf_neardup`` and
-    ``semantic_dedup`` (when enabled); fires once per attempt.
+    (post-transform, id-deduplicated), ``ivf_neardup`` (absent when
+    there was no corpus to dedup against — the index-training first
+    batch and corpus-less replays) and ``semantic_dedup`` (absent
+    unless ``semantic_threshold`` is set); fires once per attempt.
 
     ``codebooks_path`` + ``codes_path`` (optional, both or neither)
     additionally maintain the PQ tier: the first batch trains the
@@ -1221,11 +1233,7 @@ def run_incremental_embedding_ingest(
         stage_frames = {} if on_batch_stats is not None else None
 
         def _mark(frame: DataFrame, stage: str) -> DataFrame:
-            if stage_frames is None:
-                return frame
-            frame = checkpoint_cut(frame)
-            stage_frames[stage] = frame
-            return frame
+            return mark_stage(frame, stage, stage_frames)
 
         batch_df = _mark(batch_df, "received")
         batch = transform(batch_df) if transform is not None else batch_df
@@ -1337,9 +1345,7 @@ def run_incremental_embedding_ingest(
 
             on_batch_stats(int(batch_id), stage_counts(stage_frames))
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    def _attempt(batch_df: DataFrame, batch_id: int) -> None:
         # same per-batch block release as the document loop: the eager
         # survivor checkpoint would otherwise accumulate one block set
         # per batch for the life of the session
@@ -1349,6 +1355,27 @@ def run_incremental_embedding_ingest(
                 _process_body(batch_df, batch_id)
         finally:
             _release_cut_blocks(cuts)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            _attempt(batch_df, batch_id)
+        except Exception as e:
+            # document-loop parity: diagnostic mode adds boundary cuts
+            # to the batch plan — the exact shape the Spark 4.1
+            # reused-exchange defect bites at scale. Batch writes are
+            # idempotent dynamic overwrites, so the whole-body re-run
+            # under exchange-reuse-off is safe after a partial attempt.
+            from ..operators.curate import (
+                _ZIP_MISMATCH,
+                _exchange_reuse_disabled,
+            )
+
+            if _ZIP_MISMATCH not in str(e):
+                raise
+            with _exchange_reuse_disabled(batch_df.sparkSession):
+                _attempt(batch_df, batch_id)
 
     return (
         stream.writeStream.foreachBatch(_process)

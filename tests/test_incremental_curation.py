@@ -397,6 +397,27 @@ def test_loop_per_batch_stage_funnel(spark, tmp_path, capsys):
     assert [(r["doc_id"], r["stage"], r[SC.BATCH_COL])
             for r in rej.collect()] == [(41, "corpus_exact", 4)]
 
+    # a clean batch (nothing dropped) writes NO audit partition — a
+    # zero-row partitioned write would otherwise leave an unreadable
+    # husk directory; and a run that never rejects never creates the
+    # directory at all
+    got.clear()
+    _docs(spark, [(51, _fresh("zeta"))]).coalesce(1).write.mode(
+        "append").parquet(src)
+    _run(spark, tmp_path, rejections_path=rej_path,
+         on_batch_stats=lambda b, st: got.update({b: st}))
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 13, 22, 32, 42, 51]
+    assert [(r["doc_id"], r["stage"], r[SC.BATCH_COL])
+            for r in spark.read.parquet(rej_path).collect()
+            ] == [(41, "corpus_exact", 4)]  # batch 5 added nothing
+    fresh_rej = str(tmp_path / "never_rejects")
+    _docs(spark, [(61, _fresh("eta"))]).coalesce(1).write.mode(
+        "append").parquet(src)
+    _run(spark, tmp_path, rejections_path=fresh_rej)
+    import os
+
+    assert not os.path.exists(fresh_rej)
+
 
 def test_streaming_curation_no_corpus_side_recompute(spark, tmp_path):
     """Job probe for the production contract: once the corpus exists,
@@ -2232,6 +2253,48 @@ def test_loop_batch_zip_mismatch_retry(spark, tmp_path, monkeypatch):
     )
     q.awaitTermination()
     assert _corpus_ids(spark, tmp_path) == [1]
+    assert len(calls) == 2 and calls[1] == "false"
+    assert spark.conf.get("spark.sql.exchange.reuse", None) == prev
+
+
+def test_embedding_loop_zip_mismatch_retry(spark, tmp_path, monkeypatch):
+    """The embedding ingest loop gets the same reused-exchange
+    self-heal as the document loop — diagnostic mode adds boundary
+    cuts to its batch plan, the defect's known trigger shape."""
+    from datawarehouse_vehicule_insurance_spark.operators import (
+        similarity as S,
+    )
+
+    src = str(tmp_path / "src")
+    calls = []
+    real = S.ivf_centroids_table
+
+    def flaky(*a, **kw):
+        calls.append(
+            a[0].sparkSession.conf.get("spark.sql.exchange.reuse", None)
+        )
+        if len(calls) == 1:
+            raise RuntimeError(
+                "Can't zip RDDs with unequal numbers of partitions: "
+                "List(32, 64)"
+            )
+        return real(*a, **kw)
+
+    # the loop imports ivf_centroids_table from similarity at call
+    # time -> patch it at its home module
+    monkeypatch.setattr(S, "ivf_centroids_table", flaky)
+    prev = spark.conf.get("spark.sql.exchange.reuse", None)
+    _vecs(spark, [(1, _unit_row(0))]).coalesce(1).write.mode(
+        "append").parquet(src)
+    q = SC.run_incremental_embedding_ingest(
+        spark, src, str(tmp_path / "corpus"), str(tmp_path / "cents"),
+        str(tmp_path / "asg"), str(tmp_path / "ckpt"), n_cells=2,
+    )
+    q.awaitTermination()
+    assert sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    ) == [1]
     assert len(calls) == 2 and calls[1] == "false"
     assert spark.conf.get("spark.sql.exchange.reuse", None) == prev
 
