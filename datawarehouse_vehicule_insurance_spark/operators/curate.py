@@ -615,11 +615,17 @@ def curation_run(docs: DataFrame, *, materialize_output: bool = False,
                 # with the other cuts (i.e. the WHOLE plan executes
                 # inside the protected region) and freed on exit
                 out = checkpoint_cut(out)
-        # materialize the (lazy) cuts in registration = dependency
-        # order while still inside the protected region — each count
-        # is the cut's own first execution plus a trivial aggregate,
-        # work the sink would have paid anyway
-        for c in cuts:
+        # materialize the (lazy) cuts while still inside the protected
+        # region — work the sink would have paid anyway. REVERSED
+        # order on purpose: counting the most-downstream cut first
+        # computes (and caches) every upstream cut in its lineage as
+        # ONE fused job graph — per-cut counts in dependency order
+        # would insert a full job barrier between stages (measured 2x
+        # on the healed 10x composition) and, when the planner defect
+        # fires, waste every stage completed before the failing one.
+        # The remaining counts then scan warm blocks (~free) and cover
+        # side-branch cuts outside the last cut's lineage.
+        for c in reversed(cuts):
             c.count()
         return out
 
