@@ -175,8 +175,10 @@ def curate_corpus(
     def _funnel(frame: DataFrame, stage: str) -> DataFrame:
         # a plain registered cut: created lazily (so a failed
         # materialization can still be freed through the registry) and
-        # materialized with the run's other cuts in dependency order.
-        # Shared contract: operators/plancut.py mark_stage.
+        # materialized with the run's other cuts (curation_run counts
+        # the most-downstream cut first — one fused job graph — and
+        # the rest against warm blocks). Shared contract:
+        # operators/plancut.py mark_stage.
         return mark_stage(frame, stage, stage_frames)
 
     docs = _funnel(docs, "input")

@@ -101,6 +101,40 @@ def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame | None:
 _release_cut_blocks = release_cuts
 
 
+def _run_batch_with_heal(batch_df: DataFrame, batch_id: int, body) -> None:
+    """The per-batch execution contract shared by BOTH ingest loops:
+    run ``body(batch_df, batch_id)`` under a fresh plan-cut registry,
+    free exactly the cuts that batch took (scoped — never a
+    session-wide persistent-RDD delta, which would also unpersist
+    blocks a concurrent job created mid-batch), and self-heal the
+    known Spark 4.1 reused-exchange planner defect (see
+    ``operators.curate.curation_run``) by re-running the whole body
+    once under exchange-reuse-off — safe because every batch write is
+    an idempotent dynamic partition overwrite, even after a partial
+    first attempt. The conf toggle scopes to foreachBatch's per-batch
+    session clone."""
+    def _attempt() -> None:
+        cuts: list = []
+        try:
+            with cut_registry(cuts):
+                body(batch_df, batch_id)
+        finally:
+            _release_cut_blocks(cuts)
+
+    try:
+        _attempt()
+    except Exception as e:
+        from ..operators.curate import (
+            _ZIP_MISMATCH,
+            _exchange_reuse_disabled,
+        )
+
+        if _ZIP_MISMATCH not in str(e):
+            raise
+        with _exchange_reuse_disabled(batch_df.sparkSession):
+            _attempt()
+
+
 def _read_artifact(
     spark: SparkSession, path: str, exclude_batch: int | None = None,
     merge_schema: bool = False,
@@ -778,10 +812,14 @@ def run_incremental_curation(
             # with no drops writes NOTHING — a zero-row partitioned
             # write emits no part files, and a directory holding only
             # such husks is unreadable (schema inference fails); the
-            # audit directory therefore exists once any batch rejects
+            # audit directory therefore exists once any batch rejects.
+            # The log is a union of per-boundary subtract shuffles —
+            # cut it (registered, freed with the batch) so the
+            # isEmpty probe and the write share ONE execution instead
+            # of re-running every subtract
             from ..operators.curate import rejection_log
 
-            rej = rejection_log(stage_frames, id_col)
+            rej = checkpoint_cut(rejection_log(stage_frames, id_col))
             if not rej.isEmpty():
                 _append(rej, rejections_path)
         if on_batch_stats is not None:
@@ -798,42 +836,10 @@ def run_incremental_curation(
 
             on_batch_stats(int(batch_id), stage_counts(stage_frames))
 
-    def _attempt(batch_df: DataFrame, batch_id: int) -> None:
-        # free the stage-cut checkpoint blocks this batch materialized
-        # once its writes have landed — an availableNow run draining
-        # many batches would otherwise hold every batch's blocks for
-        # the life of the session. Scoped to the EXACT frames this
-        # batch cut (not a session-wide persistent-RDD delta, which
-        # would also unpersist blocks a concurrent job in the same
-        # session created mid-batch).
-        cuts: list = []
-        try:
-            with cut_registry(cuts):
-                _process_body(batch_df, batch_id)
-        finally:
-            _release_cut_blocks(cuts)
-
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        try:
-            _attempt(batch_df, batch_id)
-        except Exception as e:
-            # the known Spark 4.1 reused-exchange planner defect (see
-            # curation_run) can also bite a fully-stage-loaded batch at
-            # scale; batch writes are idempotent dynamic overwrites, so
-            # re-running the whole batch body under exchange-reuse-off
-            # is safe even after a partial first attempt. The conf
-            # toggle scopes to foreachBatch's per-batch session clone.
-            from ..operators.curate import (
-                _ZIP_MISMATCH,
-                _exchange_reuse_disabled,
-            )
-
-            if _ZIP_MISMATCH not in str(e):
-                raise
-            with _exchange_reuse_disabled(batch_df.sparkSession):
-                _attempt(batch_df, batch_id)
+        _run_batch_with_heal(batch_df, batch_id, _process_body)
 
     return (
         stream.writeStream.foreachBatch(_process)
@@ -1345,37 +1351,10 @@ def run_incremental_embedding_ingest(
 
             on_batch_stats(int(batch_id), stage_counts(stage_frames))
 
-    def _attempt(batch_df: DataFrame, batch_id: int) -> None:
-        # same per-batch block release as the document loop: the eager
-        # survivor checkpoint would otherwise accumulate one block set
-        # per batch for the life of the session
-        cuts: list = []
-        try:
-            with cut_registry(cuts):
-                _process_body(batch_df, batch_id)
-        finally:
-            _release_cut_blocks(cuts)
-
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        try:
-            _attempt(batch_df, batch_id)
-        except Exception as e:
-            # document-loop parity: diagnostic mode adds boundary cuts
-            # to the batch plan — the exact shape the Spark 4.1
-            # reused-exchange defect bites at scale. Batch writes are
-            # idempotent dynamic overwrites, so the whole-body re-run
-            # under exchange-reuse-off is safe after a partial attempt.
-            from ..operators.curate import (
-                _ZIP_MISMATCH,
-                _exchange_reuse_disabled,
-            )
-
-            if _ZIP_MISMATCH not in str(e):
-                raise
-            with _exchange_reuse_disabled(batch_df.sparkSession):
-                _attempt(batch_df, batch_id)
+        _run_batch_with_heal(batch_df, batch_id, _process_body)
 
     return (
         stream.writeStream.foreachBatch(_process)
