@@ -15,8 +15,11 @@ freeing the probe's own four pinned model tables) the session's
 storage set must return to that directory's baseline — any leak
 prints in ``resid_blocks`` and the probe exits 1.
 
-Usage: python tools/pipeline_probe.py [sf_dir ...]
+Usage: python tools/pipeline_probe.py [--funnel] [sf_dir ...]
        # default: /root/testdata/sf0.1
+       # --funnel: run the SAME composition in diagnostic mode too
+       #   (stage_frames + stage_counts + rejection_log) and report
+       #   its wall alongside, quantifying the funnel's overhead
 """
 
 import json
@@ -27,7 +30,10 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
-dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
+args = sys.argv[1:]
+funnel_mode = "--funnel" in args
+args = [a for a in args if a != "--funnel"]
+dirs = args or ["/root/testdata/sf0.1"]
 
 spark = (
     SparkSession.builder.master("local[32]")
@@ -100,6 +106,46 @@ for sf_dir in dirs:
     ) as curated:
         n_out = curated.count()
     t_curate = time.time() - t0
+
+    funnel_extras = {}
+    if funnel_mode:
+        from datawarehouse_vehicule_insurance_spark.operators.curate import (
+            rejection_log,
+            stage_counts,
+        )
+
+        t0 = time.time()
+        frames = {}
+        with curation_run(
+            docs,
+            stage_frames=frames,
+            lang_allow=("en", "es", "fr", "de", "und"),
+            min_tokens=5,
+            line_dedup_min_freq=100,
+            lm_model=lm,
+            max_perplexity=1e6,
+            gopher_rules=dict(
+                min_words=5, min_mean_word_len=1.0,
+                max_mean_word_len=50.0,
+                min_alpha_word_ratio=0.0, min_stopword_hits=0,
+                max_dup_line_ratio=1.0, max_dup_line_char_ratio=1.0,
+            ),
+            near_dup_keep_by=F.length("text"),
+            span_dedup_min_shared=8,
+            span_trim_min_span=50,
+            source_cap=2000,
+            dsir_target_model=target,
+            dsir_top_n=1000,
+        ) as curated:
+            n_diag = curated.count()
+            funnel = stage_counts(frames)
+            n_rej = rejection_log(frames).count()
+        assert n_diag == n_out, (n_diag, n_out)  # diagnostics-neutral
+        funnel_extras = {
+            "funnel_sec": round(time.time() - t0, 1),
+            "funnel": funnel,
+            "rejection_rows": n_rej,
+        }
     # free this iteration's four pinned model tables, then diff the
     # storage set against the per-directory baseline: anything left is
     # a genuine plan-cut leak and fails the probe (multi-dir runs
@@ -118,6 +164,7 @@ for sf_dir in dirs:
         "models_sec": round(t_models, 1),
         "curate_sec": round(t_curate, 1),
         "resid_blocks": leaked,
+        **funnel_extras,
     }))
 
 sys.exit(1 if any_leak else 0)
