@@ -612,10 +612,13 @@ def curation_run(docs: DataFrame, *, materialize_output: bool = False,
     def _build() -> DataFrame:
         with cut_registry(cuts):
             out = curate_corpus(docs, **kwargs)
-            if materialize_output:
+            if materialize_output and kwargs.get("stage_frames") is None:
                 # the output joins the registry: materialized below
                 # with the other cuts (i.e. the WHOLE plan executes
-                # inside the protected region) and freed on exit
+                # inside the protected region) and freed on exit. In
+                # funnel mode the output already IS the final boundary
+                # cut — a second cut would store a byte-identical copy
+                # of the full output for the run's lifetime
                 out = checkpoint_cut(out)
         # materialize the (lazy) cuts while still inside the protected
         # region — work the sink would have paid anyway. REVERSED

@@ -526,9 +526,11 @@ def run_incremental_curation(
     exact per-stage survivor funnel (the batch's existing stage cuts
     double as the boundaries — :func:`~..operators.curate.stage_counts`
     over them; diagnostic cost is a few extra boundary cuts plus one
-    scan per stage). The funnel starts at ``received`` (the raw
-    micro-batch, BEFORE ``transform``), so the gap to the next
-    boundary is the transform's own (quality-gate) rejections. It
+    scan per stage). When a ``transform`` is supplied the funnel
+    starts at ``received`` (the raw micro-batch, BEFORE the
+    transform), so the gap to the next boundary is the transform's
+    own (quality-gate) rejections; without one the first boundary is
+    ``input`` (they would be identical). It
     fires once per ATTEMPT, so a replayed or self-healed batch reports
     more than once — treat the last report per batch id as
     authoritative. ``rejections_path`` (optional) appends each batch's
@@ -653,10 +655,15 @@ def run_incremental_curation(
         # batch's "input" is exactly the transform's (quality gate)
         # rejections — otherwise gate drops would be invisible to the
         # funnel (and in the REJECTION audit, rows labeled stage=
-        # "input" mean exactly "dropped by the transform"). The cut
-        # registers with the batch's registry like every boundary.
-        batch_df = mark_stage(batch_df, "received", stage_frames)
-        batch = transform(batch_df) if transform is not None else batch_df
+        # "input" mean exactly "dropped by the transform"). Marked
+        # ONLY when a transform exists: without one, received == input
+        # and the duplicate cut would store the raw batch — the
+        # largest frame of the whole plan — twice per batch.
+        if transform is not None:
+            batch_df = mark_stage(batch_df, "received", stage_frames)
+            batch = transform(batch_df)
+        else:
+            batch = batch_df
         # snapshot semantics: exclude this batch id from every artifact
         # read, so a replay after a partial-write crash dedups against
         # the true pre-batch state (see _read_artifact)

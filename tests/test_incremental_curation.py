@@ -313,10 +313,9 @@ def test_loop_per_batch_stage_funnel(spark, tmp_path, capsys):
 
     _docs(spark, BATCH_1).coalesce(1).write.mode("append").parquet(src)
     _run(spark, tmp_path, on_batch_stats=lambda b, st: got.update({b: st}))
-    # no transform -> received == input
-    assert got == {0: {
-        "received": 3, "input": 3, "exact_dedup": 2, "near_dup": 2,
-    }}
+    # no transform -> no separate received boundary (it would be a
+    # duplicate cut of the identical raw batch)
+    assert got == {0: {"input": 3, "exact_dedup": 2, "near_dup": 2}}
 
     got.clear()
     _docs(spark, BATCH_2).coalesce(1).write.mode("append").parquet(src)
@@ -324,7 +323,7 @@ def test_loop_per_batch_stage_funnel(spark, tmp_path, capsys):
     # 12 is a within-batch near-dup of 11; 11 then dies as an exact
     # corpus clone at the incremental boundary
     assert got == {1: {
-        "received": 3, "input": 3, "exact_dedup": 3, "near_dup": 2,
+        "input": 3, "exact_dedup": 3, "near_dup": 2,
         "incremental_dedup": 1,
     }}
     assert _corpus_ids(spark, tmp_path) == [1, 2, 13]
@@ -389,7 +388,7 @@ def test_loop_per_batch_stage_funnel(spark, tmp_path, capsys):
          on_batch_stats=lambda b, st: got.update({b: st}),
          rejections_path=rej_path)
     assert got == {4: {
-        "received": 2, "input": 2, "exact_dedup": 2, "corpus_exact": 1,
+        "input": 2, "exact_dedup": 2, "corpus_exact": 1,
         "line_dedup": 1, "near_dup": 1, "incremental_dedup": 1,
     }}
     assert _corpus_ids(spark, tmp_path) == [1, 2, 13, 22, 32, 42]
@@ -2168,6 +2167,24 @@ def test_curation_run_materialize_output(spark, monkeypatch):
     assert got == expect
     after = {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
     assert after - base == set()  # output blocks freed with the cuts
+
+    # composed with the funnel, the output is NOT cut twice: the
+    # yielded frame is the funnel's own final boundary cut (a bare
+    # LogicalRDD scan), results unchanged, still zero residual blocks
+    frames = {}
+    with C.curation_run(docs, materialize_output=True,
+                        stage_frames=frames, **kw) as curated:
+        leaves = curated._jdf.queryExecution().analyzed().collectLeaves()
+        assert leaves.length() == 1
+        assert leaves.apply(0).getClass().getSimpleName() == "LogicalRDD"
+        assert curated is frames[next(reversed(frames))]  # no extra cut
+        assert sorted(
+            r.doc_id for r in curated.select("doc_id").collect()
+        ) == expect
+    after2 = {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    assert after2 - base == set()
 
     # the heal path composes: first build fails with the zip defect,
     # the rebuild (still materialize_output) yields the same rows

@@ -80,9 +80,10 @@ for sf_dir in dirs:
     )
     t_models = time.time() - t0
 
-    t0 = time.time()
-    with curation_run(
-        docs,
+    # ONE config for the timed run and the --funnel rerun — the
+    # probe's diagnostics-neutrality assertion is only meaningful if
+    # both runs share the identical composition
+    run_kw = dict(
         lang_allow=("en", "es", "fr", "de", "und"),
         min_tokens=5,
         line_dedup_min_freq=100,
@@ -103,7 +104,10 @@ for sf_dir in dirs:
         source_cap=2000,
         dsir_target_model=target,
         dsir_top_n=1000,
-    ) as curated:
+    )
+
+    t0 = time.time()
+    with curation_run(docs, **run_kw) as curated:
         n_out = curated.count()
     t_curate = time.time() - t0
 
@@ -116,27 +120,7 @@ for sf_dir in dirs:
 
         t0 = time.time()
         frames = {}
-        with curation_run(
-            docs,
-            stage_frames=frames,
-            lang_allow=("en", "es", "fr", "de", "und"),
-            min_tokens=5,
-            line_dedup_min_freq=100,
-            lm_model=lm,
-            max_perplexity=1e6,
-            gopher_rules=dict(
-                min_words=5, min_mean_word_len=1.0,
-                max_mean_word_len=50.0,
-                min_alpha_word_ratio=0.0, min_stopword_hits=0,
-                max_dup_line_ratio=1.0, max_dup_line_char_ratio=1.0,
-            ),
-            near_dup_keep_by=F.length("text"),
-            span_dedup_min_shared=8,
-            span_trim_min_span=50,
-            source_cap=2000,
-            dsir_target_model=target,
-            dsir_top_n=1000,
-        ) as curated:
+        with curation_run(docs, stage_frames=frames, **run_kw) as curated:
             n_diag = curated.count()
             funnel = stage_counts(frames)
             n_rej = rejection_log(frames).count()
