@@ -1449,3 +1449,55 @@ def test_curate_corpus_every_optional_stage(spark):
         11: "decontamination",
         7: "source_cap", 12: "source_cap",
     }
+
+
+def test_funnel_rejection_invariants_random(spark):
+    """Property over random small-vocab corpora: the diagnostic funnel
+    and rejection audit are mutually consistent with the pipeline's
+    actual output — every enabled boundary reports, counts only ever
+    decrease (the enabled stages are drop-only), the audit ids
+    partition exactly the dropped set (each id once, attributed to a
+    stage that is a real boundary), and input/output counts anchor the
+    two ends."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+        rejection_log,
+        stage_counts,
+    )
+
+    word = st.sampled_from(["alpha", "beta", "gamma", "delta"])
+    doc = st.lists(word, min_size=1, max_size=10).map(" ".join)
+
+    @given(st.lists(doc, min_size=1, max_size=6))
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        frames = {}
+        out = curate_corpus(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            stage_frames=frames,
+            min_tokens=2, min_alpha_ratio=0.0, max_dup_2gram_ratio=0.95,
+            jaccard_threshold=0.6,
+        )
+        survivors = {r["doc_id"] for r in out.collect()}
+        funnel = stage_counts(frames)
+        assert list(funnel) == ["input", "exact_dedup", "quality_gates",
+                                "near_dup"]
+        vals = list(funnel.values())
+        assert vals[0] == len(rows) and vals[-1] == len(survivors)
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+        rej = [(r["doc_id"], r["stage"])
+               for r in rejection_log(frames).collect()]
+        rej_ids = [i for i, _ in rej]
+        assert len(rej_ids) == len(set(rej_ids))  # each id at most once
+        assert set(rej_ids) == {i for i, _ in rows} - survivors
+        assert {s for _, s in rej} <= {"exact_dedup", "quality_gates",
+                                       "near_dup"}
+
+    run()
