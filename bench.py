@@ -42,17 +42,27 @@ def main() -> None:
 
     spark.range(1).select(title_exact(F.lit("warm up"))).collect()
 
-    # two passes, report the min per query: the host shows intermittent
-    # load spikes that can inflate a single cold run 3-10x; min-of-2
-    # measures the engine (steady-state plan execution), not the noise
+    # three passes, report the min per query: the host shows
+    # intermittent load spikes that can inflate a single cold run
+    # 3-10x; min-of-3 measures the engine (steady-state plan
+    # execution), not the noise. The load fingerprint below lets a
+    # cross-round comparison separate code drift from host drift.
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
     bench_set = {**Q.QUERIES, **getattr(Q, "BENCH_EXTRA", {})}
-    for _pass in range(2):
+    for _pass in range(3):
         for name, fn in bench_set.items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, elapsed), elapsed)
+    load_after = os.getloadavg()
+
+    def _n_pids() -> int:
+        try:
+            return sum(1 for p in os.listdir("/proc") if p.isdigit())
+        except OSError:
+            return -1
 
     total = round(sum(timings.values()), 4)
     # registry_value = the 50 driver-gated queries only — the number
@@ -68,6 +78,17 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
+        # host-load fingerprint: 1/5/15-min loadavg sampled before and
+        # after the timed passes, plus the live PID count — a loaded
+        # box (loadavg >> 32 or a PID spike) explains a slow round
+        # without blaming the code
+        "host": {
+            "loadavg_before": [round(x, 2) for x in load_before],
+            "loadavg_after": [round(x, 2) for x in load_after],
+            "n_pids": _n_pids(),
+            "passes": 3,
+            "agg": "min",
+        },
     }))
 
 

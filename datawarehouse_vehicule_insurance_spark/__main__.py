@@ -163,17 +163,28 @@ def _print_batch_stats(batch_id, stages):
     print(json.dumps({"batch": batch_id, "stages": stages}))
 
 
-def _read_loop_artifact(spark, path):
+def _read_loop_artifact(spark, path, flag="--source-counts"):
     """Read a loop-maintained artifact for batch-side use, stripping the
     loop's internal per-batch partition column (it would otherwise leak
-    into partial-merge group keys). None path -> None."""
+    into partial-merge group keys). None path -> None; a path that does
+    not exist (or holds no parquet) is a clear CLI error naming the
+    flag, not a raw AnalysisException stack (every other artifact
+    reader treats missing-as-None; here the user EXPLICITLY pointed at
+    an index, so silence would charge a zero budget they did not ask
+    for)."""
     if not path:
         return None
     from datawarehouse_vehicule_insurance_spark.streaming.curation import (
         BATCH_COL,
+        _try_read_parquet,
     )
 
-    art = spark.read.parquet(path)
+    art = _try_read_parquet(spark, path)
+    if art is None:
+        raise SystemExit(
+            f"{flag}: no readable parquet at {path!r} (the index must "
+            "already exist; run the loop or index-maintain first)"
+        )
     return art.drop(BATCH_COL) if BATCH_COL in art.columns else art
 
 
@@ -193,8 +204,18 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
         run_incremental_curation,
     )
 
-    # fail-fast: an invalid compaction threshold must reject the run
-    # BEFORE the (potentially hours-long) stream drains, not after
+    # fail-fast: an invalid (or ambiguous) compaction threshold must
+    # reject the run BEFORE the (potentially hours-long) stream drains,
+    # not after
+    if (
+        args.compact_when_partitions is not None
+        and args.compact_every is not None
+    ):
+        raise SystemExit(
+            "pass --compact-when-partitions OR --compact-every (an "
+            "alias of it), not both — with two thresholds the intent "
+            "is ambiguous"
+        )
     threshold = (
         args.compact_when_partitions
         if args.compact_when_partitions is not None

@@ -22,6 +22,7 @@ Cost ordering rationale (the 100-TB argument):
 
 from __future__ import annotations
 
+import re
 import threading
 from contextlib import contextmanager
 
@@ -518,6 +519,45 @@ def release_checkpoints(spark, baseline: set) -> int:
     return n
 
 
+# The Spark 4.1 reused-exchange defect's signature (see curation_run's
+# docstring; reproduce it standalone with tools/zip_defect_probe.py).
+# Matched version-tolerantly — on the message's load-bearing tokens,
+# case-insensitive, wording-flexible — rather than on one exact English
+# string, so a Spark upgrade that rewords the message (or wraps it in
+# an error class) doesn't silently turn the self-heal off. The probe is
+# the complementary guard: it tells us when an upgrade FIXES the defect
+# and the heal can be retired.
+_ZIP_MISMATCH_PATTERNS = (
+    # Spark 4.1 verbatim: "Can't zip RDDs with unequal numbers of
+    # partitions: List(32, 64)" — tolerated rewordings: Can't/Cannot/
+    # can not, RDD/RDDs, unequal/different number(s) of partitions
+    re.compile(
+        r"(?is)can\W{0,3}(?:no)?t\s+zip\s+rdds?\b"
+        r".{0,120}?(?:unequal|different)\b.{0,60}?partitions"
+    ),
+    # a future error-class wrapping of the same condition
+    re.compile(r"CANNOT_ZIP_RDDS?", re.IGNORECASE),
+)
+
+
+def _is_zip_mismatch(exc: BaseException) -> bool:
+    """True when ``exc`` (or anything in its cause/context chain) is
+    the reused-exchange zip-mismatch defect. String-based by necessity
+    — Py4J surfaces the JVM SparkException as text — but anchored on
+    the failure's invariant tokens, not one exact sentence."""
+    seen: set[int] = set()
+    e: BaseException | None = exc
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        msg = str(e)
+        if any(p.search(msg) for p in _ZIP_MISMATCH_PATTERNS):
+            return True
+        e = e.__cause__ or e.__context__
+    return False
+
+
+# Backward-compatible alias: the exact Spark 4.1 message, kept for
+# callers/tests that synthesize the failure.
 _ZIP_MISMATCH = "Can't zip RDDs with unequal numbers of partitions"
 
 # guards _REUSE_HELD only — never held across user work, so a nested
@@ -561,6 +601,24 @@ def _exchange_reuse_disabled(sess):
                     sess.conf.set("spark.sql.exchange.reuse", prev)
                 else:
                     sess.conf.unset("spark.sql.exchange.reuse")
+
+
+def _materialize_cuts(cuts: list) -> None:
+    """Materialize a run's (lazy) plan cuts — work the sink would have
+    paid anyway, moved inside :func:`curation_run`'s protected region.
+    REVERSED registration order on purpose: counting the most-
+    downstream cut first computes (and caches) every upstream cut in
+    its lineage as ONE fused job graph — per-cut counts in dependency
+    order would insert a full job barrier between stages (measured 2x
+    on the healed 10x composition) and, when the planner defect fires,
+    waste every stage completed before the failing one. The remaining
+    counts then scan warm blocks (~free) and cover side-branch cuts
+    outside the last cut's lineage — so EVERY registered cut ends up
+    materialized regardless of registration order (a side-branch cut
+    registered last just becomes the first, fused count; pinned by
+    test_materialize_cuts_side_branch_last)."""
+    for c in reversed(cuts):
+        c.count()
 
 
 @contextmanager
@@ -620,25 +678,14 @@ def curation_run(docs: DataFrame, *, materialize_output: bool = False,
                 # cut — a second cut would store a byte-identical copy
                 # of the full output for the run's lifetime
                 out = checkpoint_cut(out)
-        # materialize the (lazy) cuts while still inside the protected
-        # region — work the sink would have paid anyway. REVERSED
-        # order on purpose: counting the most-downstream cut first
-        # computes (and caches) every upstream cut in its lineage as
-        # ONE fused job graph — per-cut counts in dependency order
-        # would insert a full job barrier between stages (measured 2x
-        # on the healed 10x composition) and, when the planner defect
-        # fires, waste every stage completed before the failing one.
-        # The remaining counts then scan warm blocks (~free) and cover
-        # side-branch cuts outside the last cut's lineage.
-        for c in reversed(cuts):
-            c.count()
+        _materialize_cuts(cuts)
         return out
 
     try:
         try:
             out = _build()
         except Exception as e:
-            if _ZIP_MISMATCH not in str(e):
+            if not _is_zip_mismatch(e):
                 raise
             release_cuts(cuts)
             cuts.clear()

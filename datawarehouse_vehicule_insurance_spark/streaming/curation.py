@@ -109,10 +109,17 @@ def _run_batch_with_heal(batch_df: DataFrame, batch_id: int, body) -> None:
     blocks a concurrent job created mid-batch), and self-heal the
     known Spark 4.1 reused-exchange planner defect (see
     ``operators.curate.curation_run``) by re-running the whole body
-    once under exchange-reuse-off — safe because every batch write is
-    an idempotent dynamic partition overwrite, even after a partial
-    first attempt. The conf toggle scopes to foreachBatch's per-batch
-    session clone."""
+    once under exchange-reuse-off — safe after a partial first attempt
+    because the rerun re-reads whatever the first attempt committed
+    and takes the replay branches: the document loop's per-batch
+    appends are dynamic partition overwrites (the rerun rewrites its
+    own batch partition) and its artifact reads exclude the in-flight
+    batch id, while the embedding loop's first-batch centroid/codebook
+    writes are plain overwrites whose read-back branches skip
+    retraining when the tables already exist. Any NEW batch write must
+    satisfy the same rerun-safety contract (partition-overwrite OR
+    read-back-and-skip) — plain appends would double on retry. The
+    conf toggle scopes to foreachBatch's per-batch session clone."""
     def _attempt() -> None:
         cuts: list = []
         try:
@@ -125,11 +132,11 @@ def _run_batch_with_heal(batch_df: DataFrame, batch_id: int, body) -> None:
         _attempt()
     except Exception as e:
         from ..operators.curate import (
-            _ZIP_MISMATCH,
             _exchange_reuse_disabled,
+            _is_zip_mismatch,
         )
 
-        if _ZIP_MISMATCH not in str(e):
+        if not _is_zip_mismatch(e):
             raise
         with _exchange_reuse_disabled(batch_df.sparkSession):
             _attempt()

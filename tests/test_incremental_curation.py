@@ -2208,6 +2208,100 @@ def test_curation_run_materialize_output(spark, monkeypatch):
     assert len(calls) == 2
 
 
+def test_zip_mismatch_trigger_is_version_tolerant():
+    """The heal trigger keys on the failure's invariant tokens, not one
+    exact English sentence (VERDICT r7 #1): rewordings a Spark upgrade
+    could plausibly ship still match, the cause/context chain is
+    walked, and unrelated partition/zip errors do NOT match."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        _is_zip_mismatch,
+    )
+
+    matching = [
+        # Spark 4.1 verbatim
+        "Can't zip RDDs with unequal numbers of partitions: List(32, 64)",
+        # plausible rewordings: contraction, plural, adjective, casing
+        "Cannot zip RDDs with different numbers of partitions",
+        "can not zip RDD with unequal number of partitions (32 vs 64)",
+        "CAN'T ZIP RDDS WITH UNEQUAL NUMBERS OF PARTITIONS",
+        # an error-class wrapping of the same condition
+        "[CANNOT_ZIP_RDDS] zipPartitions requires equal partitioning",
+        # embedded in a Py4J/JVM stack dump
+        "org.apache.spark.SparkException: Job aborted.\nCaused by: "
+        "java.lang.IllegalArgumentException: Can't zip RDDs with "
+        "unequal\nnumbers of partitions: List(32, 64)\n\tat ...",
+    ]
+    for msg in matching:
+        assert _is_zip_mismatch(RuntimeError(msg)), msg
+
+    non_matching = [
+        "some other planner failure",
+        "Can't zip RDDs",  # no partition-mismatch clause
+        "unequal numbers of partitions in shuffle spec",  # no zip
+        "gzip codec can't decompress partitioned input",
+    ]
+    for msg in non_matching:
+        assert not _is_zip_mismatch(RuntimeError(msg)), msg
+
+    # the defect surfacing as the CAUSE of a wrapper error still heals
+    try:
+        try:
+            raise RuntimeError(
+                "Can't zip RDDs with unequal numbers of partitions"
+            )
+        except RuntimeError as inner:
+            raise ValueError("stage materialization failed") from inner
+    except ValueError as wrapped:
+        assert _is_zip_mismatch(wrapped)
+
+
+def test_materialize_cuts_side_branch_last(spark):
+    """curation_run's fused-materialization sweep must not depend on
+    the registry's LAST entry being the most-downstream cut (VERDICT
+    r7 'What's wrong' 3b): with a side-branch cut registered last, the
+    reversed count loop still materializes EVERY cut's blocks."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        _materialize_cuts,
+    )
+    from datawarehouse_vehicule_insurance_spark.operators.plancut import (
+        checkpoint_cut,
+        cut_registry,
+        release_cuts,
+    )
+
+    base = spark.range(100).withColumnRenamed("id", "k")
+    cuts: list = []
+    with cut_registry(cuts):
+        trunk = checkpoint_cut(base.filter("k % 2 = 0"))
+        downstream = checkpoint_cut(
+            trunk.groupBy((F.col("k") % 5).alias("g")).count()
+        )
+        # side branch off the trunk, registered AFTER the most-
+        # downstream cut — insertion order no longer = pipeline order
+        side = checkpoint_cut(trunk.filter("k > 50"))
+    assert cuts == [trunk, downstream, side]
+
+    _materialize_cuts(cuts)
+    try:
+        # every cut's checkpoint RDD holds blocks — including the
+        # downstream cut that is NOT in the (reversed-)first cut's
+        # lineage
+        stored = {
+            i.id()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if i.numCachedPartitions() > 0
+        }
+        for name, frame in [
+            ("trunk", trunk), ("downstream", downstream), ("side", side)
+        ]:
+            leaves = frame._jdf.queryExecution().analyzed().collectLeaves()
+            assert leaves.length() == 1, name
+            rdd_id = leaves.apply(0).rdd().id()
+            assert rdd_id in stored, f"{name} cut never materialized"
+    finally:
+        release_cuts(cuts)
+
+
 def test_exchange_reuse_disabled_nested_and_concurrent(spark):
     """The self-heal's conf toggle is refcounted per session: a heal
     opened INSIDE another healed run's block (same thread, same
@@ -2651,6 +2745,36 @@ def test_compact_loop_indexes_when_signal(spark, tmp_path):
             "--bands", bands_path, "--hashes", hashes_path,
             "--checkpoint", ckpt, "--min-tokens", "1",
             "--compact-when-partitions", "0",
+        ])
+
+    # supplying BOTH threshold flags is ambiguous and rejected up
+    # front too (ADVICE r7: the new flag used to silently win)
+    with pytest.raises(SystemExit, match="not both"):
+        main([
+            "curate-stream", "--src", src, "--corpus", corpus_path,
+            "--bands", bands_path, "--hashes", hashes_path,
+            "--checkpoint", ckpt, "--min-tokens", "1",
+            "--compact-every", "3", "--compact-when-partitions", "3",
+        ])
+
+
+def test_cli_source_counts_missing_path_is_clear_error(spark, tmp_path):
+    """curate --source-counts pointing at a path with no readable
+    parquet raises a clean SystemExit naming the flag and path (ADVICE
+    r7: it used to surface a raw AnalysisException stack). The user
+    explicitly pointed at an index, so missing-as-None would silently
+    charge a zero budget instead."""
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    src = str(tmp_path / "in")
+    _docs3(spark, [(1, _fresh("a"), "s1")]).write.parquet(src)
+    missing = str(tmp_path / "no_such_index")
+    with pytest.raises(SystemExit, match="--source-counts.*no_such_index"):
+        main([
+            "curate", "--input", src,
+            "--output", str(tmp_path / "out"),
+            "--min-tokens", "1", "--source-cap", "5",
+            "--source-counts", missing,
         ])
 
 
