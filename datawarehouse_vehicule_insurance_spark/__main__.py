@@ -119,10 +119,12 @@ def _run_curate(args: argparse.Namespace) -> int:
     # blocks after the sink and self-heals the known reused-exchange
     # planner defect at the full composition
     frames = {} if (args.stage_counts or args.rejections) else None
+    reasons = {} if args.rejections else None
     with curation_run(
         docs,
         materialize_output=args.materialize_output,
         stage_frames=frames,
+        reason_frames=reasons,
         benchmark=benchmark,
         lang_allow=langs,
         min_tokens=args.min_tokens,
@@ -146,9 +148,9 @@ def _run_curate(args: argparse.Namespace) -> int:
         # write them inside the block, before curation_run frees them
         stages = stage_counts(frames) if args.stage_counts else None
         if args.rejections:
-            rejection_log(frames).write.mode("overwrite").parquet(
-                args.rejections
-            )
+            rejection_log(
+                frames, reason_frames=reasons
+            ).write.mode("overwrite").parquet(args.rejections)
     kept = spark.read.parquet(args.output).count()
     stats = {"input": docs.count(), "kept": kept}
     if stages is not None:
@@ -515,10 +517,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--langs", help="curate: comma-separated lang allowlist")
     p.add_argument(
         "--rejections",
-        help="curate: write a (doc_id, stage) parquet audit of every "
-        "dropped document to this dir; curate-stream: append each "
-        "batch's audit under its batch partition (diagnostic mode -- "
-        "stage boundaries are checkpointed for the run or batch)",
+        help="curate: write a (doc_id, stage, reason) parquet audit of "
+        "every dropped document to this dir — reason names the first "
+        "rule that fired for composite gate stages (quality_gates, "
+        "gopher), NULL for single-rule stages; curate-stream: append "
+        "each batch's (doc_id, stage) audit under its batch partition "
+        "(diagnostic mode -- stage boundaries are checkpointed for the "
+        "run or batch)",
     )
     p.add_argument(
         "--stage-counts", action="store_true",

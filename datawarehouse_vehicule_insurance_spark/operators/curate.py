@@ -85,6 +85,7 @@ def curate_corpus(
     source_cap_order_by=None,
     existing_source_counts: DataFrame | None = None,
     stage_frames: dict | None = None,
+    reason_frames: dict | None = None,
 ) -> DataFrame:
     """Curate ``docs`` for training; returns surviving rows with the
     input schema. ``benchmark`` (optional) enables the decontamination
@@ -166,12 +167,31 @@ def curate_corpus(
     SQL execution — and the eager-cut workaround leaks an
     unregistered persisted RDD when materialization fails.)
 
+    ``reason_frames`` (optional, an empty dict the caller owns,
+    requires ``stage_frames``) adds RULE-level attribution for the
+    composite gate stages: the run stores one lazy narrow
+    ``(id_col, reason)`` frame per composite stage
+    (``quality_gates``, ``gopher``) naming the first rule that fired
+    for each dropped document. Pass it to
+    :func:`rejection_log(..., reason_frames=)` to get
+    ``(id, stage, reason)`` rows — single-rule stages keep a NULL
+    reason (the stage name already IS the reason). Executing the
+    reason frames re-runs the gates' feature plans over the stage's
+    (cached) input boundary — diagnostic cost, paid only when the log
+    is actioned.
+
     Thresholds are the Gopher-style defaults scaled down for the test
     corpus; every one is a parameter because curation policy is a
     property of the training run, not of the engine.
     """
     cols = docs.columns
     funnel_on = stage_frames is not None
+    if reason_frames is not None and not funnel_on:
+        raise ValueError(
+            "reason_frames requires stage_frames (reasons attribute "
+            "the funnel's drops; without boundaries there is no drop "
+            "set to attribute)"
+        )
 
     def _funnel(frame: DataFrame, stage: str) -> DataFrame:
         # a plain registered cut: created lazily (so a failed
@@ -231,13 +251,26 @@ def curate_corpus(
     # 2. quality + language gates — one fused projection, then restore
     #    the input schema so downstream stages see plain documents
     feats = quality_features(out, text_col=text_col)
-    gate = (
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("alpha_ratio") >= min_alpha_ratio)
-        & (F.col("dup_2gram_ratio") <= max_dup_2gram_ratio)
-    )
+    rules = [
+        ("null_text", F.col(text_col).isNull()),
+        ("min_tokens", F.col("n_tokens") < min_tokens),
+        ("min_alpha_ratio", F.col("alpha_ratio") < min_alpha_ratio),
+        ("max_dup_2gram_ratio",
+         F.col("dup_2gram_ratio") > max_dup_2gram_ratio),
+    ]
     if lang_allow is not None:
-        gate = gate & lang_id(F.col(text_col)).isin(*lang_allow)
+        rules.append(
+            ("lang_allow", ~lang_id(F.col(text_col)).isin(*lang_allow))
+        )
+    gate = ~rules[0][1]
+    for _, cond in rules[1:]:
+        gate = gate & ~cond
+    if reason_frames is not None:
+        from .text_analysis import _first_failing
+
+        reason_frames["quality_gates"] = feats.select(
+            F.col(id_col), _first_failing(rules).alias("reason")
+        ).filter(F.col("reason").isNotNull())
     out = feats.filter(gate).select(*cols)
     out = _funnel(out, "quality_gates")
 
@@ -249,7 +282,8 @@ def curate_corpus(
         from .text_analysis import gopher_filter
 
         out = gopher_filter(
-            out, text_col=text_col, id_col=id_col, **gopher_rules
+            out, text_col=text_col, id_col=id_col,
+            collect_reasons=reason_frames, **gopher_rules
         )
         out = _funnel(out, "gopher")
 
@@ -437,7 +471,8 @@ def curate_corpus(
 
 
 def rejection_log(
-    stage_frames: dict, id_col: str = "doc_id"
+    stage_frames: dict, id_col: str = "doc_id",
+    reason_frames: dict | None = None,
 ) -> DataFrame:
     """Per-document curation audit from a :func:`curate_corpus`
     ``stage_frames`` dict: one row ``(id_col, stage)`` for every
@@ -447,19 +482,36 @@ def rejection_log(
     id-column-only ``subtract`` over the materialized boundary blocks —
     diagnostic-cheap. The result derives from the run's checkpoint
     cuts: action it INSIDE the :func:`curation_run` block, before the
-    cuts are freed."""
+    cuts are freed.
+
+    ``reason_frames`` (optional, the dict :func:`curate_corpus` filled
+    next to ``stage_frames``) adds a ``reason`` column naming, for
+    composite gate stages (``quality_gates``, ``gopher``), the FIRST
+    rule that fired for each dropped document; stages without a reason
+    frame keep a NULL reason (the stage name is the reason). The join
+    is per-stage on the (small) dropped-id set, broadcast-shaped."""
     stages = list(stage_frames.items())
     if len(stages) < 2:
         raise ValueError(
             "rejection_log needs a stage_frames dict from a "
             "curate_corpus call (>= 2 boundaries)"
         )
-    parts = [
-        prev_f.select(id_col)
-        .subtract(cur_f.select(id_col))
-        .withColumn("stage", F.lit(cur_name))
-        for (_, prev_f), (cur_name, cur_f) in zip(stages, stages[1:])
-    ]
+    parts = []
+    for (_, prev_f), (cur_name, cur_f) in zip(stages, stages[1:]):
+        part = (
+            prev_f.select(id_col)
+            .subtract(cur_f.select(id_col))
+            .withColumn("stage", F.lit(cur_name))
+        )
+        if reason_frames is not None:
+            reasons = reason_frames.get(cur_name)
+            if reasons is not None:
+                part = part.join(reasons, id_col, "left")
+            else:
+                part = part.withColumn(
+                    "reason", F.lit(None).cast("string")
+                )
+        parts.append(part)
     out = parts[0]
     for part in parts[1:]:
         out = out.unionByName(part)
@@ -621,9 +673,27 @@ def _materialize_cuts(cuts: list) -> None:
         c.count()
 
 
+# Sticky defect memory: id(SparkContext) -> the context itself (the
+# value keeps a reference so the id cannot be recycled while the entry
+# is live). One JVM context per process, shared by every session clone
+# — foreachBatch clones a NEW session per batch, so keying on the
+# SESSION would forget the defect every batch and re-pay the doomed
+# first attempt each time.
+_DEFECT_SEEN: dict[int, object] = {}
+
+
+def _mark_defect_seen(sess) -> None:
+    sc = sess.sparkContext
+    _DEFECT_SEEN[id(sc)] = sc
+
+
+def _defect_seen(sess) -> bool:
+    return id(sess.sparkContext) in _DEFECT_SEEN
+
+
 @contextmanager
 def curation_run(docs: DataFrame, *, materialize_output: bool = False,
-                 **kwargs):
+                 heal_sticky: bool = True, **kwargs):
     """Context-managed :func:`curate_corpus`: yields the curated frame;
     on exit, frees every checkpoint block the run's plan cuts created,
     so repeated composed runs in ONE session hold no residual executor
@@ -638,28 +708,45 @@ def curation_run(docs: DataFrame, *, materialize_output: bool = False,
     checkpoints while the run is open is NOT touched — only the cuts
     the curation plan itself took are freed.
 
-    Known Spark 4.1 planner defect, handled here: with EVERY optional
-    stage composed at larger data, adaptive execution can materialize a
+    Known Spark 4.1 planner defect, handled here: at sufficient plan
+    complexity on larger data, adaptive execution can materialize a
     reused exchange with a partition count that disagrees with a
-    sibling consumer, failing checkpoint materialization with ``Can't
-    zip RDDs with unequal numbers of partitions`` (empirically: plan-
-    complexity-dependent — no single stage pair reproduces it; AQE off
-    or ``spark.sql.exchange.reuse=false`` both cure it; the 10x-replica
-    matrix is in NOTES.md round 7). The run's plan cuts are
-    MATERIALIZED before yielding (they all execute anyway — this only
-    moves the work before the sink), so the defect — every observed
-    instance fires at cut materialization — surfaces inside the
-    protected region; on that specific failure the manager rebuilds
-    ONCE under :func:`_exchange_reuse_disabled`, keeping the conf off
-    until exit so the caller's sink action inside the block also runs
-    under the working configuration (session-wide while held — see the
-    helper's docstring). The final post-cut stage executing at the
-    caller's sink is the one residual unprotected surface by default;
-    ``materialize_output=True`` closes it by checkpointing the curated
-    frame itself inside the protected region, so the sink only scans
-    already-materialized blocks — at the cost of storing the full
-    output (memory-and-disk) until exit. Leave it off unless the sink
-    stage has actually exhibited the defect. Direct
+    sibling consumer, failing with ``Can't zip RDDs with unequal
+    numbers of partitions`` (the minimal reproduction — line dedup +
+    LM gate + Gopher over the base pipeline at 10x — lives in
+    ``tools/zip_defect_probe.py``; the full ablation matrix in NOTES;
+    AQE off or ``spark.sql.exchange.reuse=false`` both cure it). The
+    run's plan cuts are MATERIALIZED before yielding (they all
+    execute anyway — this only moves the work before the sink), so
+    the defect — every observed instance fires at cut creation/
+    materialization — surfaces inside the protected region; on that
+    specific failure the manager rebuilds ONCE under
+    :func:`_exchange_reuse_disabled`, keeping the conf off until exit
+    so the caller's sink action inside the block also runs under the
+    working configuration (session-wide while held — see the helper's
+    docstring). The rebuild must be WHOLE-chain: a surgical per-cut
+    replan cannot work — the partition-count disagreement is carried
+    by an upstream cut's already-realized checkpoint RDD, so a
+    downstream-only reuse-off (or AQE-off) recompile re-fails with
+    the identical mismatch (measured r8, mechanism in
+    ``plancut.checkpoint_cut``'s docstring). What IS avoidable is the
+    doomed first attempt on every run AFTER the first: once a heal
+    fires, the defect is remembered for the life of the
+    SparkContext (``heal_sticky=True``, the default), and subsequent
+    runs at any composition on that context go straight to the
+    working reuse-off configuration — at the 10x full composition
+    that saves the ~24s abandoned attempt per run (measured r8:
+    fail+rebuild 111.7s vs straight reuse-off 87.7s, same-host
+    back-to-back; the streaming loops would otherwise pay the failed
+    attempt on EVERY at-scale batch). Pass ``heal_sticky=False`` to
+    re-probe the defect each run (as ``tools/zip_defect_probe.py``
+    does for retirement checks). The final post-cut stage executing at
+    the caller's sink is the one residual unprotected surface by
+    default; ``materialize_output=True`` closes it by checkpointing
+    the curated frame itself inside the protected region, so the sink
+    only scans already-materialized blocks — at the cost of storing
+    the full output (memory-and-disk) until exit. Leave it off unless
+    the sink stage has actually exhibited the defect. Direct
     :func:`curate_corpus` callers at that composition/scale should set
     the conf themselves."""
     from .plancut import checkpoint_cut, cut_registry, release_cuts
@@ -682,11 +769,20 @@ def curation_run(docs: DataFrame, *, materialize_output: bool = False,
         return out
 
     try:
+        if heal_sticky and _defect_seen(spark):
+            # the defect already fired once on this SparkContext:
+            # skip the doomed first attempt and build straight under
+            # the working configuration
+            with _exchange_reuse_disabled(spark):
+                out = _build()
+                yield out
+            return
         try:
             out = _build()
         except Exception as e:
             if not _is_zip_mismatch(e):
                 raise
+            _mark_defect_seen(spark)
             release_cuts(cuts)
             cuts.clear()
             with _exchange_reuse_disabled(spark):

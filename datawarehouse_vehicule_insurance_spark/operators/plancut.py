@@ -41,7 +41,21 @@ def checkpoint_cut(df: DataFrame) -> DataFrame:
     ``observe`` metric UPSTREAM of one of these cuts silently reports
     0 (the cut's RDD materializes outside any tracked SQL execution);
     curate_corpus's funnel therefore counts boundary frames directly
-    instead of using Observations."""
+    instead of using Observations.
+
+    Deliberately NO per-cut self-heal for the Spark 4.1 reused-
+    exchange zip defect here, although this call is where it fires
+    (under AQE, ``toRdd`` executes the plan's query stages during cut
+    CREATION). Measured r8, both candidate surgical retries fail with
+    the IDENTICAL mismatch: (a) re-calling ``localCheckpoint`` on the
+    same Dataset re-runs its CACHED QueryExecution — conf toggles are
+    ignored; (b) a fresh compile (``select("*")``) of just this cut
+    under exchange-reuse-off or AQE-off still zips List(32, 64) —
+    the disagreement is carried by an UPSTREAM cut's already-realized
+    checkpoint RDD (its claimed output partitioning vs its realized
+    partition count), which no downstream-only replan can repair.
+    Only rebuilding the whole cut chain under a working config heals
+    it — that lives in ``curation_run`` / ``_run_batch_with_heal``."""
     df = df.localCheckpoint(eager=False)
     reg = _CUT_REGISTRY.get()
     if reg is not None:

