@@ -725,11 +725,13 @@ def curation_run(docs: DataFrame, *, materialize_output: bool = False,
     so the caller's sink action inside the block also runs under the
     working configuration (session-wide while held — see the helper's
     docstring). The rebuild must be WHOLE-chain: a surgical per-cut
-    replan cannot work — the partition-count disagreement is carried
-    by an upstream cut's already-realized checkpoint RDD, so a
-    downstream-only reuse-off (or AQE-off) recompile re-fails with
-    the identical mismatch (measured r8, mechanism in
-    ``plancut.checkpoint_cut``'s docstring). What IS avoidable is the
+    replan cannot work — a fresh reuse-off (or AQE-off) recompile of
+    just the failing cut re-fired on every attempt, including with no
+    upstream cut in existence, so the mismatch arises inside one
+    plan's AQE stage execution itself (race-flavored: the firing site
+    moves between runs; evidence in ``plancut.checkpoint_cut``'s
+    docstring) and only the session-wide rebuild has proven reliable
+    (6/6 real heals measured r8). What IS avoidable is the
     doomed first attempt on every run AFTER the first: once a heal
     fires, the defect is remembered for the life of the
     SparkContext (``heal_sticky=True``, the default), and subsequent

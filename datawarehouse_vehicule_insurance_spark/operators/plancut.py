@@ -47,15 +47,23 @@ def checkpoint_cut(df: DataFrame) -> DataFrame:
     exchange zip defect here, although this call is where it fires
     (under AQE, ``toRdd`` executes the plan's query stages during cut
     CREATION). Measured r8, both candidate surgical retries fail with
-    the IDENTICAL mismatch: (a) re-calling ``localCheckpoint`` on the
-    same Dataset re-runs its CACHED QueryExecution — conf toggles are
-    ignored; (b) a fresh compile (``select("*")``) of just this cut
-    under exchange-reuse-off or AQE-off still zips List(32, 64) —
-    the disagreement is carried by an UPSTREAM cut's already-realized
-    checkpoint RDD (its claimed output partitioning vs its realized
-    partition count), which no downstream-only replan can repair.
-    Only rebuilding the whole cut chain under a working config heals
-    it — that lives in ``curation_run`` / ``_run_batch_with_heal``."""
+    the IDENTICAL List(32, 64) mismatch: (a) re-calling
+    ``localCheckpoint`` on the same Dataset re-runs its CACHED
+    QueryExecution — conf toggles are ignored; (b) a fresh compile
+    (``select("*")``) of just the failing cut under
+    exchange-reuse-off — and separately under AQE-off — re-fired on
+    every attempt (3/3, at two different cuts across two
+    compositions, including a firing with NO upstream cut at all, so
+    the failure is internal to one plan's AQE stage execution — the
+    realized layouts of two sibling consumers disagree, a
+    race-flavored materialization defect: the firing SITE moves
+    between runs and the full composition fires only in some
+    sessions). The checkpoint claims are not the carrier either —
+    every cut's LogicalRDD records UnknownPartitioning, so consumers
+    never trust a cut's layout. Only rebuilding the whole cut chain
+    under SESSION-wide reuse-off has proven reliable (6/6 real heals
+    r8, plus r7's) — that lives in ``curation_run`` /
+    ``_run_batch_with_heal``."""
     df = df.localCheckpoint(eager=False)
     reg = _CUT_REGISTRY.get()
     if reg is not None:

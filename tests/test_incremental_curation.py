@@ -2271,11 +2271,12 @@ def test_zip_defect_version_pin():
         python tools/make_scaled_replica.py /root/testdata/sf0.1 /tmp/sfx10 10
         python tools/zip_defect_probe.py /tmp/sfx10
 
-    exit 3 (not reproduced) -> Spark fixed it: RETIRE the heal (the
-    retry paths in operators/curate.py curation_run and
-    streaming/curation.py _run_batch_with_heal, their tests, and this
-    pin); exit 0 (still reproduced) -> keep the heal and extend the
-    version tuple below."""
+    exit 3 (not reproduced) THREE RUNS IN A ROW (the firing is
+    race-flavored — see the probe's docstring) -> Spark fixed it:
+    RETIRE the heal (the retry paths in operators/curate.py
+    curation_run and streaming/curation.py _run_batch_with_heal,
+    their tests, and this pin); exit 0 (still reproduced) -> keep the
+    heal and extend the version tuple below."""
     import pyspark
 
     known_defective = ("4.1.",)

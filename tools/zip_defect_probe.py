@@ -36,6 +36,17 @@ it still fires (~10s to failure vs ~19s for the full set). ``--full``
 restores pipeline_probe.py's full stage set; ``--drop STAGE,...``
 ablates named stages (lang,line,trim,gopher,lm,keepby,span,cap,dsir)
 for further minimization work.
+
+Use the DEFAULT (minimal) composition for retirement checks: it has
+fired on every r8 attempt (4/4), whereas the FULL composition is
+interleaving-sensitive — it fired in every morning-session run and
+then completed clean twice in fresh afternoon sessions, and the
+firing SITE moves between runs (the first stage-boundary cut in one
+run, minhash's candidate cut in another) — a race-flavored AQE
+stage-materialization defect, consistent with "no stage pair/triple
+fires it" being about propensity, not determinism. A single clean
+probe run therefore does NOT prove a Spark fix; retire the heal only
+on repeated exit-3 runs (say 3 in a row).
 """
 
 import json
