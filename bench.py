@@ -9,6 +9,7 @@ collect, matching how a production pipeline consumes results.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -47,10 +48,11 @@ def main() -> None:
     # 3-10x; min-of-3 measures the engine (steady-state plan
     # execution), not the noise. The load fingerprint below lets a
     # cross-round comparison separate code drift from host drift.
+    PASSES = 3
     load_before = os.getloadavg()
     timings: dict[str, float] = {}
     bench_set = {**Q.QUERIES, **getattr(Q, "BENCH_EXTRA", {})}
-    for _pass in range(3):
+    for _pass in range(PASSES):
         for name, fn in bench_set.items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -86,9 +88,17 @@ def main() -> None:
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in load_after],
             "n_pids": _n_pids(),
-            "passes": 3,
+            "passes": PASSES,
             "agg": "min",
         },
+        # registry_value is only comparable across rounds while the
+        # 50-slot registry's COMPOSITION is unchanged — this
+        # fingerprint (md5 of the sorted gate names) flags a rotation
+        # so a cross-round diff doesn't misread composition drift as
+        # code drift
+        "registry_md5": hashlib.md5(
+            ",".join(sorted(Q.QUERIES)).encode()
+        ).hexdigest()[:12],
     }))
 
 

@@ -118,8 +118,12 @@ def _run_curate(args: argparse.Namespace) -> int:
     # curation_run (not bare curate_corpus): frees the run's checkpoint
     # blocks after the sink and self-heals the known reused-exchange
     # planner defect at the full composition
+    _validate_rejection_flags(args)
     frames = {} if (args.stage_counts or args.rejections) else None
-    reasons = {} if args.rejections else None
+    reasons = (
+        {} if (args.rejections and not args.no_rejection_reasons)
+        else None
+    )
     with curation_run(
         docs,
         materialize_output=args.materialize_output,
@@ -149,7 +153,8 @@ def _run_curate(args: argparse.Namespace) -> int:
         stages = stage_counts(frames) if args.stage_counts else None
         if args.rejections:
             rejection_log(
-                frames, reason_frames=reasons
+                frames, reason_frames=reasons,
+                max_per_stage=args.rejections_cap,
             ).write.mode("overwrite").parquet(args.rejections)
     kept = spark.read.parquet(args.output).count()
     stats = {"input": docs.count(), "kept": kept}
@@ -157,6 +162,20 @@ def _run_curate(args: argparse.Namespace) -> int:
         stats["stages"] = stages
     print(json.dumps(stats))
     return 0
+
+
+def _validate_rejection_flags(args) -> None:
+    """Fail-fast audit-flag validation shared by curate and
+    curate-stream — a bad cap must reject the run up front (same rule
+    as the compaction threshold), not surface as a ValueError deep
+    inside the run or a StreamingQueryException mid-stream."""
+    if args.rejections_cap is not None and args.rejections_cap < 1:
+        raise SystemExit("--rejections-cap must be >= 1")
+    if args.rejections_cap is not None and not args.rejections:
+        raise SystemExit(
+            "--rejections-cap needs --rejections (a cap without an "
+            "audit to cap would be silently ignored)"
+        )
 
 
 def _print_batch_stats(batch_id, stages):
@@ -206,9 +225,10 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
         run_incremental_curation,
     )
 
-    # fail-fast: an invalid (or ambiguous) compaction threshold must
-    # reject the run BEFORE the (potentially hours-long) stream drains,
-    # not after
+    # fail-fast: an invalid (or ambiguous) compaction threshold or
+    # audit cap must reject the run BEFORE the (potentially
+    # hours-long) stream drains, not after
+    _validate_rejection_flags(args)
     if (
         args.compact_when_partitions is not None
         and args.compact_every is not None
@@ -255,6 +275,7 @@ def _run_curate_stream(args: argparse.Namespace) -> int:
         args.checkpoint, jaccard_threshold=args.jaccard,
         on_batch_stats=_print_batch_stats if args.stage_counts else None,
         rejections_path=args.rejections,
+        rejections_cap=args.rejections_cap,
         transform=transform, shingles_path=args.shingles,
         line_counts_path=args.line_counts,
         line_dedup_min_freq=args.line_dedup_freq,
@@ -524,6 +545,21 @@ def main(argv: list[str] | None = None) -> int:
         "each batch's (doc_id, stage) audit under its batch partition "
         "(diagnostic mode -- stage boundaries are checkpointed for the "
         "run or batch)",
+    )
+    p.add_argument(
+        "--rejections-cap", dest="rejections_cap", type=int,
+        help="curate/curate-stream: with --rejections, keep at most N "
+        "audit rows per stage (deterministic lowest-id subset) — for "
+        "very large batches where the full per-document listing is "
+        "bigger than anyone will read; the funnel totals stay exact",
+    )
+    p.add_argument(
+        "--no-rejection-reasons", dest="no_rejection_reasons",
+        action="store_true",
+        help="curate: write the audit WITHOUT the rule-level reason "
+        "column — skips re-running the composite gates' feature plans "
+        "at audit-write time (the cheap subtract-only path; schema "
+        "reverts to (doc_id, stage))",
     )
     p.add_argument(
         "--stage-counts", action="store_true",

@@ -268,8 +268,18 @@ def curate_corpus(
     if reason_frames is not None:
         from .text_analysis import _first_failing
 
+        # fallback "unattributed": a row can be dropped by a
+        # NULL-evaluated comparison on NON-null text (e.g. alpha_ratio
+        # = 0/0 on empty text) — the gate conjunct is NULL so the row
+        # dies, but no fail-condition is TRUE. Without the fallback
+        # its NULL reason would be indistinguishable from a
+        # single-rule stage's documented NULL.
         reason_frames["quality_gates"] = feats.select(
-            F.col(id_col), _first_failing(rules).alias("reason")
+            F.col(id_col),
+            F.coalesce(
+                _first_failing(rules),
+                F.when(~gate | gate.isNull(), F.lit("unattributed")),
+            ).alias("reason"),
         ).filter(F.col("reason").isNotNull())
     out = feats.filter(gate).select(*cols)
     out = _funnel(out, "quality_gates")
@@ -473,6 +483,7 @@ def curate_corpus(
 def rejection_log(
     stage_frames: dict, id_col: str = "doc_id",
     reason_frames: dict | None = None,
+    max_per_stage: int | None = None,
 ) -> DataFrame:
     """Per-document curation audit from a :func:`curate_corpus`
     ``stage_frames`` dict: one row ``(id_col, stage)`` for every
@@ -489,13 +500,23 @@ def rejection_log(
     composite gate stages (``quality_gates``, ``gopher``), the FIRST
     rule that fired for each dropped document; stages without a reason
     frame keep a NULL reason (the stage name is the reason). The join
-    is per-stage on the (small) dropped-id set, broadcast-shaped."""
+    is per-stage on the (small) dropped-id set, broadcast-shaped.
+
+    ``max_per_stage`` (optional) caps the audit at that many rows per
+    stage for very large batches — the DETERMINISTIC lowest-id subset
+    (a sort of each stage's already-small dropped-id set, not a
+    ``limit``, whose pick would change run to run), so a capped audit
+    is still replay-stable and diffable across reruns. The funnel
+    (:func:`stage_counts`) keeps the exact totals; the cap only
+    bounds the per-document listing."""
     stages = list(stage_frames.items())
     if len(stages) < 2:
         raise ValueError(
             "rejection_log needs a stage_frames dict from a "
             "curate_corpus call (>= 2 boundaries)"
         )
+    if max_per_stage is not None and max_per_stage < 1:
+        raise ValueError("max_per_stage must be >= 1")
     parts = []
     for (_, prev_f), (cur_name, cur_f) in zip(stages, stages[1:]):
         part = (
@@ -503,6 +524,14 @@ def rejection_log(
             .subtract(cur_f.select(id_col))
             .withColumn("stage", F.lit(cur_name))
         )
+        if max_per_stage is not None:
+            # orderBy + limit compiles to TakeOrderedAndProject — a
+            # distributed top-N (per-partition heads merged on the
+            # driver), never a single-task global sort, so capping a
+            # multi-million-row dropped set stays parallel
+            part = part.orderBy(F.col(id_col).asc()).limit(
+                int(max_per_stage)
+            )
         if reason_frames is not None:
             reasons = reason_frames.get(cur_name)
             if reasons is not None:
@@ -607,11 +636,6 @@ def _is_zip_mismatch(exc: BaseException) -> bool:
         e = e.__cause__ or e.__context__
     return False
 
-
-# Backward-compatible alias: the exact Spark 4.1 message, kept for
-# callers/tests that synthesize the failure.
-_ZIP_MISMATCH = "Can't zip RDDs with unequal numbers of partitions"
-
 # guards _REUSE_HELD only — never held across user work, so a nested
 # heal on the same thread (a curation_run opened inside another healed
 # run's block) re-enters instead of deadlocking, and heals on
@@ -673,22 +697,21 @@ def _materialize_cuts(cuts: list) -> None:
         c.count()
 
 
-# Sticky defect memory: id(SparkContext) -> the context itself (the
-# value keeps a reference so the id cannot be recycled while the entry
-# is live). One JVM context per process, shared by every session clone
-# — foreachBatch clones a NEW session per batch, so keying on the
-# SESSION would forget the defect every batch and re-pay the doomed
-# first attempt each time.
-_DEFECT_SEEN: dict[int, object] = {}
+# Sticky defect memory: the SparkContext's applicationId (a unique
+# string per context — unlike id(), it can't be recycled and needs no
+# object pin, so a stopped context stays collectable). One JVM context
+# per process, shared by every session clone — foreachBatch clones a
+# NEW session per batch, so keying on the SESSION would forget the
+# defect every batch and re-pay the doomed first attempt each time.
+_DEFECT_SEEN: set[str] = set()
 
 
 def _mark_defect_seen(sess) -> None:
-    sc = sess.sparkContext
-    _DEFECT_SEEN[id(sc)] = sc
+    _DEFECT_SEEN.add(sess.sparkContext.applicationId)
 
 
 def _defect_seen(sess) -> bool:
-    return id(sess.sparkContext) in _DEFECT_SEEN
+    return sess.sparkContext.applicationId in _DEFECT_SEEN
 
 
 @contextmanager
@@ -732,17 +755,21 @@ def curation_run(docs: DataFrame, *, materialize_output: bool = False,
     moves between runs; evidence in ``plancut.checkpoint_cut``'s
     docstring) and only the session-wide rebuild has proven reliable
     (6/6 real heals measured r8). What IS avoidable is the
-    doomed first attempt on every run AFTER the first: once a heal
-    fires, the defect is remembered for the life of the
-    SparkContext (``heal_sticky=True``, the default), and subsequent
-    runs at any composition on that context go straight to the
-    working reuse-off configuration — at the 10x full composition
-    that saves the ~24s abandoned attempt per run (measured r8:
-    fail+rebuild 111.7s vs straight reuse-off 87.7s, same-host
-    back-to-back; the streaming loops would otherwise pay the failed
-    attempt on EVERY at-scale batch). Pass ``heal_sticky=False`` to
-    re-probe the defect each run (as ``tools/zip_defect_probe.py``
-    does for retirement checks). The final post-cut stage executing at
+    doomed first attempt on runs AFTER the first firing: once a heal
+    fires, the defect is remembered for the life of the SparkContext
+    (``heal_sticky=True``, the default), and subsequent runs on that
+    context go straight to the working reuse-off configuration — at
+    the 10x full composition that saves the ~24s abandoned attempt
+    per run (measured r8: fail+rebuild 111.7s vs straight reuse-off
+    87.7s, same-host back-to-back; the streaming loops would
+    otherwise pay the failed attempt on every at-scale batch that
+    fires). Because the firing is race-flavored (see the plancut
+    docstring), a later run might NOT have fired — sticky knowingly
+    trades that chance (reuse-off cost ~5-9% over the clean shape)
+    for never paying another abandoned attempt (~20-25%); pass
+    ``heal_sticky=False`` to re-probe the defect each run instead
+    (``tools/zip_defect_probe.py``'s retirement-check shape). The
+    final post-cut stage executing at
     the caller's sink is the one residual unprotected surface by
     default; ``materialize_output=True`` closes it by checkpointing
     the curated frame itself inside the protected region, so the sink

@@ -104,16 +104,31 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
     alpha_chars = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    # zero-denominator guards (ANSI mode): empty text has length 0 and
+    # whitespace-only text tokenizes to nothing — an unguarded division
+    # is a hard DIVIDE_BY_ZERO under Spark 4 ANSI, crashing any corpus
+    # containing one degenerate document (found r8 by the rejection-
+    # reason fallback test). Guarded ratios are NULL there — the gates
+    # drop such documents (NULL conjunct) and the rejection log
+    # attributes them "unattributed"; values for real text unchanged.
     return df.withColumns({
         "n_chars": F.length(text),
         "n_tokens": n_tokens,
-        "alpha_ratio": F.round(alpha_chars / F.length(text), 6),
-        "stopword_ratio": F.round(n_stop / n_tokens, 6),
-        "mean_token_len": F.round(
-            F.aggregate(
-                toks, F.lit(0), lambda acc, t: acc + F.length(t)
-            ) / n_tokens,
-            6,
+        "alpha_ratio": F.when(
+            F.length(text) > 0,
+            F.round(alpha_chars / F.length(text), 6),
+        ),
+        "stopword_ratio": F.when(
+            n_tokens > 0, F.round(n_stop / n_tokens, 6)
+        ),
+        "mean_token_len": F.when(
+            n_tokens > 0,
+            F.round(
+                F.aggregate(
+                    toks, F.lit(0), lambda acc, t: acc + F.length(t)
+                ) / n_tokens,
+                6,
+            ),
         ),
         "dup_2gram_ratio": dup_ngram_ratio(text, 2),
     })
@@ -1410,19 +1425,27 @@ def gopher_filter(
     if collect_reasons is not None:
         # drops happen in two layers (repetition features are computed
         # on cheap-rule survivors only), so the reason frame is the
-        # union of both layers' first-failing-rule rows
-        collect_reasons["gopher"] = (
-            cheap.select(
+        # union of both layers' first-failing-rule rows. The
+        # "unattributed" fallback covers rows dropped by a
+        # NULL-evaluated comparison on non-NULL text (a NULL gate
+        # conjunct drops the row but no fail-condition is TRUE) —
+        # without it their NULL reason would read as "single-rule
+        # stage" in the rejection log.
+        def _layer(frame, rules, layer_gate):
+            return frame.select(
                 F.col(id_col),
-                _first_failing(cheap_rules).alias("reason"),
+                F.coalesce(
+                    _first_failing(rules),
+                    F.when(
+                        ~layer_gate | layer_gate.isNull(),
+                        F.lit("unattributed"),
+                    ),
+                ).alias("reason"),
             ).filter(F.col("reason").isNotNull())
-            .unionByName(
-                rep.select(
-                    F.col(id_col),
-                    _first_failing(rep_rules).alias("reason"),
-                ).filter(F.col("reason").isNotNull())
-            )
-        )
+
+        collect_reasons["gopher"] = _layer(
+            cheap, cheap_rules, gate
+        ).unionByName(_layer(rep, rep_rules, rep_gate))
     return rep.filter(rep_gate).select(*cols)
 
 

@@ -528,6 +528,7 @@ def run_incremental_curation(
     trim_min_keep: int | None = None,
     on_batch_stats=None,
     rejections_path: str | None = None,
+    rejections_cap: int | None = None,
 ):
     """One incremental curation run: stream the document directory with
     ``availableNow`` (process exactly the files the checkpoint hasn't
@@ -562,7 +563,11 @@ def run_incremental_curation(
     history. Audit semantics: ``stage`` names the boundary that first
     misses the id, so rows labeled ``input`` were dropped by the
     caller's ``transform`` (the CLI's quality gates). The directory is
-    created lazily, by the first batch that rejects anything. Returns the started query; callers
+    created lazily, by the first batch that rejects anything.
+    ``rejections_cap`` (optional) bounds the audit at that many rows
+    per stage PER BATCH (deterministic lowest-id subset — replay
+    writes the same rows); the funnel totals stay exact.
+    Returns the started query; callers
     ``awaitTermination()``. Re-running with the same checkpoint after
     new files arrive processes ONLY the new files; replayed batches
     rewrite their own ``__batch_id`` partitions (idempotent).
@@ -847,7 +852,9 @@ def run_incremental_curation(
             # of re-running every subtract
             from ..operators.curate import rejection_log
 
-            rej = checkpoint_cut(rejection_log(stage_frames, id_col))
+            rej = checkpoint_cut(rejection_log(
+                stage_frames, id_col, max_per_stage=rejections_cap,
+            ))
             if not rej.isEmpty():
                 _append(rej, rejections_path)
         if on_batch_stats is not None:

@@ -440,3 +440,111 @@ def test_rejection_reasons_for_composite_gates(spark):
         ).collect()
     }
     assert got3 == {2: ("quality_gates", "null_text")}
+
+
+def test_rejection_log_max_per_stage(spark):
+    """VERDICT r7 #8b: rejection_log(max_per_stage=) bounds the audit
+    per stage with the DETERMINISTIC lowest-id subset (replay-stable),
+    composes with reasons, validates its argument, and leaves the
+    funnel totals untouched."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+        rejection_log,
+        stage_counts,
+    )
+
+    # five DISTINCT quality-gate rejects (too short — distinct text so
+    # exact_dedup doesn't claim them first) + one survivor
+    rows = [(i, f"hi {i}") for i in range(1, 6)] + [(9, GOOD)]
+    frames, reasons = {}, {}
+    curate_corpus(
+        _df(spark, rows),
+        stage_frames=frames, reason_frames=reasons,
+        min_tokens=3, min_alpha_ratio=0.0, max_dup_2gram_ratio=1.0,
+    )
+    capped = rejection_log(
+        frames, reason_frames=reasons, max_per_stage=2
+    ).collect()
+    assert sorted((r["doc_id"], r["stage"], r["reason"]) for r in capped) \
+        == [(1, "quality_gates", "min_tokens"),
+            (2, "quality_gates", "min_tokens")]
+    # second evaluation picks the SAME rows (deterministic, not limit's
+    # arbitrary-N)
+    again = rejection_log(frames, max_per_stage=2).collect()
+    assert sorted(r["doc_id"] for r in again) == [1, 2]
+    # the funnel keeps exact totals regardless of the audit cap
+    assert stage_counts(frames)["quality_gates"] == 1
+
+    with pytest.raises(ValueError, match="max_per_stage"):
+        rejection_log(frames, max_per_stage=0)
+
+
+def test_rejection_reason_unattributed_fallback(spark):
+    """A document dropped by a NULL-evaluated comparison on NON-null
+    text (empty string: alpha_ratio = 0/0 = NULL kills the gate while
+    no fail-condition is TRUE) is attributed "unattributed", not left
+    with a NULL reason that would read as 'single-rule stage'."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+        rejection_log,
+    )
+
+    frames, reasons = {}, {}
+    curate_corpus(
+        _df(spark, [(1, GOOD), (2, "")]),
+        stage_frames=frames, reason_frames=reasons,
+        min_tokens=0, min_alpha_ratio=0.5, max_dup_2gram_ratio=1.0,
+    )
+    got = {
+        r["doc_id"]: (r["stage"], r["reason"])
+        for r in rejection_log(frames, reason_frames=reasons).collect()
+    }
+    assert got == {2: ("quality_gates", "unattributed")}
+
+
+def test_cli_rejection_flag_validation(spark, tmp_path):
+    """--rejections-cap fails fast with a clean SystemExit on both an
+    invalid value and a cap without an audit — before any run/stream
+    work happens (review finding: it used to surface as a ValueError
+    deep inside the run)."""
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    src = str(tmp_path / "pool.parquet")
+    _df(spark, [(1, GOOD)]).write.parquet(src)
+    base = ["curate", "--input", src,
+            "--output", str(tmp_path / "out"), "--min-tokens", "1"]
+    with pytest.raises(SystemExit, match="rejections-cap must be"):
+        main(base + ["--rejections", str(tmp_path / "rej"),
+                     "--rejections-cap", "0"])
+    with pytest.raises(SystemExit, match="needs --rejections"):
+        main(base + ["--rejections-cap", "5"])
+    # the stream verb validates up front too (before the stream starts)
+    with pytest.raises(SystemExit, match="rejections-cap must be"):
+        main(["curate-stream", "--src", src,
+              "--corpus", str(tmp_path / "c"),
+              "--bands", str(tmp_path / "b"),
+              "--hashes", str(tmp_path / "h"),
+              "--checkpoint", str(tmp_path / "ck"), "--min-tokens", "1",
+              "--rejections", str(tmp_path / "rej"),
+              "--rejections-cap", "-3"])
+
+
+def test_cli_no_rejection_reasons_keeps_cheap_schema(spark, tmp_path):
+    """--no-rejection-reasons opts out of reason attribution: the
+    audit reverts to (doc_id, stage) and no composite-gate feature
+    plan is re-executed at audit-write time."""
+    from datawarehouse_vehicule_insurance_spark.__main__ import main
+
+    src = str(tmp_path / "pool.parquet")
+    _df(spark, [(1, GOOD), (2, "too short")]).write.parquet(src)
+    rej = str(tmp_path / "rej")
+    assert main([
+        "curate", "--input", src, "--output", str(tmp_path / "out"),
+        "--min-tokens", "5", "--rejections", rej,
+        "--no-rejection-reasons",
+    ]) == 0
+    audit = spark.read.parquet(rej)
+    assert audit.columns == ["doc_id", "stage"]
+    assert [(r["doc_id"], r["stage"]) for r in audit.collect()] == [
+        (2, "quality_gates")
+    ]

@@ -417,6 +417,28 @@ def test_loop_per_batch_stage_funnel(spark, tmp_path, capsys):
 
     assert not os.path.exists(fresh_rej)
 
+    # rejections_cap bounds the per-stage audit per batch with the
+    # deterministic lowest-id subset: two corpus re-submissions both
+    # die at corpus_exact, the cap of 1 keeps only id 71; the funnel
+    # totals stay exact (both drops counted)
+    got.clear()
+    _docs(spark, [(71, BASE), (72, _fresh("eps")), (73, _fresh("theta"))
+                  ]).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, tmp_path, line_dedup_min_freq=2,
+         line_counts_path=str(tmp_path / "lc"),
+         on_batch_stats=lambda b, st: got.update({b: st}),
+         rejections_path=rej_path, rejections_cap=1)
+    assert _corpus_ids(spark, tmp_path) == [
+        1, 2, 13, 22, 32, 42, 51, 61, 73]
+    batch7 = got[max(got)]
+    assert batch7["input"] == 3 and batch7["corpus_exact"] == 1
+    new_rows = [
+        (r["doc_id"], r["stage"])
+        for r in spark.read.parquet(rej_path).collect()
+        if r[SC.BATCH_COL] == max(got)
+    ]
+    assert new_rows == [(71, "corpus_exact")]  # 72 capped out, 71 = min id
+
 
 def test_streaming_curation_no_corpus_side_recompute(spark, tmp_path):
     """Job probe for the production contract: once the corpus exists,
@@ -2142,11 +2164,13 @@ def test_curation_run_sticky_heal(spark, monkeypatch):
     """Once the zip defect fires on a SparkContext, later composed
     runs skip the doomed first attempt: curate_corpus is invoked
     exactly ONCE per subsequent run, already under the working
-    reuse-off configuration (the first attempt would deterministically
-    fail again at scale — measured r8: fail+rebuild 111.7s vs straight
-    reuse-off 87.7s at the 10x composition). heal_sticky=False opts a
-    run out (the retirement-probe shape), and the memory is keyed on
-    the CONTEXT so a per-batch session clone still remembers."""
+    reuse-off configuration (measured r8: fail+rebuild 111.7s vs
+    straight reuse-off 87.7s at the 10x composition; firing is
+    race-flavored, so sticky trades a possible small reuse-off
+    overhead on runs that might not have fired for never paying
+    another abandoned attempt). heal_sticky=False opts a run out
+    (the retirement-probe shape), and the memory is keyed on the
+    CONTEXT so a per-batch session clone still remembers."""
     from datawarehouse_vehicule_insurance_spark.operators import curate as C
 
     docs = _docs(spark, [(1, _fresh("a"))])

@@ -146,8 +146,7 @@ except Exception as e:  # noqa: BLE001 — classifying, not hiding
         reproduced = True
         err = str(e).splitlines()[0][:200]
     else:
-        release_cuts(cuts)
-        raise
+        raise  # the finally below releases the cuts
 finally:
     release_cuts(cuts)
     if lm:
