@@ -1,0 +1,217 @@
+"""Degenerate-document robustness sweep (r8).
+
+Spark 4 runs with ANSI mode ON, where an unguarded division by zero is
+a hard runtime error, not a NULL — and one degenerate document
+(empty/whitespace/NULL text) crashing a 100-TB curation job is exactly
+the failure mode the review pass caught in quality_features. This
+suite feeds a corpus spiked with every degenerate text shape through
+each doc-facing operator and asserts the batch COMPLETES, the real
+documents come through with the expected values, and the degenerate
+ones are dropped or passed per each operator's documented semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+REAL_1 = (
+    "The quick brown fox jumps over the lazy dog and then runs far "
+    "away to the green hills with a friendly otter beside it."
+)
+REAL_2 = (
+    "Seven curious travelers wander past old villages and tall trees, "
+    "sharing long stories that keep everyone smiling on the journey."
+)
+
+# every degenerate shape we have seen (or can construct) in crawl data
+DEGENERATE = {
+    10: "",                       # empty string (0 chars)
+    11: "   \t  \n  ",            # whitespace only
+    12: None,                     # NULL text
+    13: "x",                      # single char
+    14: "??? !!! ... ###",        # symbols only, no alpha
+    15: "\n\n\n\n",               # newlines only
+    16: "wordwordword" * 400,     # one giant unbroken token (4800 chars)
+}
+
+
+def _corpus(spark):
+    rows = [(1, REAL_1), (2, REAL_2)] + list(DEGENERATE.items())
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_quality_features_degenerate(spark):
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        quality_features,
+    )
+
+    got = {r["doc_id"]: r for r in quality_features(_corpus(spark)).collect()}
+    assert len(got) == 9                       # nothing crashed, no drops
+    assert got[1]["alpha_ratio"] > 0.5
+    assert got[10]["alpha_ratio"] is None      # 0/0 -> NULL, not a crash
+    assert got[12]["n_tokens"] is None or got[12]["n_tokens"] < 0 or \
+        got[12]["n_tokens"] == 0               # NULL text: no token stats
+
+
+def test_gopher_filter_degenerate(spark):
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        gopher_filter,
+    )
+
+    kept = sorted(
+        r["doc_id"]
+        for r in gopher_filter(
+            _corpus(spark), min_words=5, min_stopword_hits=1,
+            min_mean_word_len=1.0, max_mean_word_len=50.0,
+        ).collect()
+    )
+    assert kept == [1, 2]                      # every degenerate shape dropped
+
+
+def test_lang_and_fingerprint_degenerate(spark):
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        fingerprint,
+        lang_id,
+        token_count,
+    )
+
+    rows = _corpus(spark).select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang"),
+        fingerprint(F.col("text")).alias("fp"),
+        token_count(F.col("text")).alias("n"),
+    ).collect()
+    assert len(rows) == 9
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["lang"] == "en" and by_id[1]["n"] > 10
+
+
+def test_dedup_family_degenerate(spark):
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        exact_dedup_by_content,
+        minhash_dedup,
+        simhash,
+    )
+
+    docs = _corpus(spark)
+    exact = exact_dedup_by_content(docs)
+    assert exact.count() == 9                  # all distinct, none crash
+    mh = sorted(r["doc_id"] for r in minhash_dedup(docs).collect())
+    assert 1 in mh and 2 in mh                 # real docs survive near-dup
+    sh = docs.select("doc_id", simhash(F.col("text")).alias("sig"))
+    assert sh.count() == 9                     # signatures computable
+
+
+def test_line_and_span_ops_degenerate(spark):
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        duplicate_span_trim,
+        line_dedup_incremental,
+        span_overlap_dedup,
+        winnow_table,
+    )
+
+    docs = _corpus(spark)
+    ld = line_dedup_incremental(docs, None, min_doc_freq=2)
+    assert ld.count() <= 9 and ld.count() >= 2
+    st = duplicate_span_trim(docs, min_span=10)
+    got = {r["doc_id"]: r["text"] for r in st.collect()}
+    assert 1 in got and 2 in got
+    so = span_overlap_dedup(docs, min_shared=2)
+    assert {1, 2} <= {r["doc_id"] for r in so.collect()}
+    wt = winnow_table(docs)
+    assert wt.count() >= 0                     # executes
+
+
+def test_contamination_and_perplexity_degenerate(spark):
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bigram_lm_tables,
+        contamination_overlap,
+        perplexity_filter,
+    )
+
+    docs = _corpus(spark)
+    bench = spark.createDataFrame(
+        [(900, "totally unrelated benchmark sentence with rare words")],
+        "doc_id long, text string",
+    )
+    hits = contamination_overlap(docs, bench, n=8)
+    assert hits.count() == 0                   # executes, no false hits
+    lm = tuple(
+        t.localCheckpoint()
+        for t in bigram_lm_tables(docs.filter("doc_id <= 2"))
+    )
+    pf = perplexity_filter(docs, *lm, 1e9)
+    assert {1, 2} <= {r["doc_id"] for r in pf.collect()}
+
+
+def test_mlprep_degenerate(spark):
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        cap_per_key,
+        pack_sequences,
+        packing_stats,
+    )
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        token_count,
+    )
+
+    docs = _corpus(spark).withColumn("source", F.lit("s"))
+    capped = cap_per_key(docs, "source", 5)
+    assert capped.count() == 5
+    with_counts = docs.filter("text is not null").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(with_counts, max_len=64)
+    assert packed.count() >= 1
+    stats = packing_stats(packed, max_len=64).collect()[0]
+    assert stats["n_seqs"] >= 1
+
+    # packing_stats over an EMPTY packed frame must not divide by the
+    # zero sequence count (the fill_rate denominator)
+    empty = packed.filter("1 = 0")
+    row = packing_stats(empty, max_len=64).collect()[0]
+    assert row["n_seqs"] == 0
+
+
+def test_curate_corpus_full_composition_degenerate(spark):
+    """The composed pipeline — every optional batch stage on — over the
+    spiked corpus: completes, keeps exactly the real documents, and the
+    rejection audit attributes every degenerate doc."""
+    from datawarehouse_vehicule_insurance_spark.operators.curate import (
+        curate_corpus,
+        rejection_log,
+    )
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bigram_lm_tables,
+    )
+
+    docs = _corpus(spark).withColumn("source", F.lit("s"))
+    lm = tuple(
+        t.localCheckpoint()
+        for t in bigram_lm_tables(docs.filter("doc_id <= 2"))
+    )
+    frames, reasons = {}, {}
+    out = curate_corpus(
+        docs,
+        stage_frames=frames, reason_frames=reasons,
+        min_tokens=5, min_alpha_ratio=0.3, max_dup_2gram_ratio=0.95,
+        line_dedup_min_freq=3,
+        span_trim_min_span=12,
+        gopher_rules={"min_words": 5, "min_stopword_hits": 1,
+                      "min_mean_word_len": 1.0,
+                      "max_mean_word_len": 50.0},
+        lm_model=lm, max_perplexity=1e9,
+        span_dedup_min_shared=2,
+        source_cap=10, source_col="source",
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 2]
+    rej = {
+        r["doc_id"]: (r["stage"], r["reason"])
+        for r in rejection_log(frames, reason_frames=reasons).collect()
+    }
+    assert set(rej) == set(DEGENERATE)         # every degenerate attributed
+    # composite-gate drops carry a concrete reason, never a silent NULL
+    for doc_id, (stage, reason) in rej.items():
+        if stage in ("quality_gates", "gopher"):
+            assert reason is not None, (doc_id, stage)
