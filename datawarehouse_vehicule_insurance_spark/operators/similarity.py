@@ -42,7 +42,16 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two float arrays, NULL when either side
+    has zero norm (cosine is undefined there — and under Spark 4 ANSI
+    mode an unguarded 0/0 is a hard DIVIDE_BY_ZERO, so one all-zero
+    embedding would crash the whole query; found by the r8 degenerate
+    sweep). NULL sims sort last under the top-k windows' descending
+    order and fail every >= threshold filter, so zero vectors simply
+    never match — same net behavior as the numpy block operators,
+    where a zero norm yields NaN."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom)
 
 
 def cosine_topk(

@@ -215,3 +215,50 @@ def test_curate_corpus_full_composition_degenerate(spark):
     for doc_id, (stage, reason) in rej.items():
         if stage in ("quality_gates", "gopher"):
             assert reason is not None, (doc_id, stage)
+
+
+def test_embedding_ops_zero_vector(spark):
+    """A single all-zero embedding must not crash cosine-based queries
+    (under ANSI an unguarded 0/0 norm product is a hard
+    DIVIDE_BY_ZERO — found live in cosine_sim by this sweep): the
+    native top-k ranks it last / never matches (NULL sim), and the
+    numpy block path yields no pair for it (NaN fails the
+    threshold)."""
+    from datawarehouse_vehicule_insurance_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_sim,
+        cosine_topk,
+    )
+
+    cands = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0]),
+         (3, [0.9, 0.1, 0.0]), (4, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # direct column form: zero-norm -> NULL, real vectors exact
+    sims = {
+        r["vec_id"]: r["c"]
+        for r in cands.select(
+            "vec_id",
+            cosine_sim(
+                F.col("embedding"),
+                F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0)),
+            ).alias("c"),
+        ).collect()
+    }
+    assert sims[1] == pytest.approx(1.0)
+    assert sims[2] is None
+    assert sims[4] == pytest.approx(0.0)
+
+    # brute-force top-k: completes; the zero vector never outranks a
+    # real candidate
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "query_id long, qvec array<float>"
+    )
+    top = cosine_topk(queries, cands, k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 3]
+
+    # numpy block near-dup: completes; no pair involves the zero vector
+    pairs = cosine_neardup_pairs(cands, threshold=0.5).collect()
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert 2 not in ids
