@@ -54,6 +54,16 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return F.when(denom > 0, _dot(a, b) / denom)
 
 
+def _rankable_sim() -> Column:
+    """Filter for the top-k rank windows: drop NULL sims (zero-norm —
+    cosine undefined) and NaN sims (a NaN/Inf component in an
+    embedding). Without the NaN half, one corrupt embedding would
+    OUTRANK every real candidate for every query — Spark's descending
+    sort order treats NaN as larger than any double (r8 degenerate
+    sweep). Clean data is unaffected."""
+    return F.col("sim").isNotNull() & ~F.isnan("sim")
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -74,6 +84,7 @@ def cosine_topk(
         F.broadcast(queries)
         .crossJoin(candidates)
         .withColumn("sim", cosine_sim(F.col(query_vec), F.col(cand_vec)))
+        .filter(_rankable_sim())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, cand_id, F.round("sim", 6).alias("cosine_sim"),
@@ -619,6 +630,7 @@ def ivf_topk(
         F.broadcast(q_cells)
         .join(cand_cells, "__cell")
         .withColumn("sim", cosine_sim(F.col(query_vec), F.col(cand_vec)))
+        .filter(_rankable_sim())
         .dropDuplicates([query_id, cand_id])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -705,6 +717,7 @@ def lsh_topk(
         pairs.withColumn(
             "sim", cosine_sim(F.col(query_vec), F.col(cand_vec))
         )
+        .filter(_rankable_sim())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, cand_id, F.round("sim", 6).alias("cosine_sim"),

@@ -262,3 +262,35 @@ def test_embedding_ops_zero_vector(spark):
     pairs = cosine_neardup_pairs(cands, threshold=0.5).collect()
     ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
     assert 2 not in ids
+
+
+def test_topk_excludes_nan_similarities(spark):
+    """Spark's descending sort treats NaN as larger than any double, so
+    without the rank-window guard ONE corrupt (NaN/Inf-component)
+    embedding would outrank every real candidate for every query. The
+    top-k surfaces exclude non-rankable sims; clean candidates fill
+    the ranks."""
+    from datawarehouse_vehicule_insurance_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    cands = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [float("nan"), 1.0]),
+         (3, [float("inf"), 1.0]), (4, [0.6, 0.8]),
+         (5, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "query_id long, qvec array<float>"
+    )
+    top = cosine_topk(queries, cands, k=3).collect()
+    assert [r["vec_id"] for r in top] == [1, 4]   # only rankable cands
+    assert all(r["cosine_sim"] == r["cosine_sim"] for r in top)  # no NaN
+
+    ivf = ivf_topk(queries, cands, k=3, n_cells=2, n_probe=2).collect()
+    assert set(r["vec_id"] for r in ivf) <= {1, 4}
+
+    lsh = lsh_topk(queries, cands, dim=2, k=3, n_planes=4).collect()
+    assert set(r["vec_id"] for r in lsh) <= {1, 4}
