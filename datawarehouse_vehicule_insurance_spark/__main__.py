@@ -176,6 +176,19 @@ def _validate_rejection_flags(args) -> None:
             "--rejections-cap needs --rejections (a cap without an "
             "audit to cap would be silently ignored)"
         )
+    # same fail-fast contract for the sibling audit flag (r9 ADVICE):
+    # an opt-out that the run would silently ignore is a user error
+    if args.no_rejection_reasons and args.layer != "curate":
+        raise SystemExit(
+            "--no-rejection-reasons applies to curate only — the "
+            "curate-stream audit is always stage-only (reasons are "
+            "never written, so there is nothing to opt out of)"
+        )
+    if args.no_rejection_reasons and not args.rejections:
+        raise SystemExit(
+            "--no-rejection-reasons needs --rejections (without an "
+            "audit to thin it would be silently ignored)"
+        )
 
 
 def _print_batch_stats(batch_id, stages):

@@ -622,10 +622,21 @@ _ZIP_MISMATCH_PATTERNS = (
 
 
 def _is_zip_mismatch(exc: BaseException) -> bool:
-    """True when ``exc`` (or anything in its cause/context chain) is
+    """True when ``exc`` (or anything in its EXPLICIT cause chain) is
     the reused-exchange zip-mismatch defect. String-based by necessity
-    — Py4J surfaces the JVM SparkException as text — but anchored on
-    the failure's invariant tokens, not one exact sentence."""
+    — Py4J surfaces the JVM SparkException as text (the whole Java
+    stack lands in one message, which the multiline-tolerant patterns
+    search directly) — but anchored on the failure's invariant tokens,
+    not one exact sentence.
+
+    Only ``__cause__`` (``raise ... from``) is walked, never the
+    implicit ``__context__`` (r9 ADVICE): an unrelated exception
+    raised WHILE a zip mismatch is being handled (say, inside
+    release_cuts or user cleanup) carries the zip error as its
+    ``__context__``, and classifying IT as the defect would both retry
+    a run that failed for a different reason and — worse — let
+    ``_mark_defect_seen`` permanently pin the whole SparkContext to
+    the reuse-off path."""
     seen: set[int] = set()
     e: BaseException | None = exc
     while e is not None and id(e) not in seen:
@@ -633,7 +644,7 @@ def _is_zip_mismatch(exc: BaseException) -> bool:
         msg = str(e)
         if any(p.search(msg) for p in _ZIP_MISMATCH_PATTERNS):
             return True
-        e = e.__cause__ or e.__context__
+        e = e.__cause__
     return False
 
 # guards _REUSE_HELD only — never held across user work, so a nested

@@ -47,9 +47,16 @@ def cosine_sim(a: Column, b: Column) -> Column:
     mode an unguarded 0/0 is a hard DIVIDE_BY_ZERO, so one all-zero
     embedding would crash the whole query; found by the r8 degenerate
     sweep). NULL sims sort last under the top-k windows' descending
-    order and fail every >= threshold filter, so zero vectors simply
-    never match — same net behavior as the numpy block operators,
-    where a zero norm yields NaN."""
+    order and fail every ``>= threshold`` filter, so zero vectors
+    simply never match. A NaN/Inf COMPONENT instead yields a NaN sim,
+    and Spark SQL (unlike IEEE/numpy) defines NaN as LARGER than any
+    double — a NaN sim both outranks every real candidate in a
+    descending window AND passes every ``>= threshold`` filter, so
+    every consumer must guard: rank windows via :func:`_rankable_sim`,
+    threshold filters via an explicit ``~F.isnan(...)`` (r9 ADVICE —
+    :func:`ivf_neardup_candidates` previously let one corrupt corpus
+    embedding match, and thereby drop, every batch document in its
+    probed cells)."""
     denom = _norm(a) * _norm(b)
     return F.when(denom > 0, _dot(a, b) / denom)
 
@@ -546,7 +553,13 @@ def ivf_neardup_candidates(
     return (
         batch_side.join(corpus_side, "__cell")
         .withColumn("cosine_sim", sim)
-        .filter(F.col("cosine_sim") >= threshold)
+        # NaN guard: Spark NaN is LARGER than any double, so a corrupt
+        # (NaN/Inf-component) embedding would pass ``>= threshold``
+        # against everything in its probed cells and the ingest loop
+        # would spuriously drop real batch docs (see cosine_sim).
+        .filter(
+            ~F.isnan("cosine_sim") & (F.col("cosine_sim") >= threshold)
+        )
         # multi-probe can pair the same (batch, corpus) ids via several
         # cells; keep one row
         .dropDuplicates(["__probe_id", "__cand_id"])

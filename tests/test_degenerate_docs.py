@@ -294,3 +294,45 @@ def test_topk_excludes_nan_similarities(spark):
 
     lsh = lsh_topk(queries, cands, dim=2, k=3, n_planes=4).collect()
     assert set(r["vec_id"] for r in lsh) <= {1, 4}
+
+
+def test_ivf_neardup_ignores_nan_embeddings(spark):
+    """Threshold filters need their own NaN guard (r9 ADVICE): Spark SQL
+    defines NaN as LARGER than any double, so an unguarded
+    ``cosine_sim >= threshold`` is TRUE for a NaN sim — one corrupt
+    (NaN/Inf-component) embedding on either side of
+    ivf_neardup_candidates used to match everything in its probed
+    cells, and the embedding ingest loop turns those matches into
+    drop_ids, spuriously and permanently dropping real batch
+    documents. Corrupt vectors must match NOTHING; real near-dups must
+    still be found."""
+    from datawarehouse_vehicule_insurance_spark.operators import (
+        similarity as S,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [float("nan"), 1.0]),
+         (12, [0.0, 1.0]), (13, [float("inf"), 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.05]),            # near-dup of corpus 10
+         (2, [-0.7, 0.7]),            # far from everything
+         (3, [float("nan"), 0.0])],   # corrupt batch vector
+        "vec_id long, embedding array<float>",
+    )
+    cents = S.ivf_centroids_table(
+        spark.createDataFrame(
+            [(10, [1.0, 0.0]), (12, [0.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        ),
+        n_cells=2,
+    )
+    asg = S.ivf_assign_table(corpus, cents, n_cells=2)
+
+    # n_probe = n_cells: exhaustive, so nothing is hidden by cell choice
+    pairs = S.ivf_neardup_candidates(
+        batch, corpus, cents, asg, threshold=0.9, n_probe=2, n_cells=2
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 10)}
+    assert all(r["cosine_sim"] == r["cosine_sim"] for r in pairs)  # no NaN

@@ -527,6 +527,18 @@ def test_cli_rejection_flag_validation(spark, tmp_path):
               "--checkpoint", str(tmp_path / "ck"), "--min-tokens", "1",
               "--rejections", str(tmp_path / "rej"),
               "--rejections-cap", "-3"])
+    # sibling flag, same contract (r9 ADVICE): an opt-out the run would
+    # silently ignore is rejected up front
+    with pytest.raises(SystemExit, match="needs --rejections"):
+        main(base + ["--no-rejection-reasons"])
+    with pytest.raises(SystemExit, match="applies to curate only"):
+        main(["curate-stream", "--src", src,
+              "--corpus", str(tmp_path / "c"),
+              "--bands", str(tmp_path / "b"),
+              "--hashes", str(tmp_path / "h"),
+              "--checkpoint", str(tmp_path / "ck"), "--min-tokens", "1",
+              "--rejections", str(tmp_path / "rej"),
+              "--no-rejection-reasons"])
 
 
 def test_cli_no_rejection_reasons_keeps_cheap_schema(spark, tmp_path):

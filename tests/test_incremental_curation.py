@@ -2361,6 +2361,22 @@ def test_zip_mismatch_trigger_is_version_tolerant():
     except ValueError as wrapped:
         assert _is_zip_mismatch(wrapped)
 
+    # but the IMPLICIT __context__ chain is deliberately NOT walked
+    # (r9 ADVICE): an unrelated error raised while a zip mismatch is
+    # being handled must not be classified as the defect — retrying it
+    # would mask the real failure and _mark_defect_seen would
+    # permanently pin the context to reuse-off for the wrong reason
+    try:
+        try:
+            raise RuntimeError(
+                "Can't zip RDDs with unequal numbers of partitions"
+            )
+        except RuntimeError:
+            raise OSError("disk full while releasing cuts")
+    except OSError as during_handling:
+        assert during_handling.__context__ is not None
+        assert not _is_zip_mismatch(during_handling)
+
 
 def test_materialize_cuts_side_branch_last(spark):
     """curation_run's fused-materialization sweep must not depend on
