@@ -66,6 +66,17 @@ def main() -> None:
         except OSError:
             return -1
 
+    # noisy-run annotation (r8 verdict #5 follow-through): a loaded
+    # box inflates even min-of-3 timings (the r5/r7/r8 rounds each
+    # burned verdict space re-attributing host noise). Thresholds from
+    # the recorded history on this 32-core box: quiet anchors ran at
+    # loadavg 0.05-2.8; the runs that needed re-attribution started at
+    # 1-min 6-24 or 5-min ~8.7. The flag REPORTS, never refuses — the
+    # driver must always get its number — and the reading rule lives
+    # in NOTES.md: a noisy=true BENCH_r*.json is compared per-query
+    # against the prior round's QUIET anchor, not suite-to-suite.
+    noisy = load_before[0] > 4.0 or load_before[1] > 8.0
+
     total = round(sum(timings.values()), 4)
     # registry_value = the 50 driver-gated queries only — the number
     # comparable across rounds when BENCH_EXTRA (rotated-out,
@@ -90,6 +101,8 @@ def main() -> None:
             "n_pids": _n_pids(),
             "passes": PASSES,
             "agg": "min",
+            "noisy": noisy,
+            "noisy_rule": "loadavg1>4 or loadavg5>8 at start",
         },
         # registry_value is only comparable across rounds while the
         # 50-slot registry's COMPOSITION is unchanged — this
