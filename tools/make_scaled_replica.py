@@ -9,9 +9,11 @@ near-duplicate WORK and OUTPUT scale linearly instead of exploding on
 clones:
 
 - documents: a bijective character rotation per copy (vowels rotated by
-  ``i % 5``, the consonant set 'rstln' by ``i // 5`` → K ≤ 25 distinct
-  bijections) — token structure and lengths preserved, cross-copy
-  shingle Jaccard ≈ 0;
+  ``i % 5``, the consonant set 'rstln' by ``(i // 5) % 5``, the second
+  consonant set 'dcmhg' by ``i // 25`` → K ≤ 125 distinct bijections;
+  K ≤ 25 replicas are byte-identical to what this tool produced before
+  the third set existed, since its rotation is 0 there) — token
+  structure and lengths preserved, cross-copy shingle Jaccard ≈ 0;
 - embeddings: a per-copy sign mask flipping ~half the dimensions
   (flip where popcount((dim-1) & i) is odd; DuckDB list_transform's
   index lambda arg is 1-based, so dim-1 is the 0-based dimension) —
@@ -52,6 +54,7 @@ OFF_V = mx("embeddings", "vec_id")
 
 V = "aeiou"
 C5 = "rstln"
+C5B = "dcmhg"  # third disjoint set: lifts the bijection count to 125
 
 
 def rot(s, k):
@@ -59,9 +62,12 @@ def rot(s, k):
 
 
 def tr(i):
-    src = V + V.upper() + C5 + C5.upper()
+    if i >= 125:
+        raise SystemExit("K > 125 needs a fourth disjoint character set")
+    src = V + V.upper() + C5 + C5.upper() + C5B + C5B.upper()
     dst = (rot(V, i % 5) + rot(V.upper(), i % 5)
-           + rot(C5, i // 5) + rot(C5.upper(), i // 5))
+           + rot(C5, (i // 5) % 5) + rot(C5.upper(), (i // 5) % 5)
+           + rot(C5B, i // 25) + rot(C5B.upper(), i // 25))
     return src, dst
 
 
