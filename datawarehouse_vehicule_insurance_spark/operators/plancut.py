@@ -60,7 +60,16 @@ def checkpoint_cut(df: DataFrame) -> DataFrame:
     between runs and the full composition fires only in some
     sessions). The checkpoint claims are not the carrier either —
     every cut's LogicalRDD records UnknownPartitioning, so consumers
-    never trust a cut's layout. Only rebuilding the whole cut chain
+    never trust a cut's layout. r9 closed the remaining causal
+    question with tools/zip_upstream_probe.py: the minimal firing
+    composition STILL fires 3/3 when every cut is swapped for
+    ``persist()``(+count) — a pure SQL-plan + cache-manager execution
+    with no RDD checkpoint at all — so ``localCheckpoint`` is NOT a
+    contributing cause and a persist-based cut redesign would not
+    dodge the defect (it also reached the firing point ~5x slower);
+    while five stock-ops mocks of the same fan-out/cut SHAPE at the
+    same volume all complete clean, so the trigger needs the real
+    operators' plan complexity. Only rebuilding the whole cut chain
     under SESSION-wide reuse-off has proven reliable (6/6 real heals
     r8, plus r7's) — that lives in ``curation_run`` /
     ``_run_batch_with_heal``."""
