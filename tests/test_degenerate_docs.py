@@ -336,3 +336,196 @@ def test_ivf_neardup_ignores_nan_embeddings(spark):
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 10)}
     assert all(r["cosine_sim"] == r["cosine_sim"] for r in pairs)  # no NaN
+
+
+# ---------------------------------------------------------------------------
+# streaming loops (r9: the r8 sweep covered the batch surfaces; these
+# drive the same degenerate shapes through the INGEST loops, where a
+# crash would kill a long-running crawl, not just one job)
+# ---------------------------------------------------------------------------
+
+REAL_3 = (
+    "Bright lanterns float over the quiet harbor while three fishers "
+    "trade easy jokes about the morning tide and the stubborn wind."
+)
+REAL_4 = (
+    "Every autumn the small library hosts a week of readings where "
+    "neighbors bring warm bread and argue gently about old poems."
+)
+
+
+def test_streaming_loop_degenerate_batch_with_gates(spark, tmp_path):
+    """A crawl batch spiked with every degenerate shape arrives mid-
+    stream with the CLI's quality-gate transform on: the loop must
+    complete all three availableNow runs under ANSI (the r8 bug class:
+    one empty document used to DIVIDE_BY_ZERO inside
+    quality_features), keep exactly the real documents, and list every
+    degenerate doc in the per-batch rejection audit."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        quality_features,
+    )
+    from datawarehouse_vehicule_insurance_spark.streaming import (
+        curation as SC,
+    )
+
+    src = str(tmp_path / "src")
+    rej = str(tmp_path / "rej")
+    paths = [str(tmp_path / p) for p in ("corpus", "bands", "hashes", "ck")]
+
+    def transform(df):
+        cols = df.columns
+        return (
+            quality_features(df, text_col="text")
+            .filter(F.col("n_tokens") >= 5)
+            .select(*cols)
+        )
+
+    def run():
+        q = SC.run_incremental_curation(
+            spark, src, *paths, transform=transform,
+            rejections_path=rej,
+        )
+        q.awaitTermination()
+
+    def ids():
+        df = SC.read_corpus(spark, paths[0])
+        return sorted(r["doc_id"] for r in df.collect())
+
+    b1 = spark.createDataFrame(
+        [(1, REAL_1), (2, REAL_2)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(4, REAL_3)] + list(DEGENERATE.items()),
+        "doc_id long, text string",
+    )
+    b3 = spark.createDataFrame([(5, REAL_4)], "doc_id long, text string")
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert ids() == [1, 2]
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert ids() == [1, 2, 4]
+    b3.coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert ids() == [1, 2, 4, 5]
+
+    audit = spark.read.parquet(rej)
+    rejected = {r["doc_id"] for r in audit.select("doc_id").collect()}
+    assert set(DEGENERATE) <= rejected
+    assert rejected.isdisjoint({1, 2, 4, 5})
+
+
+def test_streaming_loop_degenerate_reaches_index_stages(spark, tmp_path):
+    """Without a gate transform, degenerate documents flow INTO the
+    dedup/index machinery itself (empty shingle sets, zero-gram span
+    tables, sub-min_chars lines): every optional stage + all persisted
+    text artifacts stay on, the loop must complete, keep the real
+    docs, store the degenerates per the documented semantics (nothing
+    legitimately dedups them — empty shingle sets produce no bands, so
+    they can never be near-dup candidates), and a restart with no new
+    files is a no-op."""
+    from datawarehouse_vehicule_insurance_spark.streaming import (
+        curation as SC,
+    )
+
+    src = str(tmp_path / "src")
+    paths = [str(tmp_path / p) for p in ("corpus", "bands", "hashes", "ck")]
+    extra = dict(
+        shingles_path=str(tmp_path / "shingles"),
+        line_counts_path=str(tmp_path / "lines"),
+        line_dedup_min_freq=3,
+        winnow_path=str(tmp_path / "winnow"),
+        span_min_shared=8,
+        span_grams_path=str(tmp_path / "span_grams"),
+        trim_min_span=50,
+    )
+
+    def run():
+        q = SC.run_incremental_curation(spark, src, *paths, **extra)
+        q.awaitTermination()
+
+    def ids():
+        df = SC.read_corpus(spark, paths[0])
+        return sorted(r["doc_id"] for r in df.collect())
+
+    b1 = spark.createDataFrame(
+        [(1, REAL_1), (2, REAL_2)], "doc_id long, text string"
+    )
+    # NULL text is excluded here: storing a NULL-text doc in a TEXT
+    # corpus is a caller error the gate transform exists to stop —
+    # this test is about the index stages, which only ever see
+    # non-NULL text in the gated production shape
+    spiked = [(k, v) for k, v in DEGENERATE.items() if v is not None]
+    b2 = spark.createDataFrame(
+        [(4, REAL_3)] + spiked, "doc_id long, text string"
+    )
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert ids() == [1, 2]
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run()
+    after_b2 = ids()
+    assert {1, 2, 4} <= set(after_b2)          # real docs all kept
+    assert set(after_b2) <= {1, 2, 4} | set(DEGENERATE)
+    # restart with nothing new: a no-op, indexes unchanged
+    run()
+    assert ids() == after_b2
+
+
+def test_embedding_loop_degenerate_vectors(spark, tmp_path):
+    """Zero-norm and NaN/Inf-component vectors arrive mid-ingest: the
+    loop must complete (r8: an unguarded zero-norm crashed cosine under
+    ANSI), corrupt vectors must match NOTHING — the r9 ADVICE bug made
+    one NaN vector match everything in its probed cells, and the loop
+    turned those matches into drop_ids that silently discarded real
+    batch documents — and near-dup detection must keep working for
+    later batches with the corrupt vectors already in the corpus."""
+    from datawarehouse_vehicule_insurance_spark.streaming import (
+        curation as SC,
+    )
+
+    src = str(tmp_path / "vsrc")
+    args = [str(tmp_path / p) for p in ("vcorpus", "cents", "asg", "vck")]
+
+    def run():
+        q = SC.run_incremental_embedding_ingest(
+            spark, src, *args, n_cells=2, n_probe=2,
+            neardup_threshold=0.95,
+        )
+        q.awaitTermination()
+
+    def ids():
+        df = spark.read.parquet(args[0])
+        return sorted(r["vec_id"] for r in df.collect())
+
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
+         (3, [0.0, 0.0, 1.0, 0.0]), (4, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    b2 = spark.createDataFrame(
+        [(10, [1.0, 0.02, 0.0, 0.0]),          # near-dup of 1 -> drop
+         (11, [float("nan"), 1.0, 0.0, 0.0]),  # corrupt -> matches nothing
+         (12, [0.0, 0.0, 0.0, 0.0]),           # zero-norm -> matches nothing
+         (13, [0.7, 0.0, 0.0, -0.7])],         # fresh real -> KEEP
+        "vec_id long, embedding array<float>",
+    )
+    b3 = spark.createDataFrame(
+        [(21, [0.71, 0.01, 0.0, -0.7]),        # near-dup of 13 -> drop
+         (22, [-1.0, 0.0, 0.0, 0.0])],         # fresh (cos=-1 vs 1) -> KEEP
+        "vec_id long, embedding array<float>",
+    )
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert ids() == [1, 2, 3, 4]
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run()
+    # the real fresh doc 13 survives (the ADVICE failure mode dropped
+    # it); corrupt vectors match nothing so they are stored
+    assert ids() == [1, 2, 3, 4, 11, 12, 13]
+    b3.coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert ids() == [1, 2, 3, 4, 11, 12, 13, 22]
