@@ -2705,11 +2705,22 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_quality_classifier,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL text is excluded in BOTH engines: a NULL label would break
+    # the LR fit (and a NULL-text doc has no tokens to score anyway)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    # the label rule tokenizes EXACTLY like the trained model
+    # (RegexTokenizer: split on \s+, lowercased) — with any other rule
+    # a corpus containing a case or tab-separated variant of the label
+    # token would break the separability premise the oracle rests on
     labeled = docs.withColumn(
         "label",
-        F.array_contains(F.split("text", " "), _QC_LABEL_TOKEN)
-        .cast("double"),
+        F.array_contains(
+            F.split(F.lower("text"), r"\s+"), _QC_LABEL_TOKEN
+        ).cast("double"),
     )
     model = train_quality_classifier(
         labeled, n_features=262144, reg_param=0.0, max_iter=50
@@ -2723,14 +2734,17 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_QUALITY_CLASSIFIER = f"""
+WITH labeled AS (
+  SELECT doc_id,
+         list_contains(regexp_split_to_array(lower(text), '\\s+'),
+                       '{_QC_LABEL_TOKEN}') AS has_tok
+  FROM documents WHERE text IS NOT NULL
+)
 SELECT doc_id,
-       CAST(list_contains(string_split(text, ' '), '{_QC_LABEL_TOKEN}')
-            AS BIGINT) AS label,
-       list_contains(string_split(text, ' '), '{_QC_LABEL_TOKEN}')
-           AS predicted,
-       CAST(list_contains(string_split(text, ' '), '{_QC_LABEL_TOKEN}')
-            AS DOUBLE) AS score_r3
-FROM documents
+       CAST(has_tok AS BIGINT) AS label,
+       has_tok AS predicted,
+       CAST(has_tok AS DOUBLE) AS score_r3
+FROM labeled
 """
 
 

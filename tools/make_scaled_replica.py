@@ -33,6 +33,11 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfx10"
 K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+if K > 125:
+    # checked up front: tr() is only reached at the documents table,
+    # by which point six tables would already be written — aborting
+    # there would leave a half-built replica on disk
+    raise SystemExit("K > 125 needs a fourth disjoint character set")
 
 con = duckdb.connect()
 
@@ -62,8 +67,6 @@ def rot(s, k):
 
 
 def tr(i):
-    if i >= 125:
-        raise SystemExit("K > 125 needs a fourth disjoint character set")
     src = V + V.upper() + C5 + C5.upper() + C5B + C5B.upper()
     dst = (rot(V, i % 5) + rot(V.upper(), i % 5)
            + rot(C5, (i // 5) % 5) + rot(C5.upper(), (i // 5) % 5)

@@ -15,11 +15,22 @@ freeing the probe's own four pinned model tables) the session's
 storage set must return to that directory's baseline — any leak
 prints in ``resid_blocks`` and the probe exits 1.
 
-Usage: python tools/pipeline_probe.py [--funnel] [sf_dir ...]
+Usage: python tools/pipeline_probe.py [--funnel] [--ablate-each]
+                                      [sf_dir ...]
        # default: /root/testdata/sf0.1
        # --funnel: run the SAME composition in diagnostic mode too
        #   (stage_frames + stage_counts + rejection_log) and report
        #   its wall alongside, quantifying the funnel's overhead
+       # --ablate-each: the honest per-stage cost table (NOTES r8:
+       #   per-boundary TIMING inside the fused materialization would
+       #   measure warm-block scans, and un-fusing would reintroduce
+       #   the 2x barrier cost — so stage cost is measured by
+       #   ABLATION instead). Re-times the full composition once more
+       #   (so the baseline shares the sticky-heal state with the
+       #   ablated runs), then re-runs it nine times with one optional
+       #   stage dropped each time; marginal_sec = baseline - ablated.
+       #   Small negatives are host noise; a stage can also show a
+       #   negative by DROPPING docs later stages then don't pay for.
 """
 
 import json
@@ -32,8 +43,23 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 args = sys.argv[1:]
 funnel_mode = "--funnel" in args
-args = [a for a in args if a != "--funnel"]
+ablate_mode = "--ablate-each" in args
+args = [a for a in args if a not in ("--funnel", "--ablate-each")]
 dirs = args or ["/root/testdata/sf0.1"]
+
+# stage name -> the run_kw keys that enable it (shared naming with
+# tools/zip_defect_probe.py --drop)
+ABLATABLE = {
+    "lang": ("lang_allow",),
+    "line": ("line_dedup_min_freq",),
+    "lm": ("lm_model", "max_perplexity"),
+    "gopher": ("gopher_rules",),
+    "keepby": ("near_dup_keep_by",),
+    "span": ("span_dedup_min_shared",),
+    "trim": ("span_trim_min_span",),
+    "cap": ("source_cap",),
+    "dsir": ("dsir_target_model", "dsir_top_n"),
+}
 
 spark = (
     SparkSession.builder.master("local[32]")
@@ -111,6 +137,33 @@ for sf_dir in dirs:
         n_out = curated.count()
     t_curate = time.time() - t0
 
+    ablate_extras = {}
+    if ablate_mode:
+        # a fresh full-composition baseline AFTER the first timed run:
+        # if the zip defect fired there, the sticky heal has every
+        # later run (baseline and ablations alike) on the reuse-off
+        # path, so the subtraction compares like with like
+        t0 = time.time()
+        with curation_run(docs, **run_kw) as curated:
+            n_base = curated.count()
+        t_base = time.time() - t0
+        table = {}
+        for stage, keys in ABLATABLE.items():
+            kw = {k: v for k, v in run_kw.items() if k not in keys}
+            t0 = time.time()
+            with curation_run(docs, **kw) as curated:
+                n_abl = curated.count()
+            dt = time.time() - t0
+            table[stage] = {
+                "ablated_sec": round(dt, 1),
+                "marginal_sec": round(t_base - dt, 1),
+                "survivor_delta": n_abl - n_base,
+            }
+        ablate_extras = {
+            "ablate_baseline_sec": round(t_base, 1),
+            "ablation": table,
+        }
+
     funnel_extras = {}
     if funnel_mode:
         from datawarehouse_vehicule_insurance_spark.operators.curate import (
@@ -148,6 +201,7 @@ for sf_dir in dirs:
         "models_sec": round(t_models, 1),
         "curate_sec": round(t_curate, 1),
         "resid_blocks": leaked,
+        **ablate_extras,
         **funnel_extras,
     }))
 

@@ -116,6 +116,19 @@ def main() -> int:
         child(args.child_sf, names)
         return 0
 
+    # fail fast on a typo'd query name BEFORE paying a Spark session
+    # per scale (the child's KeyError would otherwise surface as an
+    # opaque "child failed rc=1" per scale)
+    sys.path.insert(0, REPO)
+    from datawarehouse_vehicule_insurance_spark import queries as _Q
+
+    known = {**_Q.QUERIES, **_Q.BENCH_EXTRA}
+    unknown = [n for n in names if n not in known]
+    if unknown:
+        print(f"unknown queries: {unknown} (not in QUERIES/BENCH_EXTRA)",
+              file=sys.stderr)
+        return 2
+
     scales: list[tuple[float, str]] = []
     for part in args.scales.split(","):
         k, _, d = part.partition("=")
@@ -126,13 +139,22 @@ def main() -> int:
     per_scale: dict[float, dict] = {}
     errors: list[str] = []
     for k, d in scales:
-        if not os.path.isdir(d) and not os.path.exists(d):
-            errors.append(f"scale {k}: {d} missing — build the replica")
+        if not os.path.isdir(d):
+            errors.append(
+                f"scale {k}: {d} is not a directory — build the replica"
+            )
             continue
-        proc = subprocess.run(
-            [sys.executable, __file__, CHILD_FLAG, d, *names],
-            capture_output=True, text=True, timeout=3600,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, CHILD_FLAG, d, *names],
+                capture_output=True, text=True, timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            errors.append(
+                f"scale {k}: child exceeded 3600s — a real scale "
+                "ceiling or a heavily loaded host"
+            )
+            continue
         line = next(
             (ln for ln in reversed(proc.stdout.splitlines())
              if ln.startswith("{")), None,
@@ -166,8 +188,13 @@ def main() -> int:
             if isinstance(ta, (int, float)) and isinstance(tb, (int, float)):
                 full = math.log(tb / ta) / math.log(ks[-1] / ks[0])
                 ex["full"] = round(full, 3)
+                # EITHER signal flags: super-linear growth often shows
+                # only at the largest step (a join starting to spill)
+                # while the full-range fit still averages below the
+                # threshold — requiring both would drop exactly the
+                # scale-ceiling signal this audit exists to catch
                 if ex.get(f"{ks[-2]:g}->{ks[-1]:g}", 0) > args.max_alpha \
-                        and full > args.max_alpha:
+                        or full > args.max_alpha:
                     super_linear.append(q)
         exponents[q] = ex
 
