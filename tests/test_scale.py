@@ -1109,3 +1109,31 @@ def test_packing_stats_autodetects_bpe_column(spark):
     got = packing_stats(packed, max_len=64).first().asDict()
     assert got["n_docs"] == 20 and got["n_overflow_docs"] == 0
     assert 0 < got["fill_rate"] <= 1.0
+
+
+def test_score_quality_plans_no_shuffle(spark, sf_dir):
+    """score_quality's docstring claims "one narrow per-partition
+    transform, no shuffle" — pin it: the scoring pass over a parquet
+    scan plans ZERO Exchange operators (tokenizer, hashing trick and
+    the LR predict UDF are all per-row), so at 100 TB the corpus-wide
+    scoring pass is embarrassingly parallel."""
+    from datawarehouse_vehicule_insurance_spark.operators import mlprep as MP
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    labeled = docs.withColumn(
+        "label",
+        F.array_contains(
+            F.split(F.lower(F.col("text")), r"\s+"), "spark"
+        ).cast("double"),
+    )
+    model = MP.train_quality_classifier(
+        labeled, n_features=256, max_iter=5
+    )
+    scored = MP.score_quality(model, docs)
+    plan = scored._sc._jvm.PythonSQLUtils.explainString(
+        scored._jdf.queryExecution(), "extended"
+    )
+    assert "Exchange" not in plan
+    assert scored.count() == docs.count()
