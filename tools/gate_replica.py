@@ -49,23 +49,39 @@ spark = (
 )
 spark.sparkContext.setLogLevel("ERROR")
 
-con = duckdb.connect()
-# in-memory DuckDB disables spilling unless a temp_directory is set —
-# without one, the 10x-replica gopher/span-trim oracles (hundreds of
-# millions of gram groups) OOM-kill the process instead of spilling
-con.execute("SET temp_directory='/tmp/duckdb_spill'")
-con.execute("SET memory_limit='48GB'")
-# row order is irrelevant here (compares sort, checksums aggregate) and
-# preserving it forces full materialization of large intermediates
-con.execute("SET preserve_insertion_order=false")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
-for t in TABLES:
-    con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-    )
+
+
+def _connect():
+    c = duckdb.connect()
+    # in-memory DuckDB disables spilling unless a temp_directory is
+    # set — without one, the 10x-replica gopher/span-trim oracles
+    # (hundreds of millions of gram groups) OOM-kill the process
+    # instead of spilling
+    c.execute("SET temp_directory='/tmp/duckdb_spill'")
+    c.execute("SET memory_limit='48GB'")
+    # row order is irrelevant here (compares sort, checksums
+    # aggregate) and preserving it forces full materialization of
+    # large intermediates
+    c.execute("SET preserve_insertion_order=false")
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return c
+
+
+# one FRESH connection per query (r9 scale-audit lesson): a long-lived
+# connection accumulates buffer-pool state across the big checksum
+# oracles — at the 30x replica, query #31 died with an
+# OutOfMemoryException that the very same SQL cannot reproduce on a
+# fresh connection (12s, well under the limit). Views are cheap to
+# re-register; cumulative state is not worth carrying.
+con = _connect()
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -180,16 +196,27 @@ fails, rows_only, checksummed = [], [], []
 for name, fn in qs.items():
     if only and name not in only:
         continue
-    sdf = fn(spark, sf_dir)
-    if name not in oracles:
-        n = sdf.count()
-        rows_only.append((name, n))
-        print(f"{name:32s} ROWS-ONLY ({n} rows)")
+    # fresh DuckDB connection per query — see _connect()
+    try:
+        con.close()
+    except Exception:  # noqa: BLE001 — a died connection stays died
+        pass
+    con = _connect()
+    try:
+        sdf = fn(spark, sf_dir)
+        if name not in oracles:
+            n = sdf.count()
+            rows_only.append((name, n))
+            print(f"{name:32s} ROWS-ONLY ({n} rows)")
+            continue
+        osql = oracles[name]
+        n_oracle = con.execute(
+            f"SELECT COUNT(*) FROM ({osql}) t"
+        ).fetchone()[0]
+    except Exception as e:  # noqa: BLE001 — record, keep auditing
+        fails.append((name, [f"{type(e).__name__}: {str(e)[:200]}"]))
+        print(f"{name:32s} FAIL: {type(e).__name__}: {str(e)[:200]}")
         continue
-    osql = oracles[name]
-    n_oracle = con.execute(
-        f"SELECT COUNT(*) FROM ({osql}) t"
-    ).fetchone()[0]
 
     def checksum_verify():
         """rows + schema + per-column checksums — the degraded-mode
@@ -210,14 +237,21 @@ for name, fn in qs.items():
         return status
 
     status = []
-    if n_oracle > max_rows:
-        status = checksum_verify()
-        if status:
-            fails.append((name, status))
-            print(f"{name:32s} FAIL: {'; '.join(status)}")
-        else:
-            checksummed.append(name)
-            print(f"{name:32s} ok-checksum ({n_oracle} rows)")
+    try:
+        if n_oracle > max_rows:
+            status = checksum_verify()
+            if status:
+                fails.append((name, status))
+                print(f"{name:32s} FAIL: {'; '.join(status)}")
+            else:
+                checksummed.append(name)
+                print(f"{name:32s} ok-checksum ({n_oracle} rows)")
+            continue
+    except Exception as e:  # noqa: BLE001 — even the degraded path can
+        # die (the r9 30x run lost 19 queries to one such death);
+        # record and keep auditing on a fresh connection next query
+        fails.append((name, [f"{type(e).__name__}: {str(e)[:200]}"]))
+        print(f"{name:32s} FAIL: {type(e).__name__}: {str(e)[:200]}")
         continue
     try:
         # any driver-side failure of the full collect/compare (Python
@@ -245,7 +279,11 @@ for name, fn in qs.items():
     except Exception as e:
         print(f"{name:32s} full compare died ({type(e).__name__}); "
               f"falling back to checksums")
-        status = checksum_verify()
+        try:
+            status = checksum_verify()
+        except Exception as e2:  # noqa: BLE001 — second-level death:
+            # record it instead of killing the remaining queries
+            status = [f"{type(e2).__name__}: {str(e2)[:200]}"]
         if not status:
             checksummed.append(name)
             print(f"{name:32s} ok-checksum ({n_oracle} rows)")
