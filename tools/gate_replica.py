@@ -80,8 +80,26 @@ def _connect():
 # oracles — at the 30x replica, query #31 died with an
 # OutOfMemoryException that the very same SQL cannot reproduce on a
 # fresh connection (12s, well under the limit). Views are cheap to
-# re-register; cumulative state is not worth carrying.
-con = _connect()
+# re-register; cumulative state is not worth carrying. The loop (and
+# the full-compare fallback) assign this before every use.
+con = None
+
+
+def _reconnect():
+    global con
+    if con is not None:
+        try:
+            con.close()
+        except Exception:  # noqa: BLE001 — a died connection stays died
+            pass
+    con = _connect()
+    return con
+
+
+def _record_fail(fails, name, e):
+    msg = f"{type(e).__name__}: {str(e)[:200]}"
+    fails.append((name, [msg]))
+    print(f"{name:32s} FAIL: {msg}")
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -197,11 +215,7 @@ for name, fn in qs.items():
     if only and name not in only:
         continue
     # fresh DuckDB connection per query — see _connect()
-    try:
-        con.close()
-    except Exception:  # noqa: BLE001 — a died connection stays died
-        pass
-    con = _connect()
+    con = _reconnect()
     try:
         sdf = fn(spark, sf_dir)
         if name not in oracles:
@@ -214,8 +228,7 @@ for name, fn in qs.items():
             f"SELECT COUNT(*) FROM ({osql}) t"
         ).fetchone()[0]
     except Exception as e:  # noqa: BLE001 — record, keep auditing
-        fails.append((name, [f"{type(e).__name__}: {str(e)[:200]}"]))
-        print(f"{name:32s} FAIL: {type(e).__name__}: {str(e)[:200]}")
+        _record_fail(fails, name, e)
         continue
 
     def checksum_verify():
@@ -250,8 +263,7 @@ for name, fn in qs.items():
     except Exception as e:  # noqa: BLE001 — even the degraded path can
         # die (the r9 30x run lost 19 queries to one such death);
         # record and keep auditing on a fresh connection next query
-        fails.append((name, [f"{type(e).__name__}: {str(e)[:200]}"]))
-        print(f"{name:32s} FAIL: {type(e).__name__}: {str(e)[:200]}")
+        _record_fail(fails, name, e)
         continue
     try:
         # any driver-side failure of the full collect/compare (Python
@@ -279,6 +291,10 @@ for name, fn in qs.items():
     except Exception as e:
         print(f"{name:32s} full compare died ({type(e).__name__}); "
               f"falling back to checksums")
+        # the death may have poisoned (or been caused by) the DuckDB
+        # connection itself — give the degraded path a fresh one, or
+        # it inherits the very failure it exists to absorb
+        con = _reconnect()
         try:
             status = checksum_verify()
         except Exception as e2:  # noqa: BLE001 — second-level death:
