@@ -1,5 +1,8 @@
 """Benchmark harness: runs the query suite at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a compact
+summary JSON line first ({"metric", "value", "registry_value", "unit",
+"sf", "noisy", "registry_md5"} — short enough to survive any tail-capture
+window intact), then the full per-query JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
  "sf": ...}.
 
@@ -84,6 +87,24 @@ def main() -> None:
     registry = round(
         sum(v for q, v in timings.items() if q in Q.QUERIES), 4
     )
+    registry_md5 = hashlib.md5(
+        ",".join(sorted(Q.QUERIES)).encode()
+    ).hexdigest()[:12]
+    # Compact summary FIRST (r9 verdict #2): the driver's tail-capture
+    # truncated the front of the single ~2.5 KB per-query line in r9
+    # (BENCH_r09.json parsed: null). This short line always survives a
+    # tail window intact and carries everything the cross-round
+    # comparison needs; the full per-query line follows for humans and
+    # for NOTES-level per-query diffs.
+    print(json.dumps({
+        "metric": "query_suite_wall_time",
+        "value": total,
+        "registry_value": registry,
+        "unit": "sec",
+        "sf": sf_dir,
+        "noisy": noisy,
+        "registry_md5": registry_md5,
+    }))
     print(json.dumps({
         "metric": "query_suite_wall_time",
         "value": total,
@@ -109,9 +130,7 @@ def main() -> None:
         # fingerprint (md5 of the sorted gate names) flags a rotation
         # so a cross-round diff doesn't misread composition drift as
         # code drift
-        "registry_md5": hashlib.md5(
-            ",".join(sorted(Q.QUERIES)).encode()
-        ).hexdigest()[:12],
+        "registry_md5": registry_md5,
     }))
 
 

@@ -22,6 +22,7 @@ Cost ordering rationale (the 100-TB argument):
 
 from __future__ import annotations
 
+import os
 import re
 import threading
 from contextlib import contextmanager
@@ -708,6 +709,26 @@ def _materialize_cuts(cuts: list) -> None:
         c.count()
 
 
+# Pre-arm knob (r9 verdict #4): compositions the committed probe
+# (tools/zip_defect_probe.py) KNOWS fire the planner defect can skip
+# the doomed first attempt on a FRESH application too — the sticky
+# heal only helps from the second run on the same SparkContext, so a
+# fresh app still paid the ~20-25s abandoned attempt. Set the env var
+# (any of 1/true/yes, case-insensitive) or pass
+# ``pre_arm_reuse_off=True`` to build straight under the working
+# reuse-off configuration from the first run. The probe retirement
+# rule is unchanged — the probe itself never pre-arms.
+PRE_ARM_ENV = "SPARK_GRAFT_REUSE_OFF"
+
+
+def _pre_armed(explicit) -> bool:
+    if explicit is not None:
+        return bool(explicit)
+    return os.environ.get(PRE_ARM_ENV, "").strip().lower() in (
+        "1", "true", "yes",
+    )
+
+
 # Sticky defect memory: the SparkContext's applicationId (a unique
 # string per context — unlike id(), it can't be recycled and needs no
 # object pin, so a stopped context stays collectable). One JVM context
@@ -727,7 +748,8 @@ def _defect_seen(sess) -> bool:
 
 @contextmanager
 def curation_run(docs: DataFrame, *, materialize_output: bool = False,
-                 heal_sticky: bool = True, **kwargs):
+                 heal_sticky: bool = True,
+                 pre_arm_reuse_off: bool | None = None, **kwargs):
     """Context-managed :func:`curate_corpus`: yields the curated frame;
     on exit, frees every checkpoint block the run's plan cuts created,
     so repeated composed runs in ONE session hold no residual executor
@@ -779,7 +801,12 @@ def curation_run(docs: DataFrame, *, materialize_output: bool = False,
     trades that chance (reuse-off cost ~5-9% over the clean shape)
     for never paying another abandoned attempt (~20-25%); pass
     ``heal_sticky=False`` to re-probe the defect each run instead
-    (``tools/zip_defect_probe.py``'s retirement-check shape). The
+    (``tools/zip_defect_probe.py``'s retirement-check shape). A FRESH
+    application still pays the doomed first attempt once —
+    ``pre_arm_reuse_off=True`` (or the ``SPARK_GRAFT_REUSE_OFF`` env
+    var; CLI ``--pre-arm-reuse-off``) skips it up front for
+    compositions the committed probe knows fire, making first-run wall
+    time ≈ the sticky-rerun time with identical outputs. The
     final post-cut stage executing at
     the caller's sink is the one residual unprotected surface by
     default; ``materialize_output=True`` closes it by checkpointing
@@ -809,10 +836,14 @@ def curation_run(docs: DataFrame, *, materialize_output: bool = False,
         return out
 
     try:
-        if heal_sticky and _defect_seen(spark):
-            # the defect already fired once on this SparkContext:
-            # skip the doomed first attempt and build straight under
-            # the working configuration
+        if _pre_armed(pre_arm_reuse_off) or (
+            heal_sticky and _defect_seen(spark)
+        ):
+            # pre-armed (caller/env knows this composition fires — r9
+            # verdict #4, saves the doomed first attempt on a FRESH
+            # application), or the defect already fired once on this
+            # SparkContext: build straight under the working
+            # configuration
             with _exchange_reuse_disabled(spark):
                 out = _build()
                 yield out

@@ -18,7 +18,11 @@ At 100 TB the design rules are: (a) keep binary payloads OUT of shuffle —
 all decode/feature stages are narrow (mapInPandas over the scan
 partitioning); (b) size partitions by bytes not rows
 (``spark.sql.files.maxPartitionBytes``) since payloads dominate; (c) emit
-compact features and drop the payload column as early as possible.
+compact features and drop the payload column as early as possible;
+(d) per-row error isolation — corrupt/unsupported payloads yield NULL
+features plus a ``decode_error`` reason column instead of failing the
+task (a poison pill must not kill a 1000-executor job), with
+:func:`decode_error_datasheet` as the observable error budget.
 """
 
 from __future__ import annotations
@@ -421,10 +425,37 @@ ASSET_SCHEMA = T.StructType([
 IMAGE_FEATURES_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType(), False),
     T.StructField("n_bytes", T.IntegerType(), True),
+    T.StructField("format", T.StringType(), True),
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
     T.StructField("mean_luma", T.DoubleType(), True),
+    T.StructField("decode_error", T.StringType(), True),
 ])
+
+
+def sniff_image_format(payload: bytes) -> str:
+    """Container sniff from magic bytes (never raises) — the datasheet's
+    format dimension even when decode fails."""
+    if payload[:8] == PNG_MAGIC:
+        return "png"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
+    if payload[4:12] in (b"ftypmp42", b"ftypisom", b"ftypmp41"):
+        return "mp4"
+    return "unknown"
+
+
+def _error_reason(exc: BaseException) -> str:
+    """Compact ``Class: message`` reason string for the decode_error
+    column (class first so the datasheet can group on it)."""
+    msg = str(exc)
+    if len(msg) > 200:
+        msg = msg[:200] + "..."
+    return f"{type(exc).__name__}: {msg}" if msg else type(exc).__name__
 
 
 def _decode_image_bytes(payload: bytes, fake: bool) -> tuple[int, int, float]:
@@ -457,21 +488,40 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> tuple[int, int, float]:
 def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + feature-extract image assets via Arrow-batched
     mapInPandas. Narrow (no shuffle); the payload column never leaves the
-    stage — output is compact features only."""
+    stage — output is compact features only.
+
+    Corrupt-proof by design (r9 verdict): every per-row decode is
+    isolated — an unsupported format, a truncated payload behind valid
+    magic bytes, or any other decoder exception yields NULL features
+    plus a ``decode_error`` reason (``Class: message``) instead of
+    failing the task. On a 100-TB corpus corrupt assets are a
+    certainty; one poison pill must not kill the job (mirrors the
+    rejection-reason pattern of the Gopher gate,
+    ``text_analysis.py``). ``format`` is sniffed from magic bytes even
+    when decode fails, so :func:`decode_error_datasheet` can report a
+    per-format error budget."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 if payload is None:
-                    feats.append((asset_id, None, None, None, None))
+                    feats.append((asset_id, None, None, None, None, None,
+                                  "null_payload"))
                     continue
-                w, h, luma = _decode_image_bytes(bytes(payload), fake)
-                feats.append((asset_id, len(payload), w, h, luma))
+                data = bytes(payload)
+                fmt = sniff_image_format(data)
+                try:
+                    w, h, luma = _decode_image_bytes(data, fake)
+                except Exception as exc:  # noqa: BLE001 — per-row isolation
+                    feats.append((asset_id, len(data), fmt, None, None,
+                                  None, _error_reason(exc)))
+                    continue
+                feats.append((asset_id, len(data), fmt, w, h, luma, None))
             yield pd.DataFrame(
                 feats,
-                columns=["asset_id", "n_bytes", "width", "height",
-                         "mean_luma"],
+                columns=["asset_id", "n_bytes", "format", "width", "height",
+                         "mean_luma", "decode_error"],
             )
 
     return df.filter(df.modality == "image").select(
@@ -482,18 +532,37 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
 AUDIO_FEATURES_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType(), False),
     T.StructField("n_bytes", T.IntegerType(), True),
+    T.StructField("format", T.StringType(), True),
     T.StructField("duration_ms", T.IntegerType(), True),
     T.StructField("rms_level", T.DoubleType(), True),
+    T.StructField("decode_error", T.StringType(), True),
 ])
+
+
+def sniff_audio_format(payload: bytes) -> str:
+    """Container sniff from magic bytes (never raises)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xf3"):
+        return "mp3"
+    if payload[:4] == b"fLaC":
+        return "flac"
+    if payload[:4] == b"OggS":
+        return "ogg"
+    return "unknown"
 
 
 def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Audio analogue of :func:`extract_image_features`: decode +
     feature-extract via mapInPandas. Real decode for RIFF/WAVE PCM
     payloads (:func:`decode_wav` — duration from the frame count, RMS
-    from the samples); other formats raise ``NotImplementedError``;
-    ``fake=True`` derives a deterministic RMS-like level from the raw
-    bytes for any payload."""
+    from the samples); ``fake=True`` derives a deterministic RMS-like
+    level from the raw bytes for any payload.
+
+    Per-row error isolation as in :func:`extract_image_features`:
+    unsupported formats (non-PCM WAV, mp3, ...) and corrupt RIFF
+    payloads yield NULL features + a ``decode_error`` reason rather
+    than failing the task."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -502,27 +571,35 @@ def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
             ):
                 if payload is None:
-                    rows.append((asset_id, None, None, None))
+                    rows.append((asset_id, None, None, None, None,
+                                 "null_payload"))
                     continue
                 data = bytes(payload)
                 n = len(data)
+                fmt = sniff_audio_format(data)
                 if fake:
                     rms = (sum(b * b for b in data[:256])
                            / max(min(n, 256), 1)) ** 0.5 / 255.0
-                    rows.append((asset_id, n, dur, rms))
+                    rows.append((asset_id, n, fmt, dur, rms, None))
                     continue
-                if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                try:
+                    if fmt != "wav":
+                        raise NotImplementedError(
+                            "real decode supports PCM WAV only in this "
+                            "environment; other formats need an audio "
+                            "codec library (run with fake=True for the "
+                            "stub)"
+                        )
                     real_dur, rms = decode_wav(data)
-                    rows.append((asset_id, n, real_dur, rms))
+                except Exception as exc:  # noqa: BLE001 — per-row isolation
+                    rows.append((asset_id, n, fmt, None, None,
+                                 _error_reason(exc)))
                     continue
-                raise NotImplementedError(
-                    "real decode supports PCM WAV only in this "
-                    "environment; other formats need an audio codec "
-                    "library (run with fake=True for the stub)"
-                )
+                rows.append((asset_id, n, fmt, real_dur, rms, None))
             yield pd.DataFrame(
                 rows,
-                columns=["asset_id", "n_bytes", "duration_ms", "rms_level"],
+                columns=["asset_id", "n_bytes", "format", "duration_ms",
+                         "rms_level", "decode_error"],
             )
 
     return df.filter(df.modality == "audio").select(
@@ -574,3 +651,42 @@ def sample_video_frames(
     return df.filter(df.modality == "video").select(
         "asset_id", "payload"
     ).mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)
+
+
+DATASHEET_SCHEMA = T.StructType([
+    T.StructField("modality", T.StringType(), False),
+    T.StructField("format", T.StringType(), False),
+    T.StructField("status", T.StringType(), False),
+    T.StructField("n_assets", T.LongType(), False),
+    T.StructField("total_bytes", T.LongType(), True),
+])
+
+
+def decode_error_datasheet(feats: DataFrame, modality: str) -> DataFrame:
+    """Decode-outcome datasheet over a feature frame from
+    :func:`extract_image_features` / :func:`extract_audio_features`:
+    one row per (modality, sniffed format, status) with asset counts
+    and byte totals, where status is ``ok`` for clean decodes and the
+    exception class (the part of ``decode_error`` before ``:``)
+    otherwise. This is the observable decode-error budget a 100-TB run
+    watches — a plain partial-aggregating groupBy over the compact
+    feature frame (payloads already dropped), so it adds one small
+    shuffle regardless of corpus size."""
+    from pyspark.sql import functions as F
+
+    return (
+        feats.select(
+            F.lit(modality).alias("modality"),
+            F.coalesce(F.col("format"), F.lit("none")).alias("format"),
+            F.coalesce(
+                F.split(F.col("decode_error"), ":").getItem(0),
+                F.lit("ok"),
+            ).alias("status"),
+            F.col("n_bytes"),
+        )
+        .groupBy("modality", "format", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )

@@ -61,6 +61,19 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return F.when(denom > 0, _dot(a, b) / denom)
 
 
+def _finite_vec(vec_col: str) -> Column:
+    """TRUE iff the array column is non-null and every component is a
+    finite double — the index-BUILD-side NaN/Inf guard (r9 verdict #8):
+    query-time paths already filter NaN sims, but a corrupt vector
+    reaching `_train_ivf`/`_train_pq` would bake NaN into the persisted
+    centroid/codebook geometry and poison every later probe."""
+    inf = float("inf")
+    return F.forall(
+        F.col(vec_col),
+        lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) < inf),
+    )
+
+
 def _rankable_sim() -> Column:
     """Filter for the top-k rank windows: drop NULL sims (zero-norm —
     cosine undefined) and NaN sims (a NaN/Inf component in an
@@ -357,11 +370,17 @@ def _train_ivf(
     """Driver-side IVF training: bootstrap centroids from a deterministic
     sample of the candidate set (lowest ids — testdata ids are random),
     optionally refined with spherical-Lloyd iterations over a bounded
-    sample. Returns the (n_cells, dim) unit-norm centroid matrix."""
+    sample. Returns the (n_cells, dim) unit-norm centroid matrix.
+
+    Non-finite vectors are excluded from BOTH the bootstrap and the
+    Lloyd sample (:func:`_finite_vec`) — one NaN/Inf embedding among
+    the lowest ids would otherwise become a NaN centroid and poison
+    every assignment against the persisted index."""
     import numpy as np
 
+    finite = candidates.filter(_finite_vec(cand_vec))
     cent_rows = (
-        candidates.select(cand_id, cand_vec)
+        finite.select(cand_id, cand_vec)
         .orderBy(cand_id)
         .limit(n_cells)
         .collect()
@@ -371,7 +390,7 @@ def _train_ivf(
 
     if kmeans_iters > 0:
         train_rows = (
-            candidates.select(cand_id, cand_vec)
+            finite.select(cand_id, cand_vec)
             .orderBy(cand_id)
             .limit(kmeans_sample)
             .collect()
@@ -751,11 +770,14 @@ def _train_pq(
     """Driver-side PQ codebook training on a deterministic bounded
     sample (lowest ids — same recipe as :func:`_train_ivf`): per
     subspace, ``ks``-centroid Lloyd iterations. Returns a list of m
-    (ks, dim/m) arrays."""
+    (ks, dim/m) arrays. Non-finite vectors are excluded from the
+    training sample (:func:`_finite_vec`) — same poisoned-geometry
+    failure mode as IVF training."""
     import numpy as np
 
     train_rows = (
-        candidates.select(cand_id, cand_vec)
+        candidates.filter(_finite_vec(cand_vec))
+        .select(cand_id, cand_vec)
         .orderBy(cand_id)
         .limit(train_sample)
         .collect()
@@ -881,7 +903,15 @@ def _pq_encode(
     candidates: DataFrame, books, cand_id: str, cand_vec: str
 ) -> DataFrame:
     """Arrow-batched numpy PQ encoding of a vector table against
-    driver-held codebooks → (id, __code array<int>)."""
+    driver-held codebooks → (id, __code array<int>).
+
+    Non-finite vectors are DROPPED from the encoded corpus: unlike the
+    raw-cosine paths (where a NaN sim is filtered by
+    :func:`_rankable_sim`), PQ similarity is reconstructed from
+    codebook centroids — a corrupt vector would get an arbitrary but
+    FINITE code and show up in every query's top-k with a fake
+    similarity. Excluding it at encode time is the only point where
+    the corruption is still visible."""
     import numpy as np
     import pandas as pd
 
@@ -894,6 +924,12 @@ def _pq_encode(
         B = b_books.value
         for pdf in batches:
             M = np.array(list(pdf[cand_vec]), dtype=np.float64)
+            keep = np.isfinite(M).all(axis=1)
+            if not keep.all():
+                M = M[keep]
+                pdf = pdf[keep]
+            if not len(M):
+                continue
             norms = np.linalg.norm(M, axis=1, keepdims=True)
             norms[norms == 0.0] = 1.0
             M /= norms
@@ -1110,7 +1146,16 @@ def semantic_dedup(
     def _greedy(key, pdf):
         C = b_cents.value
         M = np.array(list(pdf[vec_col]), dtype=np.float64)
+        # Non-finite guard (r9 ADVICE): a corrupt (NaN/Inf) embedding's
+        # normalized row is all-NaN, NaN similarities propagate through
+        # np.max, and `NaN < threshold` is False — an unguarded greedy
+        # would silently drop every OTHER vector in the cell whenever
+        # the corrupt one is scanned first. Mirror the Spark-side IVF
+        # guard: non-finite rows match nothing — they are kept verbatim
+        # and never serve as comparison targets.
+        finite = np.isfinite(M).all(axis=1)
         norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[~np.isfinite(norms)] = 1.0
         norms[norms == 0.0] = 1.0
         M = M / norms
         ids = pdf[id_col].to_numpy()
@@ -1123,9 +1168,12 @@ def semantic_dedup(
         if by_centroid:
             order = order[np.argsort(csim[order], kind="stable")]
         S = M @ M.T
-        kept_pos: list[int] = []
+        kept_pos: list[int] = []  # finite kept rows — comparison targets
         kept_flags = np.zeros(len(ids), dtype=bool)
         for i in order:
+            if not finite[i]:
+                kept_flags[i] = True  # matches nothing, drops nothing
+                continue
             if not kept_pos or S[i, kept_pos].max() < threshold:
                 kept_pos.append(i)
                 kept_flags[i] = True

@@ -446,6 +446,8 @@ def bigram_lm_tables(
     train: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_count: int = 1,
+    top_k_vocab: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train a token-bigram model on a reference corpus; returns the two
     persistable model tables:
@@ -466,6 +468,12 @@ def bigram_lm_tables(
     Scale shape: one narrow explode each side, then two hash shuffles
     over 8-byte keys with map-side partial aggregation; token text
     never shuffles.
+
+    ``min_count`` > 1 / ``top_k_vocab`` apply :func:`prune_bigram_lm`
+    to the freshly trained tables (V and N are computed over the FULL
+    vocabulary first, then rare entries are dropped) — the knob that
+    keeps model-table size bounded as the training corpus grows. For
+    sharded training, prune after the merge instead.
     """
     bg = _doc_bigrams(train, text_col, id_col)
     stamp = F.lit(lm_fingerprint())
@@ -502,7 +510,65 @@ def bigram_lm_tables(
         per_tok.crossJoin(totals)  # 1-row frame — bounded
         .withColumn(LM_PARAMS_COL, stamp)
     )
+    if min_count > 1 or top_k_vocab is not None:
+        return prune_bigram_lm(
+            bigrams, unigrams, min_count=min_count, top_k_vocab=top_k_vocab
+        )
     return bigrams, unigrams
+
+
+def prune_bigram_lm(
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    min_count: int = 2,
+    top_k_vocab: int | None = None,
+    pair_min_count: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Count-prune a trained bigram model (the standard count-LM move —
+    SRILM's ``-gtNmin`` family): drop vocabulary entries with fewer than
+    ``min_count`` occurrences (and/or keep only the ``top_k_vocab`` most
+    frequent), plus bigram rows below ``pair_min_count`` or with a
+    pruned endpoint. This bounds the 100-TB pressure point the r9
+    scaling audit named: Heaps' law grows raw vocabulary ~N^0.5-0.8 and
+    the hapax tail dominates it, so the model tables — the only
+    corpus-scale-dependent part of the scoring plan — stop tracking
+    corpus size once pruned.
+
+    OOV mass flows through the EXISTING backoff path, unchanged: a
+    pruned token simply misses the scoring left-joins, so its counts
+    coalesce to 0 and it scores the same smoothing floors
+    (``k/(c(prev)+kV)`` / ``k/(N+kV)``) as a never-seen token.
+    ``__vocab`` and ``__total`` are PRESERVED from the input model
+    (V = the full training vocabulary as smoothing support, N = the
+    full token count), so every surviving entry's probability is
+    bit-identical to the unpruned model — pruning only changes scores
+    of documents that actually contain rare tokens.
+
+    Prune AFTER :func:`merge_bigram_lm_tables`, not per shard: a token
+    below ``min_count`` in every shard can still clear it globally.
+    ``top_k_vocab`` ranks by (n_tok desc, tok_hash asc) — deterministic
+    — via TakeOrderedAndProject (bounded by the cap, no global sort
+    shuffle). Returns (bigrams, unigrams) with stamps intact."""
+    _validate_lm_stamp(bigrams, "bigram")
+    _validate_lm_stamp(unigrams, "unigram")
+    kept = unigrams.filter(F.col("n_tok") >= min_count)
+    if top_k_vocab is not None:
+        kept = kept.orderBy(
+            F.col("n_tok").desc(), F.col("tok_hash").asc()
+        ).limit(top_k_vocab)
+    keys = kept.select("tok_hash")
+    pruned_bg = (
+        bigrams.filter(F.col("n_pair") >= pair_min_count)
+        .join(
+            keys.withColumnRenamed("tok_hash", "prev_hash"),
+            "prev_hash", "left_semi",
+        )
+        .join(
+            keys.withColumnRenamed("tok_hash", "w_hash"),
+            "w_hash", "left_semi",
+        )
+    )
+    return pruned_bg, kept
 
 
 def merge_bigram_lm_tables(

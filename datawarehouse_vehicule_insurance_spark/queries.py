@@ -2696,7 +2696,12 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-3 boundary), invariant under repartitioning. n_features =
     2^18 (the HashingTF default) keeps the probability of another
     vocabulary token colliding into the label token's bucket — the
-    one event that could break separability — negligible. Same
+    one event that could break separability — small at gate scale,
+    but replica vocabularies (up to 125 bijections) push expected
+    colliders toward 1, so the query ASSERTS the separation margin
+    eagerly (max |score − label| < 5e-4, the round-3 boundary) and
+    fails with a diagnosable message rather than an opaque driver
+    hash-mismatch (r9 ADVICE). Same
     gate-design precedent as ``sketch_aggregates``: where the oracle
     cannot replay the algorithm, it pins SQL-derivable invariants the
     algorithm's output must satisfy exactly."""
@@ -2725,7 +2730,30 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = train_quality_classifier(
         labeled, n_features=262144, reg_param=0.0, max_iter=50
     )
-    return score_quality(model, labeled).select(
+    scored = score_quality(model, labeled)
+    # Separation-margin assert (r9 ADVICE low): the oracle's
+    # exact-saturation premise assumes no other corpus token hashes
+    # into the label token's 2^18 bucket. Replica scaling multiplies
+    # vocabulary by up to 125 bijections, so expected colliders
+    # approach 1 at 30x+ — if a collision (or non-convergence) ever
+    # erodes perfect separability, fail HERE with a diagnosable
+    # message instead of an opaque driver hash-mismatch. 5e-4 is the
+    # round-3 boundary the gate's score_r3 == label comparison needs;
+    # measured margins sit ~1e-7 (three orders inside it).
+    worst = scored.agg(
+        F.max(F.abs(F.col("quality_score") - F.col("label")))
+    ).first()[0]
+    if worst is None or worst >= 5e-4:
+        raise ValueError(
+            f"quality_classifier separation margin violated: max "
+            f"|quality_score - label| = {worst!r} >= 5e-4 (the score_r3 "
+            f"rounding boundary). Likely causes: another corpus token "
+            f"hashing into the label token {_QC_LABEL_TOKEN!r}'s "
+            f"HashingTF bucket (expected at very large replica "
+            f"vocabularies), or L-BFGS non-convergence — the oracle's "
+            f"exact-saturation premise no longer holds on this corpus"
+        )
+    return scored.select(
         "doc_id",
         F.col("label").cast("bigint").alias("label"),
         (F.col("quality_score") > 0.5).alias("predicted"),

@@ -338,6 +338,99 @@ def test_ivf_neardup_ignores_nan_embeddings(spark):
     assert all(r["cosine_sim"] == r["cosine_sim"] for r in pairs)  # no NaN
 
 
+def test_semantic_dedup_ignores_nan_embeddings(spark):
+    """semantic_dedup's greedy pass needs the same non-finite guard
+    (r9 ADVICE medium): unguarded, a corrupt vector's all-NaN
+    normalized row makes `NaN < threshold` False for every later scan,
+    so if the corrupt vector is kept first (min id in its cell) every
+    other vector in the cell is silently dropped. Corrupt vectors must
+    match nothing (kept verbatim, never a comparison target) and real
+    dups must still collapse."""
+    from datawarehouse_vehicule_insurance_spark.operators import (
+        similarity as S,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [float("nan"), 1.0]),    # corrupt, min id — scanned first
+         (2, [1.0, 0.0]),
+         (3, [1.0, 0.001]),           # near-dup of 2 — must be dropped
+         (4, [0.0, 1.0]),             # distinct — must survive
+         (5, [float("inf"), 0.0])],   # corrupt via Inf
+        "vec_id long, embedding array<float>",
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in S.semantic_dedup(
+            df, threshold=0.95, n_cells=1, seed=7
+        ).collect()
+    )
+    # pre-fix this came back [1] — the NaN row ate the whole cell
+    assert kept == [1, 2, 4, 5]
+
+    dec = {
+        r["vec_id"]: r["kept"]
+        for r in S.semantic_dedup(
+            df, threshold=0.95, n_cells=1, seed=7, return_decisions=True
+        ).collect()
+    }
+    assert dec == {1: True, 2: True, 3: False, 4: True, 5: True}
+
+
+def test_ann_index_builds_are_nan_safe(spark):
+    """Index-BUILD NaN safety (r9 verdict #8): the r9 fixes guarded
+    query/candidate time; a corrupt embedding must also never bake NaN
+    into persisted IVF centroids or PQ codebooks (min-id corrupt rows
+    would bootstrap straight into the geometry), never receive a fake
+    finite PQ code, and never surface from an LSH bucket."""
+    import math
+
+    from datawarehouse_vehicule_insurance_spark.operators import (
+        similarity as S,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    corpus = spark.createDataFrame(
+        [(1, [nan, 0.0, 0.0, 0.0]),      # corrupt, min id
+         (2, [inf, 0.0, 0.0, 0.0]),      # corrupt via Inf
+         (3, [1.0, 0.0, 0.0, 0.0]),
+         (4, [0.0, 1.0, 0.0, 0.0]),
+         (5, [0.0, 0.0, 1.0, 0.0]),
+         (6, [0.0, 0.0, 0.0, 1.0]),
+         (7, [0.9, 0.1, 0.0, 0.0]),
+         (8, [0.1, 0.9, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+
+    cents = S.ivf_centroids_table(corpus, n_cells=2, kmeans_iters=2)
+    for r in cents.collect():
+        assert all(math.isfinite(x) for x in r["centroid"]), r
+
+    books = S.pq_codebooks_table(
+        corpus, m=2, ks=2, train_sample=8, kmeans_iters=2
+    )
+    for r in books.collect():
+        assert all(math.isfinite(x) for x in r["centroid"]), r
+
+    codes = S.pq_encode_table(
+        corpus, books, m=2, ks=2, train_sample=8, kmeans_iters=2
+    )
+    encoded_ids = {r["vec_id"] for r in codes.select("vec_id").collect()}
+    assert encoded_ids == {3, 4, 5, 6, 7, 8}  # corrupt rows not indexed
+
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "query_id long, qvec array<float>"
+    )
+    top = S.pq_topk(
+        queries, corpus, k=3, m=2, ks=2, train_sample=8, kmeans_iters=2,
+        codebooks=books, codes=codes,
+    ).collect()
+    assert top and all(r["vec_id"] not in (1, 2) for r in top)
+
+    lsh = S.lsh_topk(queries, corpus, dim=4, k=8, n_planes=4,
+                     n_tables=2).collect()
+    assert lsh and all(r["vec_id"] not in (1, 2) for r in lsh)
+
+
 # ---------------------------------------------------------------------------
 # streaming loops (r9: the r8 sweep covered the batch surfaces; these
 # drive the same degenerate shapes through the INGEST loops, where a

@@ -2216,6 +2216,56 @@ def test_curation_run_sticky_heal(spark, monkeypatch):
     assert spark.conf.get("spark.sql.exchange.reuse", None) == prev
 
 
+def test_curation_run_pre_arm_reuse_off(spark, monkeypatch):
+    """pre_arm_reuse_off=True (or SPARK_GRAFT_REUSE_OFF=1) builds
+    straight under reuse-off from the FIRST run on a fresh application
+    (r9 verdict #4 — the sticky heal only helps from the second run, so
+    a fresh app paid the doomed ~20-25s first attempt at compositions
+    the zip probe knows fire): ONE build under the working config,
+    outputs identical, conf restored, and the pre-arm is NOT defect
+    memory (the probe retirement rule is untouched)."""
+    from datawarehouse_vehicule_insurance_spark.operators import curate as C
+
+    docs = _docs(spark, [(1, _fresh("a")), (2, _fresh("b"))])
+    kw = dict(min_tokens=1, min_alpha_ratio=0.0, max_dup_2gram_ratio=1.0)
+    with C.curation_run(docs, **kw) as out:
+        expect = sorted(r.doc_id for r in out.select("doc_id").collect())
+
+    confs, calls = [], []
+    real = C.curate_corpus
+
+    def tracking(d, **kws):
+        calls.append(1)
+        confs.append(
+            d.sparkSession.conf.get("spark.sql.exchange.reuse", None)
+        )
+        return real(d, **kws)
+
+    monkeypatch.setattr(C, "curate_corpus", tracking)
+    monkeypatch.delenv(C.PRE_ARM_ENV, raising=False)
+    prev = spark.conf.get("spark.sql.exchange.reuse", None)
+    with C.curation_run(docs, pre_arm_reuse_off=True, **kw) as out:
+        got = sorted(r.doc_id for r in out.select("doc_id").collect())
+        assert spark.conf.get("spark.sql.exchange.reuse") == "false"
+    assert got == expect
+    assert calls == [1] and confs == ["false"]
+    assert spark.conf.get("spark.sql.exchange.reuse", None) == prev
+    assert not C._defect_seen(spark)  # pre-arm is not defect memory
+
+    # env-var form (the streaming loops' knob — read inside
+    # curation_run, so foreachBatch session clones inherit it)
+    monkeypatch.setenv(C.PRE_ARM_ENV, "1")
+    with C.curation_run(docs, **kw):
+        assert spark.conf.get("spark.sql.exchange.reuse") == "false"
+    assert confs[-1] == "false"
+
+    # explicit False overrides the env var (tri-state)
+    with C.curation_run(docs, pre_arm_reuse_off=False, **kw):
+        pass
+    assert confs[-1] == prev
+    assert spark.conf.get("spark.sql.exchange.reuse", None) == prev
+
+
 def test_curation_run_materialize_output(spark, monkeypatch):
     """materialize_output=True checkpoints the curated frame inside the
     protected region: the yielded frame's analyzed plan is a bare

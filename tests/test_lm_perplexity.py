@@ -256,6 +256,159 @@ def test_cli_lm_train_and_curate_gate(spark, tmp_path, capsys):
     assert kept == [1]
 
 
+# ------------------------------------------------------------- pruning
+
+
+def _py_lm_pruned(train, docs, min_count=2, k=0.1, lam=0.7):
+    """Reference for the pruned model: V and N stay the FULL training
+    vocabulary/total (the smoothing support is preserved), but counts of
+    tokens below min_count — and of pairs touching them — read as 0
+    (the scoring joins miss)."""
+    pair, prev, tok = Counter(), Counter(), Counter()
+    for _, t in train:
+        ts = _toks(t)
+        tok.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            pair[(a, b)] += 1
+            prev[a] += 1
+    V, N = len(tok), sum(tok.values())
+    kept = {t for t, c in tok.items() if c >= min_count}
+    out = {}
+    for i, t in docs:
+        ts = _toks(t)
+        bgs = list(zip(ts, ts[1:]))
+        if not bgs:
+            out[i] = None
+            continue
+        lp = 0.0
+        for a, b in bgs:
+            c_pair = pair[(a, b)] if (a in kept and b in kept) else 0
+            c_prev = prev[a] if a in kept else 0
+            c_tok = tok[b] if b in kept else 0
+            lp += math.log(
+                lam * (c_pair + k) / (c_prev + k * V)
+                + (1.0 - lam) * (c_tok + k) / (N + k * V)
+            )
+        out[i] = lp / len(bgs)
+    return out
+
+
+def test_pruned_model_matches_python_reference(spark):
+    """min_count pruning (r9 verdict #3): OOV mass flows through the
+    existing backoff floors — the pruned model's scores match a pure-
+    Python reference exactly, docs made of kept tokens score
+    BIT-IDENTICAL to the unpruned model, and the quality ranking
+    (fluent < scrambled < junk) survives pruning."""
+    full = bigram_lm_tables(_df(spark, TRAIN))
+    pruned = bigram_lm_tables(_df(spark, TRAIN), min_count=2)
+
+    # the hapax tail is really gone, V/N really preserved
+    uni_full = full[1].collect()
+    uni_pruned = pruned[1].collect()
+    assert len(uni_pruned) < len(uni_full)
+    assert all(r["n_tok"] >= 2 for r in uni_pruned)
+    assert uni_pruned[0]["__vocab"] == uni_full[0]["__vocab"]
+    assert uni_pruned[0]["__total"] == uni_full[0]["__total"]
+
+    docs = DOCS + [(6, "the cat sat on the dog")]  # all-kept tokens
+    got = {
+        r["doc_id"]: r["avg_logp"]
+        for r in lm_perplexity(_df(spark, docs), *pruned).collect()
+    }
+    want = _py_lm_pruned(TRAIN, docs, min_count=2)
+    for i in want:
+        if want[i] is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(want[i], abs=1e-9)
+
+    # all-kept-token doc: bit-identical to the unpruned model
+    full_scores = {
+        r["doc_id"]: r["avg_logp"]
+        for r in lm_perplexity(_df(spark, docs), *full).collect()
+    }
+    assert got[6] == pytest.approx(full_scores[6], abs=1e-12)
+
+    ppl = {i: math.exp(-v) for i, v in got.items() if v is not None}
+    assert ppl[1] < ppl[2] < ppl[3]
+
+
+def test_top_k_vocab_cap_bounds_model(spark):
+    """top_k_vocab keeps exactly the k most frequent tokens
+    (deterministic tie-break on tok_hash) and prunes bigrams to pairs
+    inside the cap."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        prune_bigram_lm,
+    )
+
+    full_bg, full_uni = bigram_lm_tables(_df(spark, TRAIN))
+    bg, uni = prune_bigram_lm(
+        full_bg, full_uni, min_count=1, top_k_vocab=3
+    )
+    rows = uni.collect()
+    assert len(rows) == 3
+    kept_hashes = {r["tok_hash"] for r in rows}
+    # the 3 most frequent by (n_tok desc, tok_hash asc)
+    ranked = sorted(
+        full_uni.collect(), key=lambda r: (-r["n_tok"], r["tok_hash"])
+    )
+    assert kept_hashes == {r["tok_hash"] for r in ranked[:3]}
+    for r in bg.collect():
+        assert r["prev_hash"] in kept_hashes
+        assert r["w_hash"] in kept_hashes
+    # stamps survive pruning — scoring still validates
+    out = lm_perplexity(_df(spark, DOCS), bg, uni).collect()
+    assert len(out) == len(DOCS)
+
+
+def test_prune_after_merge_equals_prune_of_full(spark):
+    """The documented order (merge shards, THEN prune) reproduces
+    pruning of the full-train model exactly."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        merge_bigram_lm_tables,
+        prune_bigram_lm,
+    )
+
+    full = bigram_lm_tables(_df(spark, TRAIN), min_count=2)
+    merged = prune_bigram_lm(
+        *merge_bigram_lm_tables(
+            bigram_lm_tables(_df(spark, TRAIN[:2])),
+            bigram_lm_tables(_df(spark, TRAIN[2:])),
+        ),
+        min_count=2,
+    )
+    want = {
+        r["doc_id"]: r["avg_logp"]
+        for r in lm_perplexity(_df(spark, DOCS), *full).collect()
+    }
+    got = {
+        r["doc_id"]: r["avg_logp"]
+        for r in lm_perplexity(_df(spark, DOCS), *merged).collect()
+    }
+    assert got.keys() == want.keys()
+    for i in want:
+        if want[i] is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(want[i], abs=1e-12)
+
+
+def test_dsir_accepts_pruned_models(spark):
+    """dsir_log_weights over pruned target/raw models: stamps validate,
+    target-like text still outweighs junk."""
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        dsir_log_weights,
+    )
+
+    target = bigram_lm_tables(_df(spark, TRAIN), min_count=2)
+    raw = bigram_lm_tables(_df(spark, TRAIN + RAW_EXTRA), min_count=2)
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(_df(spark, DOCS), target, raw).collect()
+    }
+    assert got[1] > got[3]
+
+
 # ---------------------------------------------------------------- DSIR
 
 RAW_EXTRA = [

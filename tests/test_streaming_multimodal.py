@@ -90,14 +90,23 @@ def test_image_feature_extraction_fake_decode(spark, assets):
     assert rows[1]["n_bytes"] == 200
     assert rows[1]["width"] == 201 and rows[1]["height"] == 201
     assert 0 <= rows[1]["mean_luma"] <= 1
+    assert rows[1]["decode_error"] is None
     assert rows[3]["n_bytes"] is None  # null payload passes through
+    assert rows[3]["decode_error"] == "null_payload"
 
 
-def test_image_decode_stub_raises_without_fake(spark, assets):
-    import pandas as pd
-
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        MM.extract_image_features(assets, fake=False).collect()
+def test_image_decode_isolates_unsupported_without_fake(spark, assets):
+    """Per-row isolation (r9 verdict): unsupported payloads must NOT
+    kill the job — they come back with NULL features + a decode_error
+    reason."""
+    rows = {r["asset_id"]: r.asDict()
+            for r in MM.extract_image_features(assets, fake=False).collect()}
+    assert set(rows) == {1, 2, 3}
+    for aid in (1, 2):  # neither payload carries a supported magic
+        assert rows[aid]["width"] is None
+        assert rows[aid]["mean_luma"] is None
+        assert rows[aid]["decode_error"].startswith("NotImplementedError")
+    assert rows[3]["decode_error"] == "null_payload"
 
 
 def test_video_frame_sampling(spark, assets):
@@ -402,8 +411,10 @@ def test_fake_mode_contract_pinned(spark, assets):
     }
     # asset 1: payload bytes(range(200)) -> n=200
     assert img[1] == {
-        "asset_id": 1, "n_bytes": 200, "width": 201, "height": 201,
+        "asset_id": 1, "n_bytes": 200, "format": "unknown",
+        "width": 201, "height": 201,
         "mean_luma": (sum(range(64)) / 64) / 255.0,
+        "decode_error": None,
     }
     # asset 2: 1000 x 0xff
     assert img[2]["width"] == (1000 % 640) + 1
@@ -428,8 +439,8 @@ def test_fake_mode_contract_pinned(spark, assets):
         for r in MM.extract_audio_features(assets, fake=True).collect()
     }
     assert aud[5] == {
-        "asset_id": 5, "n_bytes": 128, "duration_ms": 2000,
-        "rms_level": 0.0,
+        "asset_id": 5, "n_bytes": 128, "format": "unknown",
+        "duration_ms": 2000, "rms_level": 0.0, "decode_error": None,
     }
 
 
@@ -549,16 +560,24 @@ def test_real_wav_decode(spark):
     assert out["n_bytes"] == len(wav)
 
 
-def test_unknown_image_format_still_raises_without_fake(spark):
+def test_unknown_image_format_isolated_with_reason(spark):
+    """WebP is honestly unsupported: the row survives with NULL
+    features, a sniffed format, and a codec-citing reason — and the
+    decoder itself still raises (decoder-level honesty is pinned)."""
     import pytest as _pytest
 
+    payload = b"RIFF\x00\x00\x00\x00WEBPVP8 "
+    with _pytest.raises(NotImplementedError, match="codec"):
+        MM._decode_image_bytes(payload, fake=False)
     df = spark.createDataFrame(
-        [(1, "image", b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp",
-          None, None, None)],
+        [(1, "image", payload, "image/webp", None, None, None)],
         MM.ASSET_SCHEMA,
     )
-    with _pytest.raises(Exception, match="NotImplementedError|PNG"):
-        MM.extract_image_features(df, fake=False).collect()
+    row = MM.extract_image_features(df, fake=False).collect()[0].asDict()
+    assert row["format"] == "webp"
+    assert row["width"] is None and row["mean_luma"] is None
+    assert row["decode_error"].startswith("NotImplementedError")
+    assert "codec" in row["decode_error"]
 
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):
@@ -897,20 +916,137 @@ def test_real_jpeg_decode_baseline(spark):
         ) < 1e-12
 
 
-def test_progressive_jpeg_raises(spark):
-    """SOF2 (progressive) is honestly unsupported — the decoder must say
-    so rather than mis-decode."""
+def test_progressive_jpeg_rejected_with_reason(spark):
+    """SOF2 (progressive) is honestly unsupported — the decoder says so
+    rather than mis-decoding, and the extractor isolates the row with
+    that reason instead of failing the task."""
     import pytest as _pytest
 
     base = _encode_jpeg_gray_blocks([100], blocks_w=1)
     progressive = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError, match="SOF0|progressive"):
+        MM.decode_jpeg(progressive)
     df = spark.createDataFrame(
         [(1, "image", bytearray(progressive), "image/jpeg",
           None, None, None)],
         MM.ASSET_SCHEMA,
     )
-    with _pytest.raises(Exception, match="SOF0|progressive|baseline"):
-        MM.extract_image_features(df, fake=False).collect()
+    row = MM.extract_image_features(df, fake=False).collect()[0].asDict()
+    assert row["format"] == "jpeg"
+    assert row["mean_luma"] is None
+    assert row["decode_error"].startswith("NotImplementedError")
+
+
+def test_degenerate_binary_sweep_batch_survives(spark):
+    """Degenerate-binary sweep (r9 verdict 'done' criteria): a batch
+    mixing healthy payloads with truncated-PNG (valid magic, corrupt
+    IDAT), wrong-magic, progressive-JPEG and non-PCM/truncated WAV
+    completes; bad rows carry NULL features + a reason; good rows'
+    features are bit-identical to a clean-batch run; the datasheet
+    aggregates the error budget per (modality, format, status)."""
+    import struct as _struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    rgb = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    good_png = _encode_png(rgb, filters=[0, 1, 2, 3, 4])
+    truncated_png = good_png[:len(good_png) // 2]  # magic OK, IDAT cut
+    wrong_magic = b"\x00\x01\x02\x03" * 64
+    progressive = _encode_jpeg_gray_blocks([100], blocks_w=1).replace(
+        b"\xff\xc0", b"\xff\xc2", 1
+    )
+    good_jpeg = _encode_jpeg_gray_blocks([200], blocks_w=1)
+
+    imgs = spark.createDataFrame(
+        [
+            (1, "image", bytearray(good_png), "image/png", None, None, None),
+            (2, "image", bytearray(truncated_png), "image/png",
+             None, None, None),
+            (3, "image", wrong_magic, "application/octet-stream",
+             None, None, None),
+            (4, "image", bytearray(progressive), "image/jpeg",
+             None, None, None),
+            (5, "image", bytearray(good_jpeg), "image/jpeg",
+             None, None, None),
+        ],
+        MM.ASSET_SCHEMA,
+    )
+    out = {r["asset_id"]: r.asDict()
+           for r in MM.extract_image_features(imgs, fake=False).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # batch completed, nobody dropped
+
+    # good rows bit-identical to a clean-batch decode
+    clean = dict(zip(("width", "height", "mean_luma"),
+                     MM.decode_png(bytes(good_png))))
+    assert (out[1]["width"], out[1]["height"], out[1]["mean_luma"]) == (
+        clean["width"], clean["height"], clean["mean_luma"]
+    )
+    assert out[1]["decode_error"] is None
+    assert abs(out[5]["mean_luma"] - 200 / 255.0) < 1e-12
+    assert out[5]["decode_error"] is None
+
+    # bad rows: NULL features + attributable reasons
+    assert out[2]["format"] == "png" and out[2]["mean_luma"] is None
+    assert out[2]["decode_error"] is not None  # zlib/struct/ValueError
+    assert out[3]["format"] == "unknown"
+    assert out[3]["decode_error"].startswith("NotImplementedError")
+    assert out[4]["format"] == "jpeg"
+    assert out[4]["decode_error"].startswith("NotImplementedError")
+
+    sheet = {
+        (r["format"], r["status"]): r["n_assets"]
+        for r in MM.decode_error_datasheet(
+            MM.extract_image_features(imgs, fake=False), "image"
+        ).collect()
+    }
+    assert sheet[("png", "ok")] == 1
+    assert sheet[("jpeg", "ok")] == 1
+    assert sheet[("unknown", "NotImplementedError")] == 1
+    assert sheet[("jpeg", "NotImplementedError")] == 1
+    assert sum(n for (f, s), n in sheet.items()
+               if f == "png" and s != "ok") == 1
+
+    # audio: non-PCM WAV (format code 2 = ADPCM) + truncated WAV + good
+    good_wav = _encode_wav([1000, -1000] * 100, rate=8000)
+    adpcm = bytearray(good_wav)
+    fmt_at = good_wav.index(b"fmt ") + 8
+    _struct.pack_into("<H", adpcm, fmt_at, 2)  # wFormatTag: 1 -> 2
+    truncated_wav = good_wav[:40]
+    auds = spark.createDataFrame(
+        [
+            (10, "audio", bytearray(good_wav), "audio/wav",
+             None, None, None),
+            (11, "audio", bytes(adpcm), "audio/wav", None, None, None),
+            (12, "audio", bytearray(truncated_wav), "audio/wav",
+             None, None, None),
+            (13, "audio", b"ID3\x03\x00" + b"\x00" * 64, "audio/mpeg",
+             None, None, None),
+        ],
+        MM.ASSET_SCHEMA,
+    )
+    arow = {r["asset_id"]: r.asDict()
+            for r in MM.extract_audio_features(auds, fake=False).collect()}
+    assert set(arow) == {10, 11, 12, 13}
+    assert arow[10]["decode_error"] is None
+    assert arow[10]["duration_ms"] == 25  # 200 frames @ 8kHz
+    for aid in (11, 12):
+        assert arow[aid]["format"] == "wav"
+        assert arow[aid]["rms_level"] is None
+        assert arow[aid]["decode_error"] is not None
+    assert arow[13]["format"] == "mp3"
+    assert arow[13]["decode_error"].startswith("NotImplementedError")
+
+    asheet = {
+        (r["format"], r["status"]): r["n_assets"]
+        for r in MM.decode_error_datasheet(
+            MM.extract_audio_features(auds, fake=False), "audio"
+        ).collect()
+    }
+    assert asheet[("wav", "ok")] == 1
+    assert asheet[("mp3", "NotImplementedError")] == 1
+    assert sum(n for (f, s), n in asheet.items()
+               if f == "wav" and s != "ok") == 2
 
 
 def test_jpeg_fill_bytes_before_rstn():

@@ -13,7 +13,15 @@ clones:
   consonant set 'dcmhg' by ``i // 25`` → K ≤ 125 distinct bijections;
   K ≤ 25 replicas are byte-identical to what this tool produced before
   the third set existed, since its rotation is 0 there) — token
-  structure and lengths preserved, cross-copy shingle Jaccard ≈ 0;
+  structure and lengths preserved, cross-copy shingle Jaccard ≈ 0.
+  CAVEAT (r9 advice) for K > 25: the third set's consonants are
+  low-frequency, so copy pairs with i ≡ j (mod 25) — i.e. sharing the
+  vowel and 'rstln' rotations — leave every token containing none of
+  d/c/m/h/g unchanged, and verbatim 10-token runs CAN recur across
+  such copies. The "cross-copy Jaccard ≈ 0" premise is therefore
+  weaker at 30×/50×: scaling-audit readers should attribute small
+  super-linear deltas in span-trim/near-dup work at K > 25 to this
+  residual overlap before suspecting the operators;
 - embeddings: a per-copy sign mask flipping ~half the dimensions
   (flip where popcount((dim-1) & i) is odd; DuckDB list_transform's
   index lambda arg is 1-based, so dim-1 is the 0-based dimension) —
