@@ -2563,6 +2563,113 @@ LEFT JOIN npos np USING (doc_id)
 """
 
 
+def q_lm_perplexity_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-only variant of :func:`q_lm_perplexity` with min_count=2
+    vocabulary pruning (``prune_bigram_lm`` via ``bigram_lm_tables``):
+    the hapax tail — the part of the model tables that grows with
+    corpus vocabulary under Heaps' law — is dropped before the scoring
+    joins. Used by tools/scaling_audit.py to measure how much of the
+    lm_perplexity 10→30× scaling exponent is vocabulary-table-driven;
+    NOT gate/bench registered (no oracle needed — the pruned model's
+    correctness is pinned by tests/test_lm_perplexity.py against a
+    Python reference)."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bigram_lm_tables,
+        lm_perplexity,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bigrams, unigrams = bigram_lm_tables(docs, min_count=2)
+    bigrams = bigrams.localCheckpoint()
+    unigrams = unigrams.localCheckpoint()
+    return lm_perplexity(docs, bigrams, unigrams).select(
+        "doc_id",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
+def q_dsir_log_weights_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-only variant of :func:`q_dsir_log_weights` with
+    min_count=2 pruning on both LMs — see
+    :func:`q_lm_perplexity_pruned`."""
+    from datawarehouse_vehicule_insurance_spark.operators.mlprep import (
+        dsir_log_weights,
+    )
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bigram_lm_tables,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    proj = docs.select("doc_id", "text")
+    target = tuple(t.localCheckpoint() for t in bigram_lm_tables(
+        docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+        min_count=2,
+    ))
+    raw = tuple(
+        t.localCheckpoint() for t in bigram_lm_tables(proj, min_count=2)
+    )
+    return dsir_log_weights(proj, target, raw).select(
+        "doc_id", "log_weight"
+    )
+
+
+#: Audit-only persisted-model cache for the score-only LM variants:
+#: production trains once and scores many batches, so the scale claim
+#: that matters is the SCORING pass against a persisted (possibly
+#: pruned) model — not the per-query retrain the gate shape pays.
+#: Keyed by (sf_dir, min_count); pinned localCheckpoints, process-local.
+_AUDIT_LM_MODELS: dict[tuple, tuple] = {}
+
+
+def _audit_lm_model(spark: SparkSession, sf_dir: str, min_count: int):
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        bigram_lm_tables,
+    )
+
+    key = (sf_dir, min_count)
+    if key not in _AUDIT_LM_MODELS:
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        bg, uni = bigram_lm_tables(docs, min_count=min_count)
+        _AUDIT_LM_MODELS[key] = (bg.localCheckpoint(), uni.localCheckpoint())
+    return _AUDIT_LM_MODELS[key]
+
+
+def q_lm_score_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-only: lm_perplexity SCORING pass against a cached
+    persisted model (trained+pinned on first call per sf_dir) — the
+    production build-once/score-many shape. Compare against
+    :func:`q_lm_score_only_pruned` to isolate how much scoring cost
+    the vocabulary tables drive."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        lm_perplexity,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bg, uni = _audit_lm_model(spark, sf_dir, 1)
+    return lm_perplexity(docs, bg, uni).select(
+        "doc_id",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
+def q_lm_score_only_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-only: the same scoring pass against the min_count=2
+    pruned persisted model."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        lm_perplexity,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bg, uni = _audit_lm_model(spark, sf_dir, 2)
+    return lm_perplexity(docs, bg, uni).select(
+        "doc_id",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
 #: BPE gate fixture: a pinned training corpus over the testdata
 #: vocabulary. The oracle replays the LITERAL merge list below, so the
 #: gate simultaneously pins (a) train_bpe reproducing exactly these
@@ -2867,7 +2974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_silver": q_incremental_silver,
     "top_spenders": q_top_spenders,
     "range_validate_year": q_range_validate_year,
-    "regex_validate_strip": q_regex_validate_strip,
+    "token_frequencies": q_token_frequencies,
     "orders_per_customer": q_orders_per_customer,
     "lineitem_per_order": q_lineitem_per_order,
     "pricing_summary": q_pricing_summary,
@@ -2915,15 +3022,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Rotated-out gate queries: out of the 50-slot driver registry
 # (QUERIES) but still part of the benchmarked surface — bench.py runs
 # QUERIES ∪ BENCH_EXTRA so their performance stays tracked round over
-# round. Round-9 rotation: quality_classifier (the train+score round
-# trip of mlprep's document-quality classifier — previously the only
-# substantial LLM-pipeline operator with no oracle-shaped gate) and
-# running_revenue (moving frames over a rollup, the r8 verdict's
-# suggested promotion) enter the gate; rotated to bench-only are
-# distinct_order_customers (single-column distinct, stable since r1,
-# D1-D3 stays covered by dim_part_dedup in-gate) and zscore_by_segment
-# (windowed standardization — window frames stay covered in-gate by
-# window_analytics and now running_revenue).
+# round. Round-10 rotation (policy refresh, r9 verdict #5):
+# token_frequencies (explode+groupBy term frequencies over documents —
+# the corpus-vocabulary shape the LM/DSIR scale frontier lives on,
+# long-stable in the bench-only set) enters the gate; rotated to
+# bench-only is regex_validate_strip (anchored-regex validation,
+# stable since r1, single projection shape — C3/C4/C6 stay covered by
+# its ORACLES_EXTRA entry per policy rule 2). Round-9 rotation, for
+# history: quality_classifier and running_revenue entered;
+# distinct_order_customers and zscore_by_segment left.
 BENCH_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_functions": q_string_functions,
     "array_functions": q_array_functions,
@@ -2931,7 +3038,17 @@ BENCH_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_positive_amounts": q_filter_positive_amounts,
     "distinct_order_customers": q_distinct_order_customers,
     "zscore_by_segment": q_zscore_by_segment,
-    "token_frequencies": q_token_frequencies,
+    "regex_validate_strip": q_regex_validate_strip,
+}
+
+# Audit-only query variants: runnable by tools/scaling_audit.py but
+# NOT in the gate or bench registries (no DuckDB oracle — their
+# correctness is test-pinned, their purpose is scale measurement).
+AUDIT_VARIANTS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lm_perplexity_pruned": q_lm_perplexity_pruned,
+    "dsir_log_weights_pruned": q_dsir_log_weights_pruned,
+    "lm_score_only": q_lm_score_only,
+    "lm_score_only_pruned": q_lm_score_only_pruned,
 }
 
 ORACLES: dict[str, str] = {
@@ -2942,7 +3059,7 @@ ORACLES: dict[str, str] = {
     "incremental_silver": SQL_SILVER_CLEAN_NORMALIZE,
     "top_spenders": SQL_TOP_SPENDERS,
     "range_validate_year": SQL_RANGE_VALIDATE_YEAR,
-    "regex_validate_strip": SQL_REGEX_VALIDATE_STRIP,
+    "token_frequencies": SQL_TOKEN_FREQUENCIES,
     "orders_per_customer": SQL_ORDERS_PER_CUSTOMER,
     "lineitem_per_order": SQL_LINEITEM_PER_ORDER,
     "pricing_summary": SQL_PRICING_SUMMARY,
@@ -3001,7 +3118,7 @@ ORACLES_EXTRA: dict[str, str] = {
     "filter_positive_amounts": SQL_FILTER_POSITIVE_AMOUNTS,
     "distinct_order_customers": SQL_DISTINCT_ORDER_CUSTOMERS,
     "zscore_by_segment": SQL_ZSCORE_BY_SEGMENT,
-    "token_frequencies": SQL_TOKEN_FREQUENCIES,
+    "regex_validate_strip": SQL_REGEX_VALIDATE_STRIP,
 }
 
 # ---------------------------------------------------------------------------

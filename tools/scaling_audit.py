@@ -82,8 +82,10 @@ def child(sf_dir: str, names: list[str]) -> None:
     ).save()
 
     out: dict[str, float | str] = {}
+    registry = {**Q.QUERIES, **Q.BENCH_EXTRA,
+                **getattr(Q, "AUDIT_VARIANTS", {})}
     for name in names:
-        fn = {**Q.QUERIES, **Q.BENCH_EXTRA}[name]
+        fn = registry[name]
         try:
             best = math.inf
             for p in range(3):  # pass 0 = untimed warmup
@@ -122,11 +124,12 @@ def main() -> int:
     sys.path.insert(0, REPO)
     from datawarehouse_vehicule_insurance_spark import queries as _Q
 
-    known = {**_Q.QUERIES, **_Q.BENCH_EXTRA}
+    known = {**_Q.QUERIES, **_Q.BENCH_EXTRA,
+             **getattr(_Q, "AUDIT_VARIANTS", {})}
     unknown = [n for n in names if n not in known]
     if unknown:
-        print(f"unknown queries: {unknown} (not in QUERIES/BENCH_EXTRA)",
-              file=sys.stderr)
+        print(f"unknown queries: {unknown} (not in QUERIES/BENCH_EXTRA/"
+              "AUDIT_VARIANTS)", file=sys.stderr)
         return 2
 
     scales: list[tuple[float, str]] = []
