@@ -2304,8 +2304,8 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher rule family (Rae et al. 2021 A1.1) end-to-end:
     per-row quality signals (``gopher_quality_features``) joined with
     the per-document gram repetition family
-    (``gopher_repetition_features`` — the codegen'd lead-chain/stack
-    rewrite) for top-{2,3,4}-gram and duplicated-{5,10}-gram character
+    (``gopher_repetition_features`` — shuffle-free Arrow exact-count
+    path) for top-{2,3,4}-gram and duplicated-{5,10}-gram character
     ratios. The oracle recomputes every ratio from string grams."""
     from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
         gopher_quality_features,

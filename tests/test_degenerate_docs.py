@@ -622,3 +622,50 @@ def test_embedding_loop_degenerate_vectors(spark, tmp_path):
     b3.coalesce(1).write.mode("append").parquet(src)
     run()
     assert ids() == [1, 2, 3, 4, 11, 12, 13, 22]
+
+
+def test_lang_scores_regex_equals_hof(spark):
+    """lang_scores' regexp_count form counts EXACTLY like the previous
+    interpreted-HOF form (size(filter(tokens, in markers))) on the real
+    corpus plus adversarial rows: NULL, empty, whitespace-only, and
+    adjacent markers ("of of the the") where a consuming-separator
+    regex would undercount."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        LANG_MARKERS,
+        lang_scores,
+        tokens,
+    )
+
+    def hof_scores(text):
+        toks = tokens(text)
+
+        def _hits(markers):
+            arr = F.array(*[F.lit(m) for m in markers])
+            return F.size(
+                F.filter(toks, lambda x: F.array_contains(arr, x))
+            )
+
+        return {lang: _hits(m) for lang, m in LANG_MARKERS.items()}
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("text")
+    extra = spark.createDataFrame(
+        [(None,), ("",), ("   ",), ("of of the the of",),
+         ("la la la de el",), ("the… and\tof\nder und",)],
+        "text string",
+    )
+    df = docs.unionByName(extra)
+    new = lang_scores(F.col("text"))
+    old = hof_scores(F.col("text"))
+    checks = df.select(*[
+        (new[lang].eqNullSafe(old[lang])).alias(lang)
+        for lang in LANG_MARKERS
+    ])
+    agg = checks.agg(*[
+        F.sum(F.when(F.col(lang), 0).otherwise(1)).alias(lang)
+        for lang in LANG_MARKERS
+    ]).first()
+    assert all(agg[lang] == 0 for lang in LANG_MARKERS), agg.asDict()

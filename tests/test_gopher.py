@@ -89,7 +89,8 @@ def test_quality_features_hand_computed(spark):
     assert got[1]["alpha_word_ratio"] == 1.0
 
 
-def test_repetition_features_match_python_reference(spark):
+@pytest.mark.parametrize("impl", ["arrow", "codegen"])
+def test_repetition_features_match_python_reference(spark, impl):
     rows = [
         (1, GOOD),
         (2, "repeat me now\nrepeat me now\nunique line here\n"
@@ -100,7 +101,9 @@ def test_repetition_features_match_python_reference(spark):
     ]
     got = {
         r["doc_id"]: r
-        for r in gopher_repetition_features(_df(spark, rows)).collect()
+        for r in gopher_repetition_features(
+            _df(spark, rows), impl=impl
+        ).collect()
     }
     for i, t in rows:
         ref = _ref_repetition(t)
@@ -216,8 +219,10 @@ def test_cli_curate_gopher_flag(spark, tmp_path, capsys):
 
 
 def test_repetition_property_random_texts(spark):
-    """Property: repetition ratios equal the python reference on random
-    multi-line texts drawn from a small word pool (repeats likely)."""
+    """Property: BOTH impls' repetition ratios equal the python
+    reference on random multi-line texts drawn from a small word pool
+    (repeats likely) — one createDataFrame per example, both impls
+    checked against it."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -231,13 +236,55 @@ def test_repetition_property_random_texts(spark):
     )
     def run(lines):
         text = "\n".join(lines)
-        got = gopher_repetition_features(
-            _df(spark, [(1, text)])
-        ).first().asDict()
-        for k, v in _ref_repetition(text).items():
-            assert got[k] == pytest.approx(v, abs=2e-6), k
+        df = _df(spark, [(1, text)])
+        ref = _ref_repetition(text)
+        for impl in ("arrow", "codegen"):
+            got = gopher_repetition_features(
+                df, impl=impl
+            ).first().asDict()
+            for k, v in ref.items():
+                assert got[k] == pytest.approx(v, abs=2e-6), (impl, k)
 
     run()
+
+
+def test_repetition_impls_identical_on_real_documents(spark):
+    """Cross-impl pin on the real sf0.001 corpus (+ planted degenerate
+    rows): the arrow exact-count path and the codegen hash-count path
+    produce IDENTICAL rounded features row-by-row — the equivalence the
+    gate's oracle parity rides on. Planted rows cover NULL text, empty
+    text, all-whitespace text, a single word, and unicode ellipsis/NBSP
+    so the JVM-normalization-sharing claim is exercised beyond ASCII."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            (100001, None),
+            (100002, ""),
+            (100003, "   "),
+            (100004, "word"),
+            (100005, "line one…\nline one…\n padded \nx y x y "
+                     "x y x y x y x y"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(extra)
+    feat_cols = [
+        c for c in gopher_repetition_features(both).columns
+        if c not in ("doc_id", "text")
+    ]
+    a = gopher_repetition_features(both, impl="arrow") \
+        .select("doc_id", *feat_cols)
+    b = gopher_repetition_features(both, impl="codegen") \
+        .select("doc_id", *feat_cols)
+    # exact value comparison via anti-join on all columns (NaN-free:
+    # every feature is round()ed or 0.0)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == both.count()
 
 
 def test_corpus_stats_datasheet(spark):
