@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .plancut import checkpoint_cut
+from .plancut import checkpoint_cut, ensure_parallelism
 
 
 # ---------------------------------------------------------------------------
@@ -1640,7 +1640,9 @@ def _span_grams_from_tok(tok: DataFrame, min_span: int) -> DataFrame:
     """(__side, __id, __pos, __gh) — the FULL ``min_span``-token gram
     hash starting at every position (xxhash64 over a ``lead`` chain of
     token hashes; positions within min_span−1 of the document end have
-    no full gram and emit nothing)."""
+    no full gram and emit nothing). Superseded in the hot paths by
+    :func:`_span_grams_per_row` (identical hashes, no window sort);
+    kept as the cross-check the hash-compat parity test pins."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("__side", "__id").orderBy("__pos")
@@ -1653,6 +1655,98 @@ def _span_grams_from_tok(tok: DataFrame, min_span: int) -> DataFrame:
         .filter(F.col("__full"))
         .select("__side", "__id", "__pos", "__gh")
     )
+
+
+def _span_grams_per_row(
+    df: DataFrame, side: int, text_col: str, id_col: str, min_span: int
+) -> DataFrame:
+    """Same (__side, __id, __pos, __gh) rows as
+    ``_span_grams_from_tok(_span_tok_rows(df, side), L)`` but built
+    PER ROW: the canonical token array is hashed once, every gram hash
+    is ``xxhash64`` over a slice of the token-hash array, and only the
+    8-byte gram keys explode. ``xxhash64(array<long>)`` seeds-chains
+    elements exactly like the variadic ``xxhash64(h0, .., h49)`` of
+    the lead-chain form (pinned by test_span_gram_builders_identical),
+    so hashes — and any PERSISTED :func:`span_gram_table` — are
+    byte-identical across the two builders. What this removes at
+    scale: the token posexplode and the L-deep lead-chain window sort
+    (L=50 ⇒ a 50-column window over every token of the corpus) that
+    previously ran before the one genuinely-needed shuffle (the gram
+    occurrence count)."""
+    L = int(min_span)
+    toks = F.split(
+        F.regexp_replace(
+            F.lower(F.trim(F.col(text_col))), r"\s+", " "
+        ),
+        " ",
+    )
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # materialize the token-hash array behind a projection boundary:
+    # referenced inside the per-position lambda below, the raw `th`
+    # expression would be re-evaluated per lambda call (interpreted
+    # HOFs do no subexpression caching — measured 2.3x slower at the
+    # 10x replica)
+    base = df.select(
+        F.lit(side).alias("__side"),
+        F.col(id_col).alias("__id"),
+        th.alias("__tharr"),
+    )
+    tharr = F.col("__tharr")
+    n = F.size(tharr)
+    ghs = F.when(n >= L, F.transform(
+        F.sequence(F.lit(1), n - L + 1),
+        lambda i: F.xxhash64(F.slice(tharr, i, L)),
+    )).otherwise(F.array().cast("array<bigint>"))
+    return base.select(
+        "__side", "__id",
+        F.posexplode(ghs).alias("__pos", "__gh"),
+    )
+
+
+def _span_rebuild_udf(min_span: int):
+    """Arrow-batched survivor-text rebuild for
+    :func:`duplicate_span_trim`: given the canonical token array and
+    the doc's flagged gram-start positions, drop every token covered
+    by a flagged ``min_span``-token span and join the rest with single
+    spaces. One sorted two-pointer sweep per document — O(tokens +
+    flags) even for degenerate all-duplicate documents, where a
+    per-token ``exists`` over flags would go quadratic. Replaces the
+    previous token-row flag join + sliding-window-max window + sorted
+    ``collect_list`` reassembly (three more passes over every token
+    row of the corpus). NULL token array returns NULL — the caller
+    nulls the input for unflagged docs so only flagged ones pay the
+    Arrow transfer, and coalesces the canonical form back in JVM."""
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    L = int(min_span)
+
+    def one(toks, starts):
+        if toks is None:
+            return None
+        if starts is None or len(starts) == 0:
+            return " ".join(toks)
+        ss = sorted(starts)
+        kept = []
+        j = 0
+        cover_until = -1
+        for i, t in enumerate(toks):
+            while j < len(ss) and ss[j] <= i:
+                end = ss[j] + L - 1
+                if end > cover_until:
+                    cover_until = end
+                j += 1
+            if i > cover_until:
+                kept.append(t)
+        return " ".join(kept)
+
+    def rebuild(toks, starts):
+        return pd.Series([one(t, s) for t, s in zip(toks, starts)])
+
+    rebuild.__annotations__ = {
+        "toks": pd.Series, "starts": pd.Series, "return": pd.Series,
+    }
+    return F.pandas_udf(StringType())(rebuild)
 
 
 SPAN_PARAMS_COL = "__span_params"
@@ -1695,8 +1789,8 @@ def span_gram_table(
     L = int(min_span)
     if L < 2:
         raise ValueError("min_span must be >= 2")
-    rows = _span_grams_from_tok(
-        _span_tok_rows(docs, 0, text_col, id_col), L
+    rows = _span_grams_per_row(
+        ensure_parallelism(docs), 0, text_col, id_col, L
     )
     return (
         rows.groupBy("__gh")
@@ -1805,20 +1899,24 @@ def duplicate_span_trim(
     token spans).
 
     Mechanics, suffix-array-free: per token position, hash the
-    ``min_span``-token gram starting there (an ``xxhash64`` over a
-    ``lead`` chain — the winnowing machinery without its sampling, so
-    EVERY span is checked, not a sketch); one shuffle by gram hash
-    counts and ranks occurrences; a position is removed iff some
-    flagged gram start lies within the previous ``min_span−1``
-    positions — a sliding window max, no interval arithmetic. Survivor
-    text is reassembled in token order.
+    ``min_span``-token gram starting there (``xxhash64`` over a slice
+    of the per-row token-hash array — the winnowing machinery without
+    its sampling, so EVERY span is checked, not a sketch; built per
+    row by :func:`_span_grams_per_row`, no token explode, no window);
+    ONE shuffle by gram hash counts and ranks occurrences — the only
+    cross-document data dependency this operator truly has; flagged
+    start positions collapse to one small array per affected document
+    and the removal + reassembly run per row
+    (:func:`_span_rebuild_udf`, one O(tokens+flags) Arrow sweep).
 
     Contract: output text is whitespace-normalized (lowered + single
     spaces — the same canonical form every dedup operator here hashes);
     documents shorter than ``min_span`` tokens pass through in that
-    canonical form too. NULL text stays NULL. Cost is O(min_span) lead
-    columns per token — at the paper's span lengths (~50) that is real
-    but linear, and both shuffles are narrow (id- and hash-keyed).
+    canonical form too. NULL text stays NULL. Cost is O(min_span) long
+    copies per token inside the per-row slice hashing — at the paper's
+    span lengths (~50) that is real but linear, stays JVM-side, and
+    the one remaining shuffle is narrow (8-byte hash keys with
+    map-side combine).
 
     Skew note: occurrence stats are a partial-aggregatable
     ``min(struct)``/``count`` groupBy, not a rank window — map-side
@@ -1835,8 +1933,6 @@ def duplicate_span_trim(
     against ``min_span`` (``validate=False`` skips the limit-1 read for
     callers that built the frame themselves).
     """
-    from pyspark.sql import Window
-
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be first|none, got {keep!r}")
     L = int(min_span)
@@ -1848,11 +1944,12 @@ def duplicate_span_trim(
             "(persisted span_gram_table)"
         )
 
-    # the token and gram frames are each referenced several times below
-    # (stats + flag join; flag + reassembly + had-tokens probe) — cut
-    # the lineage so the posexplode and the L-lead window run once, not
-    # per reference (minhash_dedup's candidate-checkpoint precedent)
-    tok = checkpoint_cut(_span_tok_rows(docs, 1, text_col, id_col))
+    # the gram frame is referenced twice below (stats + flag join) —
+    # cut the lineage so the per-row gram build and its explode run
+    # once, not per reference (minhash_dedup's candidate-checkpoint
+    # precedent). The parallelism guard covers BOTH per-row passes
+    # (gram build here, rebuild at the end) from one exchange.
+    docs = ensure_parallelism(docs)
 
     # per-gram occurrence stats via a partial-aggregatable groupBy —
     # NOT a rank window: min(struct) and count combine map-side, so a
@@ -1861,7 +1958,9 @@ def duplicate_span_trim(
     if corpus_grams is not None:
         if validate:
             validate_span_params(corpus_grams, L)
-        occ = checkpoint_cut(_span_grams_from_tok(tok, L))
+        occ = checkpoint_cut(
+            _span_grams_per_row(docs, 1, text_col, id_col, L)
+        )
         b_part = occ.groupBy("__gh").agg(
             F.count(F.lit(1)).alias("__cnt"),
             F.min(F.struct("__side", "__id", "__pos")).alias("__first"),
@@ -1897,10 +1996,10 @@ def duplicate_span_trim(
             .filter(F.col("__cnt") >= int(min_occurrences))
         )
     else:
-        occ = _span_grams_from_tok(tok, L)
+        occ = _span_grams_per_row(docs, 1, text_col, id_col, L)
         if corpus is not None:
-            occ = occ.unionByName(_span_grams_from_tok(
-                _span_tok_rows(corpus, 0, text_col, id_col), L
+            occ = occ.unionByName(_span_grams_per_row(
+                ensure_parallelism(corpus), 0, text_col, id_col, L
             ))
         occ = checkpoint_cut(occ)
         gram_stats = occ.groupBy("__gh").agg(
@@ -1917,43 +2016,38 @@ def duplicate_span_trim(
         .withColumn("__ds", F.lit(1))
     )
 
-    tok_flag = (
-        tok.filter(F.col("__side") == 1)
-        .join(starts, ["__id", "__pos"], "left")
-        .withColumn("__ds", F.coalesce(F.col("__ds"), F.lit(0)))
+    # flagged starts collapse to ONE small array per affected doc
+    # (duplicated passages are the exception, not the rule), joined
+    # back onto the documents; the removal + reassembly then happen
+    # PER ROW in one Arrow-batched sweep over the canonical tokens —
+    # no token rows ever shuffle. NULL text stays NULL (NULL token
+    # array through the udf); an all-duplicate doc rebuilds to ""
+    # (content existed, all of it duplicated); an unflagged doc gets
+    # its canonical form — the same three outcomes the previous
+    # token-row reassembly produced.
+    doc_starts = starts.groupBy("__id").agg(
+        F.collect_list("__pos").alias("__starts")
     )
-    dw = Window.partitionBy("__id").orderBy("__pos") \
-               .rowsBetween(-(L - 1), 0)
-    kept = tok_flag.withColumn("__cov", F.max("__ds").over(dw)) \
-                   .filter(F.col("__cov") == 0)
-    rebuilt = kept.groupBy("__id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("__pos", "__tok"))
-                ),
-                lambda s: s["__tok"],
-            ),
-        ).alias("__clean"),
+    text = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    toks = F.split(norm, " ")
+    rebuild = _span_rebuild_udf(L)
+    # Arrow ships token arrays ONLY for flagged documents (the
+    # when() nulls the udf input otherwise — duplicated passages are
+    # the exception, so the Python path prices the exception, not the
+    # corpus); unflagged docs take the pure-JVM canonical form, which
+    # equals " ".join(tokens) by construction
+    trimmed = rebuild(
+        F.when(F.col("__starts").isNotNull(), toks), F.col("__starts")
     )
-    # docs whose every token was trimmed still had token rows upstream;
-    # they get an empty string (content existed, all of it duplicated),
-    # while NULL-text docs never produced rows and keep NULL
-    any_tok = tok.filter(F.col("__side") == 1).select(
-        F.col("__id")
-    ).distinct().withColumn("__had", F.lit(1))
     out_cols = [
         F.col(c) if c != text_col else
-        F.when(F.col("__had").isNotNull(),
-               F.coalesce(F.col("__clean"), F.lit("")))
-        .otherwise(F.lit(None).cast("string")).alias(text_col)
+        F.when(text.isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(trimmed, norm)).alias(text_col)
         for c in docs.columns
     ]
     return (
-        docs.join(rebuilt, F.col(id_col) == rebuilt["__id"], "left")
-        .drop("__id")
-        .join(any_tok, F.col(id_col) == any_tok["__id"], "left")
+        docs.join(doc_starts, F.col(id_col) == doc_starts["__id"], "left")
         .drop("__id")
         .select(*out_cols)
     )

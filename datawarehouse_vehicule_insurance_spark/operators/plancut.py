@@ -139,3 +139,22 @@ def release_cuts(frames: list) -> None:
                     leaf.rdd().unpersist(False)
         except Exception:  # noqa: BLE001 — release must never fail a job
             pass
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ``df`` up to the cluster's default
+    parallelism when its physical plan has fewer partitions — the
+    guard per-row (shuffle-free) operators need in front of their hot
+    projection: a small parquet scan can arrive as ONE partition,
+    which would serialize an Arrow UDF or a heavy per-row HOF onto a
+    single worker while 31 cores idle. A no-op whenever the input is
+    already parallel (the normal case at scale), so real pipelines
+    never pay the extra exchange; when it does fire, the narrow
+    row-wise shuffle of raw input is far cheaper than the per-token
+    exchanges these operators were rewritten to avoid. Compiling the
+    plan to inspect partitioning costs only planning time, not
+    execution."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df

@@ -1383,9 +1383,9 @@ def _gopher_repetition_arrow(
         F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
         lambda l: l != "",
     )
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    from .plancut import ensure_parallelism
+
+    df = ensure_parallelism(df)
     rep_counts, _ = _gopher_rep_counts_udf(tuple(top_ns), tuple(dup_ns))
     d = df.withColumns({
         "__c": rep_counts(tokens(text), lines),

@@ -1957,18 +1957,18 @@ def test_streaming_curation_span_gram_index(spark, tmp_path):
     assert _corpus_ids(spark, tmp_path) == [1, 2]
 
     seen: list[set] = []
-    real = D._span_tok_rows
+    real = D._span_grams_per_row
 
-    def spy(df, side, text_col, id_col):
+    def spy(df, side, text_col, id_col, min_span):
         seen.append({r[0] for r in df.select(id_col).distinct().collect()})
-        return real(df, side, text_col, id_col)
+        return real(df, side, text_col, id_col, min_span)
 
     _docs(spark, b2).coalesce(1).write.mode("append").parquet(src)
     try:
-        D._span_tok_rows = spy
+        D._span_grams_per_row = spy
         _run(spark, tmp_path, **kw)
     finally:
-        D._span_tok_rows = real
+        D._span_grams_per_row = real
     got = {r["doc_id"]: r["text"]
            for r in SC.read_corpus(spark, corpus_path).collect()}
     assert sorted(got) == [1, 2, 11, 12]

@@ -441,3 +441,40 @@ def test_decontamination_by_trimming(spark):
     assert lead in got[1] and tail in got[1]
     assert got[2] == ("a clean document sharing nothing with the "
                       "benchmark")
+
+
+def test_span_gram_builders_identical(spark):
+    """Hash-compat pin: the per-row gram builder
+    (_span_grams_per_row — xxhash64 over a token-hash array slice)
+    emits EXACTLY the rows of the superseded lead-chain window builder
+    (_span_grams_from_tok — variadic xxhash64 over 50 lead columns).
+    This is the guarantee that lets a span_gram_table persisted under
+    the old builder keep working unchanged (same fingerprint, same
+    values). Real corpus + degenerate rows, two span lengths."""
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        _span_grams_from_tok,
+        _span_grams_per_row,
+        _span_tok_rows,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(90001, None), (90002, ""), (90003, "   "),
+         (90004, "one two three four five six seven"),
+         (90005, "a b " * 40)],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(extra)
+    for L in (3, 50):
+        old = _span_grams_from_tok(
+            _span_tok_rows(both, 1, "text", "doc_id"), L
+        )
+        new = _span_grams_per_row(both, 1, "text", "doc_id", L)
+        # same columns and types (nullability differs: the per-row
+        # builder's when()-guard marks __gh nullable; values never are)
+        assert [(f.name, f.dataType) for f in old.schema.fields] \
+            == [(f.name, f.dataType) for f in new.schema.fields]
+        assert old.exceptAll(new).count() == 0, L
+        assert new.exceptAll(old).count() == 0, L
