@@ -129,28 +129,39 @@ def _minhash_min_columns(
     """(id, __m0..__m{k-1}) — the K per-document minhash minima as plain
     columns (the shared core of :func:`minhash_signatures_df` and
     :func:`_banded_signatures`; keeping them unpacked lets the banded
-    path hash signature slices without the interpreted array HOFs)."""
-    from pyspark.sql import Window
+    path hash signature slices without the interpreted array HOFs).
 
-    tokens = F.split(
+    Shingle hashes are built PER ROW — ``xxhash64`` over slices of the
+    per-row token-hash array, the span-trim gram-builder pattern — so
+    no token row ever shuffles and there is no window sort; only the
+    8-byte shingle keys explode into the codegen'd K-hash projection,
+    and the groupBy's min() partials combine map-side (one K-column
+    row per doc per task reaches the exchange). Hash values are
+    byte-identical to the previous lead-chain window form:
+    ``xxhash64(array<long>)`` seed-chains elements exactly like the
+    variadic call, and for a doc shorter than ``shingle_n`` tokens the
+    single clamped slice equals the old NULL-skipping variadic hash of
+    its first row (shingles()'s truncated-gram semantics)."""
+    toks = F.split(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
     )
-    tok = df.select(
-        F.col(id_col), F.posexplode(tokens).alias("__pos", "__tok")
-    ).withColumn("__th", F.xxhash64("__tok", F.lit(seed)))
-
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    lead_hashes = [F.col("__th")] + [
-        F.lead("__th", j).over(w) for j in range(1, shingle_n)
-    ]
-    # tail positions where lead() runs off the end are dropped (partial
-    # shingles), except a doc shorter than n tokens keeps its first row —
-    # mirroring shingles()'s `sequence(0, greatest(size-n, 0))` indexing
-    sh = (
-        tok.withColumn("__sh", F.xxhash64(*lead_hashes))
-        .withColumn("__full", lead_hashes[-1].isNotNull())
-        .filter(F.col("__full") | (F.col("__pos") == 0))
+    th = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    # projection boundary: `th` referenced inside the per-position
+    # lambda would be re-evaluated per call (interpreted HOFs do no
+    # subexpression caching)
+    base = ensure_parallelism(df).select(
+        F.col(id_col), th.alias("__tharr")
     )
+    tharr = F.col("__tharr")
+    n_tok = F.size(tharr)
+    # NULL text → NULL shingle array → explode yields no rows, exactly
+    # like the old posexplode of a NULL token array (the doc is absent
+    # from the signature output)
+    shs = F.when(n_tok >= shingle_n, F.transform(
+        F.sequence(F.lit(1), n_tok - shingle_n + 1),
+        lambda i: F.xxhash64(F.slice(tharr, i, shingle_n)),
+    )).when(n_tok.isNotNull(), F.array(F.xxhash64(tharr)))
+    sh = base.select(F.col(id_col), F.explode(shs).alias("__sh"))
     hash_cols = [
         F.xxhash64("__sh", F.lit(seed + i)).alias(f"__h{i}")
         for i in range(k)
@@ -1401,45 +1412,47 @@ def _winnow_fingerprint_rows(
     w_select: int,
 ) -> DataFrame:
     """(id, __fp) — each document's winnowing sketch as ROWS, computed
-    whole-stage-codegen style: posexplode tokens, window-``lead`` the
-    token hashes into per-position ``window``-gram fingerprints, take
-    the sliding min of ``w_select`` consecutive fingerprints with a
-    frame aggregate, distinct. ONE shuffle keyed by document id serves
-    both window functions; everything else is codegen'd — the
-    interpreted array-HOF form (7 + 3 ``zip_with`` passes per document)
-    costs ~20× more on real tables. Tail semantics mirror
+    PER ROW with no token shuffle: fingerprints are ``xxhash64`` over
+    slices of the per-row token-hash array (byte-identical to the
+    previous posexplode + window-``lead`` chain — the span-trim
+    gram-builder equivalence, pinned by
+    test_winnow_rows_match_window_form), the ``w_select`` sliding min
+    is ``w_select−1`` linear ``zip_with``/``least`` passes over that
+    LONG array (cheap — the "~20× slower" interpreted form this
+    replaced at r4 was building gram STRINGS per position, quadratic
+    in window size; the hash-array passes are linear), and only the
+    distinct 8-byte fingerprints explode. Tail semantics mirror
     :func:`~.text_analysis.winnow_sketch`: documents shorter than
     ``window`` tokens keep one truncated-gram fingerprint; sketches
-    shorter than ``w_select`` keep their overall min."""
-    from pyspark.sql import Window
-
+    shorter than ``w_select`` keep their overall min (``least``
+    ignores the NULL padding of the shifted slices); NULL text emits
+    no rows."""
     toks = F.split(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
     )
-    tok = docs.select(
-        F.col(id_col), F.posexplode(toks).alias("__pos", "__tok")
-    ).withColumn("__th", F.xxhash64("__tok"))
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    lead_hashes = [F.col("__th")] + [
-        F.lead("__th", j).over(w) for j in range(1, window)
-    ]
-    fp_rows = (
-        tok.withColumn("__fp0", F.xxhash64(*lead_hashes))
-        .withColumn("__full", lead_hashes[-1].isNotNull())
-        .filter(F.col("__full") | (F.col("__pos") == 0))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # projection boundary: interpreted HOFs re-evaluate `th` per
+    # lambda call without it
+    base = ensure_parallelism(docs).select(
+        F.col(id_col), th.alias("__tharr")
     )
-    sel = (
-        fp_rows.withColumn(
-            "__fp",
-            F.min("__fp0").over(w.rowsBetween(0, w_select - 1)),
+    tharr = F.col("__tharr")
+    n_tok = F.size(tharr)
+    fps = F.when(n_tok >= window, F.transform(
+        F.sequence(F.lit(1), n_tok - window + 1),
+        lambda i: F.xxhash64(F.slice(tharr, i, window)),
+    )).when(n_tok.isNotNull(), F.array(F.xxhash64(tharr)))
+    fp_base = base.select(F.col(id_col), fps.alias("__fps"))
+    fparr = F.col("__fps")
+    width = F.greatest(F.size(fparr) - (w_select - 1), F.lit(1))
+    acc = F.slice(fparr, 1, width)
+    for j in range(1, w_select):
+        acc = F.zip_with(
+            acc, F.slice(fparr, 1 + j, width), lambda a, b: F.least(a, b)
         )
-        .withColumn(
-            "__fullw",
-            F.lead("__fp0", w_select - 1).over(w).isNotNull(),
-        )
-        .filter(F.col("__fullw") | (F.col("__pos") == 0))
+    return fp_base.select(
+        F.col(id_col), F.explode(F.array_distinct(acc)).alias("__fp")
     )
-    return sel.select(id_col, "__fp").distinct()
 
 
 def verbatim_overlap_pairs(
@@ -1464,11 +1477,10 @@ def verbatim_overlap_pairs(
     that many distinct shared fingerprints — higher values demand
     longer/more overlaps at sub-linear cost.
 
-    Scale shape: the sketch is computed in the explode + codegen-columns
-    + window shape (:func:`_winnow_fingerprint_rows` — the same lesson
-    as :func:`_minhash_min_columns`: the array-HOF column form
-    (:func:`~.text_analysis.winnow_sketch`) is interpreted and measured
-    ~20× slower at table scale), then an equi-join on the 8-byte
+    Scale shape: the sketch is computed per row with no token shuffle
+    (:func:`_winnow_fingerprint_rows` — hash-array slices, the same
+    builder pattern as :func:`_minhash_min_columns` and the span-trim
+    grams), then an equi-join on the 8-byte
     fingerprint — same bucket-join-never-all-pairs shape as the LSH
     band join; pairs oriented ``id_a < id_b``. A fingerprint shared by
     f documents yields C(f,2) joined rows — ubiquitous boilerplate

@@ -1503,3 +1503,60 @@ def test_funnel_rejection_invariants_random(spark):
                                        "near_dup"}
 
     run()
+
+
+def test_minhash_min_columns_match_window_form(spark):
+    """Hash-compat pin for the per-row shingle builder inside
+    _minhash_min_columns: signatures equal the superseded
+    posexplode + lead-chain window form (reconstructed inline here)
+    row-for-row on the real corpus plus degenerate docs — including
+    the short-doc truncated gram (old: NULL-skipping variadic xxhash64
+    on the pos-0 row; new: one clamped slice) and NULL text (absent
+    from the output in both forms)."""
+    from pyspark.sql import Window
+
+    def window_form(df, k, shingle_n, seed):
+        toks = F.split(
+            F.regexp_replace(
+                F.lower(F.trim(F.col("text"))), r"\s+", " "
+            ), " ",
+        )
+        tok = df.select(
+            F.col("doc_id"), F.posexplode(toks).alias("__pos", "__tok")
+        ).withColumn("__th", F.xxhash64("__tok", F.lit(seed)))
+        w = Window.partitionBy("doc_id").orderBy("__pos")
+        lead_hashes = [F.col("__th")] + [
+            F.lead("__th", j).over(w) for j in range(1, shingle_n)
+        ]
+        sh = (
+            tok.withColumn("__sh", F.xxhash64(*lead_hashes))
+            .withColumn("__full", lead_hashes[-1].isNotNull())
+            .filter(F.col("__full") | (F.col("__pos") == 0))
+        )
+        hash_cols = [
+            F.xxhash64("__sh", F.lit(seed + i)).alias(f"__h{i}")
+            for i in range(k)
+        ]
+        return (
+            sh.select("doc_id", *hash_cols)
+            .groupBy("doc_id")
+            .agg(*[F.min(f"__h{i}").alias(f"__m{i}") for i in range(k)])
+        )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(80001, None), (80002, ""), (80003, "   "),
+         (80004, "one"), (80005, "one two"), (80006, "a b " * 30)],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(extra)
+    old = window_form(both, k=8, shingle_n=3, seed=42)
+    new = D._minhash_min_columns(
+        both, "text", "doc_id", k=8, shingle_n=3, seed=42
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    # NULL text absent from signatures in both forms
+    assert new.filter(F.col("doc_id") == 80001).count() == 0

@@ -204,3 +204,65 @@ def test_curate_corpus_span_stage(spark):
 
     with pytest.raises(ValueError, match="span_dedup_min_shared"):
         curate_corpus(batch, existing_winnow=winnow_table(corpus))
+
+
+def test_winnow_rows_match_window_form(spark):
+    """Hash-compat pin for the per-row winnow sketch builder: (id, fp)
+    rows equal the superseded posexplode + lead-chain + frame-min
+    window form (reconstructed inline) on the real corpus plus
+    degenerate docs — short docs (truncated gram), sketches shorter
+    than w_select (overall min), NULL/empty/whitespace text."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        _winnow_fingerprint_rows,
+    )
+
+    def window_form(docs, window, w_select):
+        toks = F.split(
+            F.regexp_replace(
+                F.lower(F.trim(F.col("text"))), r"\s+", " "
+            ), " ",
+        )
+        tok = docs.select(
+            F.col("doc_id"), F.posexplode(toks).alias("__pos", "__tok")
+        ).withColumn("__th", F.xxhash64("__tok"))
+        w = Window.partitionBy("doc_id").orderBy("__pos")
+        lead_hashes = [F.col("__th")] + [
+            F.lead("__th", j).over(w) for j in range(1, window)
+        ]
+        fp_rows = (
+            tok.withColumn("__fp0", F.xxhash64(*lead_hashes))
+            .withColumn("__full", lead_hashes[-1].isNotNull())
+            .filter(F.col("__full") | (F.col("__pos") == 0))
+        )
+        sel = (
+            fp_rows.withColumn(
+                "__fp",
+                F.min("__fp0").over(w.rowsBetween(0, w_select - 1)),
+            )
+            .withColumn(
+                "__fullw",
+                F.lead("__fp0", w_select - 1).over(w).isNotNull(),
+            )
+            .filter(F.col("__fullw") | (F.col("__pos") == 0))
+        )
+        return sel.select("doc_id", "__fp").distinct()
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(70001, None), (70002, ""), (70003, "   "),
+         (70004, "one two three"),                      # < window
+         (70005, "one two three four five six seven eight nine"),
+         (70006, "a b " * 30)],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(extra)
+    old = window_form(both, window=8, w_select=4)
+    new = _winnow_fingerprint_rows(both, "text", "doc_id", 8, 4)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    assert new.filter(F.col("doc_id") == 70001).count() == 0
