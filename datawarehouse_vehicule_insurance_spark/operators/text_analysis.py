@@ -107,9 +107,14 @@ def dup_ngram_ratio(text: Column, n: int = 2) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append quality-scoring features: length, token stats, alpha ratio,
     stopword ratio, mean token length, duplicate-2-gram repetition
-    ratio. One fused projection."""
+    ratio. The token array is materialized behind a projection boundary
+    (same re-evaluation pitfall as :func:`gopher_quality_features` —
+    the interpreted HOF islands re-tokenize per reference without it),
+    then one fused projection."""
     text = F.col(text_col)
-    toks = tokens(text)
+    in_cols = df.columns
+    df = df.withColumn("__qf_toks", tokens(text))
+    toks = F.col("__qf_toks")
     n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
@@ -141,7 +146,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         ),
         "dup_2gram_ratio": dup_ngram_ratio(text, 2),
-    })
+    }).select(*in_cols, "n_chars", "n_tokens", "alpha_ratio",
+              "stopword_ratio", "mean_token_len", "dup_2gram_ratio")
 
 
 #: PII patterns, ordered most- to least-specific: each is applied in
@@ -1188,16 +1194,28 @@ def gopher_quality_features(
     - ``stopword_hits`` — how many DISTINCT entries of
       :data:`GOPHER_STOPWORDS` appear.
 
-    All native column expressions (codegen'd); the repetition family
-    needs per-document gram frequencies and lives in
-    :func:`gopher_repetition_features`."""
+    All native column expressions; the repetition family needs
+    per-document gram frequencies and lives in
+    :func:`gopher_repetition_features`.
+
+    The token and line arrays are materialized behind a projection
+    boundary first: they are referenced by ~35 sub-expressions
+    (including interpreted HOF islands and the per-stopword
+    ``array_contains`` chain), and without the boundary the
+    tokenization re-evaluates per reference — measured 1.3x slower at
+    the 30x replica, identical values."""
     text = F.col(text_col)
-    toks = tokens(text)
+    in_cols = df.columns
+    df = df.withColumns({
+        "__gq_toks": tokens(text),
+        "__gq_lines": F.filter(
+            F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+            lambda l: l != "",
+        ),
+    })
+    toks = F.col("__gq_toks")
+    lines = F.col("__gq_lines")
     n_words = F.size(toks)
-    lines = F.filter(
-        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
-        lambda l: l != "",
-    )
     n_lines = F.size(lines)
     bullet_starts = F.size(F.filter(
         lines,
@@ -1234,7 +1252,9 @@ def gopher_quality_features(
         ).otherwise(F.lit(0.0)),
         "alpha_word_ratio": F.round(alpha_words / n_words, 6),
         "stopword_hits": stop_hits,
-    })
+    }).select(*in_cols, "n_words", "mean_word_len", "symbol_word_ratio",
+              "bullet_line_ratio", "ellipsis_line_ratio",
+              "alpha_word_ratio", "stopword_hits")
 
 
 def gopher_repetition_features(
