@@ -806,7 +806,16 @@ def curation_run(docs: DataFrame, *, materialize_output: bool = False,
     ``pre_arm_reuse_off=True`` (or the ``SPARK_GRAFT_REUSE_OFF`` env
     var; CLI ``--pre-arm-reuse-off``) skips it up front for
     compositions the committed probe knows fire, making first-run wall
-    time ≈ the sticky-rerun time with identical outputs. The
+    time ≈ the sticky-rerun time with identical outputs. r10 update:
+    with the shuffle-free per-document rewrites the DEFAULT
+    composition no longer contains the defect-triggering
+    explode+window shape (probe: 3/3 clean on the same Spark with the
+    arrow default; immediate re-fire with gopher ``impl="codegen"``),
+    so default-composition callers should NOT pre-arm — exchange
+    reuse on measured ~20% faster at the 10x replica (67.6s vs ~84s)
+    and the retry heal stays armed as the safety net. Pre-arm remains
+    the right call only for compositions that force the codegen
+    fallback. The
     final post-cut stage executing at
     the caller's sink is the one residual unprotected surface by
     default; ``materialize_output=True`` closes it by checkpointing

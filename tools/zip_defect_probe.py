@@ -120,6 +120,14 @@ if "gopher" not in drop:
         min_words=5, min_mean_word_len=1.0, max_mean_word_len=50.0,
         min_alpha_word_ratio=0.0, min_stopword_hits=0,
         max_dup_line_ratio=1.0, max_dup_line_char_ratio=1.0,
+        # r10: the gopher stage's DEFAULT repetition impl became the
+        # shuffle-free arrow path, which removed the explode+window
+        # shape the defect needs — with the default the probe went
+        # 3/3 exit-3 on the SAME Spark 4.1.2, while forcing codegen
+        # fired again immediately. Pin the codegen shape here so the
+        # probe keeps testing the DEFECT, not our default plan; a
+        # future exit-3 streak then really means a Spark fix.
+        impl="codegen",
     )
 if "keepby" not in drop:
     run_kw["near_dup_keep_by"] = F.length("text")
