@@ -90,21 +90,14 @@ def main() -> None:
     registry_md5 = hashlib.md5(
         ",".join(sorted(Q.QUERIES)).encode()
     ).hexdigest()[:12]
-    # Compact summary FIRST (r9 verdict #2): the driver's tail-capture
-    # truncated the front of the single ~2.5 KB per-query line in r9
-    # (BENCH_r09.json parsed: null). This short line always survives a
-    # tail window intact and carries everything the cross-round
-    # comparison needs; the full per-query line follows for humans and
-    # for NOTES-level per-query diffs.
-    print(json.dumps({
-        "metric": "query_suite_wall_time",
-        "value": total,
-        "registry_value": registry,
-        "unit": "sec",
-        "sf": sf_dir,
-        "noisy": noisy,
-        "registry_md5": registry_md5,
-    }))
+    # Full per-query line FIRST, compact summary LAST (r10 verdict
+    # #3, attempt two): the driver TAIL-captures stdout, so whatever
+    # prints last survives; r10's compact-line-FIRST fix scrolled the
+    # short line out behind the ~2.5 KB per-query line and the tail
+    # clipped the long line's front (BENCH_r10.json parsed: null).
+    # With the long line first, the tail window always ends with the
+    # short compact line intact — and if the window happens to hold
+    # both, both parse.
     print(json.dumps({
         "metric": "query_suite_wall_time",
         "value": total,
@@ -130,6 +123,15 @@ def main() -> None:
         # fingerprint (md5 of the sorted gate names) flags a rotation
         # so a cross-round diff doesn't misread composition drift as
         # code drift
+        "registry_md5": registry_md5,
+    }))
+    print(json.dumps({
+        "metric": "query_suite_wall_time",
+        "value": total,
+        "registry_value": registry,
+        "unit": "sec",
+        "sf": sf_dir,
+        "noisy": noisy,
         "registry_md5": registry_md5,
     }))
 

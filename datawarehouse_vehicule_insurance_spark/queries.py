@@ -2837,7 +2837,13 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = train_quality_classifier(
         labeled, n_features=262144, reg_param=0.0, max_iter=50
     )
-    scored = score_quality(model, labeled)
+    # Eagerly materialize the scoring pass ONCE (r10 verdict #2): the
+    # margin assert below is an eager agg, and without a cut the
+    # driver's action on the returned frame would recompute the whole
+    # scoring pass — a measured +21% on the bench entry. localCheckpoint
+    # truncates lineage, so both the assert and the caller's action
+    # read the already-computed scores.
+    scored = score_quality(model, labeled).localCheckpoint()
     # Separation-margin assert (r9 ADVICE low): the oracle's
     # exact-saturation premise assumes no other corpus token hashes
     # into the label token's 2^18 bucket. Replica scaling multiplies
