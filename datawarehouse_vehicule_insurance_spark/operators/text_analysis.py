@@ -18,6 +18,21 @@ LANG_MARKERS: dict[str, list[str]] = {
     "fr": ["le", "la", "et"],
 }
 
+# lang_scores builds a regex alternation "(m1|m2|m3)" from these raw
+# strings; a marker containing a regex metacharacter or whitespace
+# would silently corrupt that language's counts (r10 ADVICE). Enforce
+# the plain-lowercase-word invariant at import so a future edit fails
+# loudly instead.
+for _lang, _ms in LANG_MARKERS.items():
+    for _m in _ms:
+        if not _m.isascii() or not _m.isalpha() or not _m.islower():
+            raise ValueError(
+                f"LANG_MARKERS[{_lang!r}] marker {_m!r} must be a plain "
+                "lowercase ASCII word — it is interpolated into a regex "
+                "alternation unescaped"
+            )
+del _lang, _ms, _m
+
 STOPWORDS = ["the", "a", "and", "of", "to"]
 
 #: BPE-ish token heuristic: word pieces, numbers, or single non-space
@@ -112,9 +127,18 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     the interpreted HOF islands re-tokenize per reference without it),
     then one fused projection."""
     text = F.col(text_col)
-    in_cols = df.columns
-    df = df.withColumn("__qf_toks", tokens(text))
-    toks = F.col("__qf_toks")
+    feats = ["n_chars", "n_tokens", "alpha_ratio", "stopword_ratio",
+             "mean_token_len", "dup_2gram_ratio"]
+    # replace-in-place semantics (r10 ADVICE): an input column already
+    # named like an output feature is replaced rather than duplicated
+    # (a duplicate name breaks downstream resolution), and the scratch
+    # token column is renamed until it cannot clobber a real input
+    in_cols = [c for c in df.columns if c not in feats]
+    tok_col = "__qf_toks"
+    while tok_col in df.columns:
+        tok_col += "_"
+    df = df.withColumn(tok_col, tokens(text))
+    toks = F.col(tok_col)
     n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
@@ -146,8 +170,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         ),
         "dup_2gram_ratio": dup_ngram_ratio(text, 2),
-    }).select(*in_cols, "n_chars", "n_tokens", "alpha_ratio",
-              "stopword_ratio", "mean_token_len", "dup_2gram_ratio")
+    }).select(*in_cols, *feats)
 
 
 #: PII patterns, ordered most- to least-specific: each is applied in
@@ -1205,16 +1228,28 @@ def gopher_quality_features(
     tokenization re-evaluates per reference — measured 1.3x slower at
     the 30x replica, identical values."""
     text = F.col(text_col)
-    in_cols = df.columns
+    feats = ["n_words", "mean_word_len", "symbol_word_ratio",
+             "bullet_line_ratio", "ellipsis_line_ratio",
+             "alpha_word_ratio", "stopword_hits"]
+    # replace-in-place semantics (r10 ADVICE): an input column already
+    # named like an output feature is replaced rather than duplicated,
+    # and the scratch columns are renamed until they cannot clobber a
+    # real input column
+    in_cols = [c for c in df.columns if c not in feats]
+    tok_col, line_col = "__gq_toks", "__gq_lines"
+    while tok_col in df.columns:
+        tok_col += "_"
+    while line_col in df.columns:
+        line_col += "_"
     df = df.withColumns({
-        "__gq_toks": tokens(text),
-        "__gq_lines": F.filter(
+        tok_col: tokens(text),
+        line_col: F.filter(
             F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
             lambda l: l != "",
         ),
     })
-    toks = F.col("__gq_toks")
-    lines = F.col("__gq_lines")
+    toks = F.col(tok_col)
+    lines = F.col(line_col)
     n_words = F.size(toks)
     n_lines = F.size(lines)
     bullet_starts = F.size(F.filter(
@@ -1252,9 +1287,7 @@ def gopher_quality_features(
         ).otherwise(F.lit(0.0)),
         "alpha_word_ratio": F.round(alpha_words / n_words, 6),
         "stopword_hits": stop_hits,
-    }).select(*in_cols, "n_words", "mean_word_len", "symbol_word_ratio",
-              "bullet_line_ratio", "ellipsis_line_ratio",
-              "alpha_word_ratio", "stopword_hits")
+    }).select(*in_cols, *feats)
 
 
 def gopher_repetition_features(
@@ -1263,13 +1296,18 @@ def gopher_repetition_features(
     id_col: str = "doc_id",
     top_ns: tuple = (2, 3, 4),
     dup_ns: tuple = (5, 6, 7, 8, 9, 10),
-    impl: str = "arrow",
+    impl: str = "auto",
 ) -> DataFrame:
     """Append the Gopher REPETITION signals (per-document gram
     frequencies). Two implementations, identical results (pinned by
     the parametrized parity tests in ``test_gopher.py``):
 
-    - ``impl="arrow"`` (default) — the signals are PER-DOCUMENT, so no
+    ``impl="auto"`` (default) picks ``arrow`` when pandas + pyarrow
+    import on the driver and falls back to ``codegen`` otherwise —
+    the arrow path runs Python workers on the executors, which
+    no-Python-worker deployments lack (r10 ADVICE).
+
+    - ``impl="arrow"`` — the signals are PER-DOCUMENT, so no
       cross-row data is needed: tokenization and line-splitting stay
       native JVM expressions (the exact same ones the codegen path
       uses, so normalization can never drift), and an Arrow-batched
@@ -1294,11 +1332,24 @@ def gopher_repetition_features(
     cluster's default parallelism, the text rows are repartitioned
     first (a narrow row-wise exchange of raw text, still far cheaper
     than the codegen path's 9-rows-per-token gram exchanges)."""
+    if impl == "auto":
+        # the arrow path needs pandas + pyarrow Python workers on the
+        # executors (r10 ADVICE: the old default needed neither) —
+        # probe the driver env and fall back to the all-JVM codegen
+        # path when they are absent. Driver-side probing is a proxy:
+        # on a cluster whose executors diverge from the driver, pass
+        # impl explicitly.
+        try:
+            import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
+            impl = "arrow"
+        except ImportError:
+            impl = "codegen"
     if impl == "codegen":
         return _gopher_repetition_codegen(df, text_col, id_col,
                                           top_ns, dup_ns)
     if impl != "arrow":
-        raise ValueError(f"unknown impl {impl!r} (arrow|codegen)")
+        raise ValueError(f"unknown impl {impl!r} (auto|arrow|codegen)")
     return _gopher_repetition_arrow(df, text_col, id_col, top_ns, dup_ns)
 
 
@@ -1312,7 +1363,16 @@ def _gopher_rep_counts_udf(top_ns: tuple, dup_ns: tuple):
     characters covered by all occurrences of duplicated grams, plus the
     duplicate-line occurrence/char counts. Gram char length = summed
     token lengths + (n-1) separators == ``length(array_to_string)``,
-    via one prefix-sum per doc so gram strings are never built."""
+    via one prefix-sum per doc so gram strings are never built.
+
+    Cost model caveat (r10 ADVICE): counting is exact and per-document
+    in pure Python — all ``len(top_ns) + len(dup_ns)`` gram sizes per
+    row — so a pathological multi-megabyte document makes one Arrow
+    batch slow and memory-heavy relative to the JVM path. Callers are
+    expected to run a word-count gate FIRST (``gopher_filter`` applies
+    its ``max_words`` bound before these counts; ``curation_run``
+    composes it that way); feed unbounded documents through
+    ``impl="codegen"`` instead."""
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -1628,17 +1688,18 @@ def gopher_filter(
     top_ngram_max: dict | None = None,
     dup_ngram_max: dict | None = None,
     collect_reasons: dict | None = None,
-    impl: str = "arrow",
+    impl: str = "auto",
 ) -> DataFrame:
     """The full Gopher quality gate with the PUBLISHED thresholds as
     defaults (every one a parameter — curation policy belongs to the
     training run): word-count/word-length window, symbol and formatting
     rules, stop-word presence, and the complete repetition family.
     Returns surviving rows with the input schema. NULL text never
-    survives. The cheap per-row rules filter FIRST so the repetition
-    pass (``impl="arrow"`` exact counting by default; ``"codegen"``
-    keeps the all-JVM gram-frequency shuffle) prices only their
-    survivors.
+    survives. The cheap per-row rules filter FIRST — including the
+    ``max_words`` bound the arrow counting path's cost model relies
+    on — so the repetition pass (``impl="auto"``: arrow exact
+    counting when pandas/pyarrow are available, else the all-JVM
+    codegen gram-frequency shuffle) prices only their survivors.
 
     ``collect_reasons`` (optional, a dict the caller owns) is the
     diagnostic reason channel: the call stores a LAZY narrow

@@ -607,3 +607,50 @@ def test_cli_no_rejection_reasons_keeps_cheap_schema(spark, tmp_path):
     assert [(r["doc_id"], r["stage"]) for r in audit.collect()] == [
         (2, "quality_gates")
     ]
+
+
+def test_feature_appenders_replace_colliding_columns(spark):
+    """r10 ADVICE: the fused-projection rewrite ended with
+    ``select(*in_cols, <features>)`` — an input column already named
+    like an output feature produced DUPLICATE column names (the old
+    ``withColumns`` replaced in place), and a pre-existing scratch
+    column (``__qf_toks``/``__gq_toks``) was silently clobbered. Pin
+    the replace semantics: colliding inputs are replaced with the
+    computed feature, scratch names never leak or clobber, and no
+    duplicate names appear."""
+    from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
+        quality_features,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog", 999, "keepme")],
+        "doc_id long, text string, n_tokens long, __qf_toks string",
+    )
+    out = quality_features(base)
+    assert len(out.columns) == len(set(out.columns)), out.columns
+    row = out.collect()[0]
+    assert row["n_tokens"] == 8          # computed, not the stale 999
+    assert row["__qf_toks"] == "keepme"  # input scratch-named col intact
+
+    base2 = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog here now", 123.0)],
+        "doc_id long, text string, n_words double",
+    )
+    out2 = gopher_quality_features(base2)
+    assert len(out2.columns) == len(set(out2.columns)), out2.columns
+    assert out2.collect()[0]["n_words"] == 10
+
+
+def test_gopher_repetition_impl_auto_matches_explicit(spark):
+    """``impl="auto"`` resolves to the arrow path when pandas/pyarrow
+    import (this environment has both) and must return exactly the
+    explicit paths' values."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b c d e f g h"), (2, None)],
+        "doc_id long, text string",
+    )
+    auto = {r["doc_id"]: r.asDict()
+            for r in gopher_repetition_features(docs).collect()}
+    arrow = {r["doc_id"]: r.asDict()
+             for r in gopher_repetition_features(docs, impl="arrow").collect()}
+    assert auto == arrow
