@@ -2426,7 +2426,7 @@ JOIN base USING (doc_id)
 SQL_GOPHER_QUALITY = _sql_gopher_quality()
 
 
-def _sql_lm_avg(alias: str, train_where: str) -> str:
+def _sql_lm_avg(alias: str, train_where: str, min_count: int = 1) -> str:
     """CTE chain fragment computing per-document mean bigram log-prob
     under a Jelinek-Mercer + add-k bigram LM trained on ``documents
     WHERE {train_where}`` and scored over ALL documents — the DuckDB
@@ -2434,8 +2434,31 @@ def _sql_lm_avg(alias: str, train_where: str) -> str:
     λ=0.7; the 1−λ literal is the Python double so both engines use
     bit-identical coefficients). Emits CTEs prefixed ``{alias}_``; the
     final one is ``{alias}_avg(doc_id, a)``. Expects a ``pos`` CTE
-    (doc_id, i, w, n) over all documents to exist."""
+    (doc_id, i, w, n) over all documents to exist.
+
+    ``min_count > 1`` replays ``prune_bigram_lm`` exactly: scoring
+    joins see only vocabulary entries with ``n_tok >= min_count`` (and
+    bigrams whose BOTH endpoints survive), while the smoothing support
+    ``{alias}_tot`` (V, N) stays computed over the UNPRUNED vocabulary
+    — so surviving probabilities are bit-identical to the unpruned
+    model and pruned tokens coalesce to the same add-k floors a
+    never-seen token scores."""
     one_minus_lam = repr(1.0 - 0.7)
+    if min_count > 1:
+        prune = f""",
+{alias}_unik AS (
+  SELECT * FROM {alias}_uni WHERE n_tok >= {min_count}
+),
+{alias}_bgck AS (
+  SELECT c.prev, c.cur, c.n_pair
+  FROM {alias}_bgc c
+  JOIN {alias}_unik kp ON kp.w = c.prev
+  JOIN {alias}_unik kc ON kc.w = c.cur
+)"""
+        uni_join, bgc_join = f"{alias}_unik", f"{alias}_bgck"
+    else:
+        prune = ""
+        uni_join, bgc_join = f"{alias}_uni", f"{alias}_bgc"
     return f"""{alias}_tpos AS (
   SELECT doc_id, i, w, n FROM pos
   WHERE doc_id IN (SELECT doc_id FROM documents WHERE {train_where})
@@ -2453,7 +2476,7 @@ def _sql_lm_avg(alias: str, train_where: str) -> str:
   FROM {alias}_tpos a
   JOIN {alias}_tpos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
   GROUP BY 1, 2
-),
+){prune},
 {alias}_scored AS (
   SELECT g.doc_id,
          ln(0.7 * (coalesce(c.n_pair, 0) + 0.1)
@@ -2461,9 +2484,9 @@ def _sql_lm_avg(alias: str, train_where: str) -> str:
             + {one_minus_lam} * (coalesce(uc.n_tok, 0) + 0.1)
               / (t.nn + 0.1 * t.v)) AS logp
   FROM bg g
-  LEFT JOIN {alias}_bgc c ON c.prev = g.prev AND c.cur = g.cur
-  LEFT JOIN {alias}_uni up ON up.w = g.prev
-  LEFT JOIN {alias}_uni uc ON uc.w = g.cur
+  LEFT JOIN {bgc_join} c ON c.prev = g.prev AND c.cur = g.cur
+  LEFT JOIN {uni_join} up ON up.w = g.prev
+  LEFT JOIN {uni_join} uc ON uc.w = g.cur
   CROSS JOIN {alias}_tot t
 ),
 {alias}_avg AS (
@@ -2614,11 +2637,14 @@ def q_dsir_log_weights_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Audit-only persisted-model cache for the score-only LM variants:
-#: production trains once and scores many batches, so the scale claim
-#: that matters is the SCORING pass against a persisted (possibly
-#: pruned) model — not the per-query retrain the gate shape pays.
-#: Keyed by (sf_dir, min_count); pinned localCheckpoints, process-local.
+#: Persisted-model cache for the score-only LM variants: production
+#: trains once and scores many batches, so the scale claim that
+#: matters is the SCORING pass against a persisted (possibly pruned)
+#: model — not the per-query retrain the gate shape pays. Keyed by
+#: (sf_dir, min_count); pinned localCheckpoints, process-local — in
+#: bench's min-of-3 the first pass trains and pins, so the min tracks
+#: the score-only cost (r10 verdict #4: the shape that matters is now
+#: bench-registered, not audit-only).
 _AUDIT_LM_MODELS: dict[tuple, tuple] = {}
 
 
@@ -2636,9 +2662,12 @@ def _audit_lm_model(spark: SparkSession, sf_dir: str, min_count: int):
 
 
 def q_lm_score_only(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audit-only: lm_perplexity SCORING pass against a cached
-    persisted model (trained+pinned on first call per sf_dir) — the
-    production build-once/score-many shape. Compare against
+    """lm_perplexity SCORING pass against a cached persisted model
+    (trained+pinned on first call per sf_dir) — the production
+    build-once/score-many shape, bench-registered since r11 so the
+    number that matters at 100 TB is tracked round over round. The
+    model is trained on the full corpus, so results are identical to
+    ``lm_perplexity`` and the same oracle covers both. Compare against
     :func:`q_lm_score_only_pruned` to isolate how much scoring cost
     the vocabulary tables drive."""
     from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
@@ -2655,8 +2684,11 @@ def q_lm_score_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lm_score_only_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audit-only: the same scoring pass against the min_count=2
-    pruned persisted model."""
+    """The same scoring pass against the min_count=2 pruned persisted
+    model — the full production shape (train once, prune the hapax
+    tail, score many). Bench-registered since r11; its oracle replays
+    the pruning in SQL (``_sql_lm_avg(min_count=2)``): prune the
+    scoring joins, preserve the unpruned (V, N) smoothing support."""
     from datawarehouse_vehicule_insurance_spark.operators.text_analysis import (
         lm_perplexity,
     )
@@ -2668,6 +2700,15 @@ def q_lm_score_only_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_logp", 6).alias("avg_logp"),
         F.round("perplexity", 6).alias("perplexity"),
     )
+
+
+SQL_LM_SCORE_ONLY_PRUNED = f"""
+WITH {_SQL_LM_POS},
+{_sql_lm_avg('m', 'TRUE', min_count=2)}
+SELECT d.doc_id, round(m.a, 6) AS avg_logp,
+       round(exp(-m.a), 6) AS perplexity
+FROM documents d LEFT JOIN m_avg m USING (doc_id)
+"""
 
 
 #: BPE gate fixture: a pinned training corpus over the testdata
@@ -2978,7 +3019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dim_part_dedup": q_dim_part_dedup,
     "silver_clean_normalize": q_silver_clean_normalize,
     "incremental_silver": q_incremental_silver,
-    "top_spenders": q_top_spenders,
+    "price_histogram": q_price_histogram,
     "range_validate_year": q_range_validate_year,
     "token_frequencies": q_token_frequencies,
     "orders_per_customer": q_orders_per_customer,
@@ -3028,7 +3069,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Rotated-out gate queries: out of the 50-slot driver registry
 # (QUERIES) but still part of the benchmarked surface — bench.py runs
 # QUERIES ∪ BENCH_EXTRA so their performance stays tracked round over
-# round. Round-10 rotation (policy refresh, r9 verdict #5):
+# round. Round-11 rotation: price_histogram (width_bucket-style price
+# binning over lineitem, stable in the bench-only set since r9)
+# enters the gate; rotated to bench-only is top_spenders
+# (TakeOrderedAndProject top-k, stable since r1 — §2.6 limit/top-k
+# stays covered by its ORACLES_EXTRA entry per policy rule 2).
+# Round-10 rotation (policy refresh, r9 verdict #5):
 # token_frequencies (explode+groupBy term frequencies over documents —
 # the corpus-vocabulary shape the LM/DSIR scale frontier lives on,
 # long-stable in the bench-only set) enters the gate; rotated to
@@ -3040,11 +3086,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 BENCH_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_functions": q_string_functions,
     "array_functions": q_array_functions,
-    "price_histogram": q_price_histogram,
+    "top_spenders": q_top_spenders,
     "filter_positive_amounts": q_filter_positive_amounts,
     "distinct_order_customers": q_distinct_order_customers,
     "zscore_by_segment": q_zscore_by_segment,
     "regex_validate_strip": q_regex_validate_strip,
+    # r11 (r10 verdict #4): the production train-once/score-many LM
+    # shapes, promoted from AUDIT_VARIANTS so the number the 100-TB
+    # pruning argument rests on is benched round over round. The
+    # cached model pins on bench's first pass; min-of-3 tracks the
+    # score-only cost.
+    "lm_score_only": q_lm_score_only,
+    "lm_score_only_pruned": q_lm_score_only_pruned,
 }
 
 # Audit-only query variants: runnable by tools/scaling_audit.py but
@@ -3053,8 +3106,8 @@ BENCH_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 AUDIT_VARIANTS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity_pruned": q_lm_perplexity_pruned,
     "dsir_log_weights_pruned": q_dsir_log_weights_pruned,
-    "lm_score_only": q_lm_score_only,
-    "lm_score_only_pruned": q_lm_score_only_pruned,
+    # lm_score_only / lm_score_only_pruned were promoted to
+    # BENCH_EXTRA in r11 (scaling_audit reaches them there)
 }
 
 ORACLES: dict[str, str] = {
@@ -3063,7 +3116,7 @@ ORACLES: dict[str, str] = {
     "dim_part_dedup": SQL_DIM_PART_DEDUP,
     "silver_clean_normalize": SQL_SILVER_CLEAN_NORMALIZE,
     "incremental_silver": SQL_SILVER_CLEAN_NORMALIZE,
-    "top_spenders": SQL_TOP_SPENDERS,
+    "price_histogram": SQL_PRICE_HISTOGRAM,
     "range_validate_year": SQL_RANGE_VALIDATE_YEAR,
     "token_frequencies": SQL_TOKEN_FREQUENCIES,
     "orders_per_customer": SQL_ORDERS_PER_CUSTOMER,
@@ -3120,11 +3173,16 @@ ORACLES: dict[str, str] = {
 ORACLES_EXTRA: dict[str, str] = {
     "string_functions": SQL_STRING_FUNCTIONS,
     "array_functions": SQL_ARRAY_FUNCTIONS,
-    "price_histogram": SQL_PRICE_HISTOGRAM,
+    "top_spenders": SQL_TOP_SPENDERS,
     "filter_positive_amounts": SQL_FILTER_POSITIVE_AMOUNTS,
     "distinct_order_customers": SQL_DISTINCT_ORDER_CUSTOMERS,
     "zscore_by_segment": SQL_ZSCORE_BY_SEGMENT,
     "regex_validate_strip": SQL_REGEX_VALIDATE_STRIP,
+    # score-only against the full-corpus cached model == lm_perplexity
+    # trained in-query: the SAME oracle text pins both (keys must stay
+    # disjoint from ORACLES; values may repeat)
+    "lm_score_only": SQL_LM_PERPLEXITY,
+    "lm_score_only_pruned": SQL_LM_SCORE_ONLY_PRUNED,
 }
 
 # ---------------------------------------------------------------------------
