@@ -16,7 +16,8 @@ storage set must return to that directory's baseline — any leak
 prints in ``resid_blocks`` and the probe exits 1.
 
 Usage: python tools/pipeline_probe.py [--funnel] [--ablate-each]
-                                      [--pre-arm] [sf_dir ...]
+                                      [--ablate-fresh] [--pre-arm]
+                                      [--one CONFIG] [sf_dir ...]
        # default: /root/testdata/sf0.1
        # --funnel: run the SAME composition in diagnostic mode too
        #   (stage_frames + stage_counts + rejection_log) and report
@@ -31,9 +32,22 @@ Usage: python tools/pipeline_probe.py [--funnel] [--ablate-each]
        #   stage dropped each time; marginal_sec = baseline - ablated.
        #   Small negatives are host noise; a stage can also show a
        #   negative by DROPPING docs later stages then don't pay for.
+       # --ablate-fresh (r10 verdict #8): the same ablation table but
+       #   each configuration (full baseline + 9 single-stage drops)
+       #   runs in its OWN fresh process via --one. The in-session
+       #   form drifts at 30x — later runs in one JVM slow
+       #   monotonically (GC/code-cache state), enough to sign-flip a
+       #   small marginal with identical survivors — so per-stage
+       #   marginals at scale are only trustworthy process-isolated.
+       #   Every child pays the same cold JVM/Python-worker start, and
+       #   the baseline-minus-ablated subtraction cancels it.
+       # --one CONFIG: child mode for --ablate-fresh — run exactly one
+       #   configuration ("full" or an ABLATABLE stage name to drop)
+       #   and print one JSON line. Usable standalone.
 """
 
 import json
+import subprocess
 import sys
 import time
 
@@ -44,13 +58,19 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 args = sys.argv[1:]
 funnel_mode = "--funnel" in args
 ablate_mode = "--ablate-each" in args
+ablate_fresh = "--ablate-fresh" in args
 # --pre-arm (r9 verdict #4): pass pre_arm_reuse_off=True to the FIRST
 # timed run — on a fresh application at a composition the zip probe
 # knows fires, first-run wall should then match the sticky-rerun time
 # (the doomed first attempt is skipped), with identical outputs.
 pre_arm = "--pre-arm" in args
+one_cfg = None
+if "--one" in args:
+    i = args.index("--one")
+    one_cfg = args[i + 1]
+    del args[i:i + 2]
 args = [a for a in args if a not in ("--funnel", "--ablate-each",
-                                     "--pre-arm")]
+                                     "--ablate-fresh", "--pre-arm")]
 dirs = args or ["/root/testdata/sf0.1"]
 
 # stage name -> the run_kw keys that enable it (shared naming with
@@ -66,6 +86,57 @@ ABLATABLE = {
     "cap": ("source_cap",),
     "dsir": ("dsir_target_model", "dsir_top_n"),
 }
+
+if one_cfg is not None and one_cfg != "full" and one_cfg not in ABLATABLE:
+    print(f"unknown --one config {one_cfg!r} "
+          f"(full|{'|'.join(ABLATABLE)})", file=sys.stderr)
+    sys.exit(2)
+
+if ablate_fresh:
+    # parent mode: no SparkSession here — each configuration gets its
+    # own process (fresh JVM + Python workers), so no GC/code-cache
+    # state carries between the baseline and any ablated run
+    rc = 0
+    for sf_dir in dirs:
+        results = {}
+        for cfg in ["full", *ABLATABLE]:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--one", cfg, sf_dir],
+                capture_output=True, text=True,
+            )
+            lines = [ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("{")]
+            if proc.returncode != 0 or not lines:
+                print(json.dumps({
+                    "sf_dir": sf_dir, "config": cfg, "rc": proc.returncode,
+                    "stderr_tail": proc.stderr[-500:],
+                }))
+                rc = 1
+                break
+            results[cfg] = json.loads(lines[-1])
+        else:
+            base = results["full"]
+            table = {
+                s: {
+                    "ablated_sec": results[s]["curate_sec"],
+                    "marginal_sec": round(
+                        base["curate_sec"] - results[s]["curate_sec"], 1
+                    ),
+                    "survivor_delta":
+                        results[s]["docs_out"] - base["docs_out"],
+                }
+                for s in ABLATABLE
+            }
+            print(json.dumps({
+                "sf_dir": sf_dir,
+                "mode": "ablate-fresh",
+                "ablate_baseline_sec": base["curate_sec"],
+                "docs_in": base["docs_in"],
+                "docs_out": base["docs_out"],
+                "models_sec_baseline": base["models_sec"],
+                "ablation": table,
+            }))
+    sys.exit(rc)
 
 spark = (
     SparkSession.builder.master("local[32]")
@@ -138,6 +209,11 @@ for sf_dir in dirs:
         dsir_top_n=1000,
     )
 
+    if one_cfg is not None and one_cfg != "full":
+        # child mode: drop exactly one stage's enabling kwargs
+        for k in ABLATABLE[one_cfg]:
+            run_kw.pop(k)
+
     t0 = time.time()
     with curation_run(docs, pre_arm_reuse_off=pre_arm or None,
                       **run_kw) as curated:
@@ -203,6 +279,7 @@ for sf_dir in dirs:
     any_leak = any_leak or leaked > 0
     print(json.dumps({
         "sf_dir": sf_dir,
+        **({"config": one_cfg} if one_cfg is not None else {}),
         "docs_in": n_in,
         "docs_out": n_out,
         "models_sec": round(t_models, 1),
