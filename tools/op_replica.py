@@ -311,6 +311,210 @@ def check_chunk():
     return None
 
 
+def _multiset_sig(df):
+    """Order-insensitive multiset signature of a frame: (row count,
+    wrapping sum and bit-xor of a per-row xxhash64 over every column).
+    Equality of the triple is a near-certain multiset-equality proof —
+    the cheap way to compare two multi-million-row builders at replica
+    scale without a double exceptAll shuffle (one single-pass agg per
+    side; sum uses try_sum semantics via long wraparound — identical
+    on both sides by construction)."""
+    sig = (
+        df.select(F.xxhash64(*df.columns).alias("__h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__h") % F.lit(2**31)).alias("s"),
+            F.expr("bit_xor(__h)").alias("x"),
+        )
+        .collect()[0]
+    )
+    return (sig["n"], sig["s"], sig["x"])
+
+
+@check("corrupt_heavy_decode_budget")
+def check_decode_budget():
+    """r10 verdict #9a: the decode-error budget itself, proven cheap
+    and correct on a CORRUPT-HEAVY replica — one asset per replica
+    document, 3 of 5 payload classes broken (truncated PNG, wrong
+    magic, progressive JPEG). The batch must complete (per-row decode
+    isolation), and decode_error_datasheet's (format, status) counts
+    must equal the construction exactly."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "_mm_helpers", "/root/repo/tests/test_streaming_multimodal.py"
+    )
+    helpers = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(helpers)
+
+    rng = np.random.default_rng(29)
+    rgb = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    good_png = bytes(helpers._encode_png(rgb, filters=[0, 1, 2, 3, 4]))
+    payloads = [
+        ("image/png", good_png),                          # ok
+        ("image/png", good_png[:len(good_png) // 2]),     # truncated
+        ("application/octet-stream", b"\x00\x01\x02\x03" * 64),  # magic
+        ("image/jpeg", helpers._encode_jpeg_gray_blocks(
+            [100], blocks_w=1).replace(b"\xff\xc0", b"\xff\xc2", 1)),
+        ("image/jpeg", bytes(
+            helpers._encode_jpeg_gray_blocks([200], blocks_w=1))),  # ok
+    ]
+    from datawarehouse_vehicule_insurance_spark.operators import (
+        multimodal as MM,
+    )
+
+    n = docs.count()
+    dim = spark.createDataFrame(
+        [(i, "image", bytearray(p), mime, None, None, None)
+         for i, (mime, p) in enumerate(payloads)],
+        MM.ASSET_SCHEMA,
+    ).withColumnRenamed("asset_id", "cls")
+    assets = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("asset_id"),
+            (F.col("id") % 5).alias("cls"),
+        )
+        .join(F.broadcast(dim), "cls")
+        .drop("cls")
+    )
+    feats = MM.extract_image_features(assets, fake=False)
+    sheet = {
+        (r["format"], r["status"]): r["n_assets"]
+        for r in MM.decode_error_datasheet(feats, "image").collect()
+    }
+    per_cls = [n // 5 + (1 if c < n % 5 else 0) for c in range(5)]
+    want = {
+        ("png", "ok"): per_cls[0],
+        ("jpeg", "ok"): per_cls[4],
+        ("unknown", "NotImplementedError"): per_cls[2],
+        ("jpeg", "NotImplementedError"): per_cls[3],
+    }
+    bad_png = {k: v for k, v in sheet.items()
+               if k[0] == "png" and k[1] != "ok"}
+    if sum(bad_png.values()) != per_cls[1]:
+        return (f"truncated-png budget {bad_png} != {per_cls[1]}")
+    got_rest = {k: v for k, v in sheet.items() if k not in bad_png}
+    if got_rest != want:
+        return f"datasheet {got_rest} != expected {want}"
+    return None
+
+
+@check("minhash_perrow_equals_window_form")
+def check_minhash_equiv():
+    """r10 rewrite re-pin AT SCALE (r10 verdict #9): the per-row
+    shingle builder inside _minhash_min_columns must emit signatures
+    multiset-identical to the superseded posexplode + lead-chain
+    window form on the whole replica corpus."""
+    from pyspark.sql import Window
+
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        _minhash_min_columns,
+    )
+
+    k, shingle_n, seed = 16, 3, 42
+    d = docs.select("doc_id", "text")
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    tok = d.select(
+        F.col("doc_id"), F.posexplode(toks).alias("__pos", "__tok")
+    ).withColumn("__th", F.xxhash64("__tok", F.lit(seed)))
+    w = Window.partitionBy("doc_id").orderBy("__pos")
+    lead_hashes = [F.col("__th")] + [
+        F.lead("__th", j).over(w) for j in range(1, shingle_n)
+    ]
+    sh = (
+        tok.withColumn("__sh", F.xxhash64(*lead_hashes))
+        .withColumn("__full", lead_hashes[-1].isNotNull())
+        .filter(F.col("__full") | (F.col("__pos") == 0))
+    )
+    hash_cols = [
+        F.xxhash64("__sh", F.lit(seed + i)).alias(f"__h{i}")
+        for i in range(k)
+    ]
+    old = (
+        sh.select("doc_id", *hash_cols)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"__h{i}").alias(f"__m{i}") for i in range(k)])
+    )
+    new = _minhash_min_columns(d, "text", "doc_id", k, shingle_n, seed)
+    so, sn = _multiset_sig(old), _multiset_sig(new)
+    if so != sn:
+        return f"window-form sig {so} != per-row sig {sn}"
+    return None
+
+
+@check("winnow_perrow_equals_window_form")
+def check_winnow_equiv():
+    """r10 rewrite re-pin AT SCALE: per-row winnow sketch rows
+    (_winnow_fingerprint_rows) multiset-equal the superseded
+    posexplode + lead-chain + frame-min window form on the whole
+    replica corpus."""
+    from pyspark.sql import Window
+
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        _winnow_fingerprint_rows,
+    )
+
+    window, w_select = 8, 4
+    d = docs.select("doc_id", "text")
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    tok = d.select(
+        F.col("doc_id"), F.posexplode(toks).alias("__pos", "__tok")
+    ).withColumn("__th", F.xxhash64("__tok"))
+    w = Window.partitionBy("doc_id").orderBy("__pos")
+    lead_hashes = [F.col("__th")] + [
+        F.lead("__th", j).over(w) for j in range(1, window)
+    ]
+    fp_rows = (
+        tok.withColumn("__fp0", F.xxhash64(*lead_hashes))
+        .withColumn("__full", lead_hashes[-1].isNotNull())
+        .filter(F.col("__full") | (F.col("__pos") == 0))
+    )
+    sel = (
+        fp_rows.withColumn(
+            "__fp", F.min("__fp0").over(w.rowsBetween(0, w_select - 1))
+        )
+        .withColumn(
+            "__fullw",
+            F.lead("__fp0", w_select - 1).over(w).isNotNull(),
+        )
+        .filter(F.col("__fullw") | (F.col("__pos") == 0))
+    )
+    old = sel.select("doc_id", "__fp").distinct()
+    new = _winnow_fingerprint_rows(d, "text", "doc_id", window, w_select)
+    so, sn = _multiset_sig(old), _multiset_sig(new)
+    if so != sn:
+        return f"window-form sig {so} != per-row sig {sn}"
+    return None
+
+
+@check("span_gram_perrow_equals_window_form")
+def check_spangram_equiv():
+    """r10 rewrite re-pin AT SCALE: the per-row span-trim gram builder
+    (_span_grams_per_row) multiset-equals the superseded lead-chain
+    builder (_span_grams_from_tok) on the whole replica corpus — the
+    guarantee that a persisted span_gram_table keeps working across
+    the rewrite."""
+    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
+        _span_grams_from_tok,
+        _span_grams_per_row,
+        _span_tok_rows,
+    )
+
+    L = 50
+    d = docs.select("doc_id", "text")
+    old = _span_grams_from_tok(_span_tok_rows(d, 1, "text", "doc_id"), L)
+    new = _span_grams_per_row(d, 1, "text", "doc_id", L)
+    so, sn = _multiset_sig(old), _multiset_sig(new)
+    if so != sn:
+        return f"lead-chain sig {so} != per-row sig {sn}"
+    return None
+
+
 checks = [v for v in list(globals().values())
           if callable(v) and hasattr(v, "__check_name__")]
 for fn in checks:
