@@ -331,6 +331,58 @@ def _multiset_sig(df):
     return (sig["n"], sig["s"], sig["x"])
 
 
+@check("ann_recall_at_k")
+def check_ann_recall():
+    """Measured recall@10 of every approximate ANN tier against
+    brute-force ground truth at replica scale — the approximation-
+    quality numbers behind the ladder's docstring claims (IVF
+    n_probe/n_cells = 1/4 expected ~60-80% on isotropic data).
+    Values print for the audit record; FAIL only below conservative
+    floors a correct implementation clears with margin while a broken
+    bucket/cell join (empty probe set, mis-keyed equi-join) lands
+    near zero."""
+    n_q, k = 20, 10
+    q = (emb.orderBy("vec_id").limit(n_q)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec")))
+    dim = len(emb.select("embedding").first()[0])
+
+    def topk_sets(df):
+        out = {}
+        for r in df.select("query_id", "vec_id").collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    truth = topk_sets(S.cosine_topk(q, emb, k=k))
+
+    def recall(approx):
+        per = [
+            len(approx.get(qid, set()) & ids) / len(ids)
+            for qid, ids in truth.items()
+        ]
+        return sum(per) / len(per)
+
+    r_ivf = recall(topk_sets(S.ivf_topk(q, emb, k=k, n_cells=16,
+                                        n_probe=4)))
+    r_lsh = recall(topk_sets(S.lsh_topk(q, emb, dim, k=k, n_planes=8,
+                                        n_tables=4)))
+    r_pq = recall(topk_sets(S.pq_topk(q, emb, k=k, m=8, ks=16)))
+    print(f"    recall@{k} over {n_q} queries: "
+          f"ivf(4/16)={r_ivf:.3f} lsh(8x4)={r_lsh:.3f} pq(8x16)={r_pq:.3f}")
+    # floors are breakage detectors, not quality targets: chance level
+    # here is k/N ≈ 0.002, and a mis-keyed bucket join lands there.
+    # The synthetic replica embeddings are ISOTROPIC — the worst case
+    # for LSH/PQ (no cluster structure to exploit; measured r11 at
+    # 10x: ivf 0.89, lsh ~0.21, pq ~0.16) — so the sub-IVF tiers get
+    # floors an order of magnitude above chance, not production
+    # targets that only structured data can meet.
+    floors = {"ivf": (r_ivf, 0.5), "lsh": (r_lsh, 0.1), "pq": (r_pq, 0.05)}
+    for name, (val, floor) in floors.items():
+        if val < floor:
+            return f"{name} recall@{k} {val:.3f} < floor {floor}"
+    return None
+
+
 @check("corrupt_heavy_decode_budget")
 def check_decode_budget():
     """r10 verdict #9a: the decode-error budget itself, proven cheap
