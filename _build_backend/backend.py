@@ -1,0 +1,184 @@
+"""In-tree PEP 517/660 build backend (pyproject ``backend-path``).
+
+Why this exists (r11 verdict #3): the engine must ``pip install -e .``
+in hermetic/offline environments — including the sandbox it is
+developed in — where build isolation cannot download anything and the
+``wheel`` package is absent. ``setuptools.build_meta``'s wheel,
+editable, AND metadata hooks all hard-import ``wheel`` until
+setuptools 70.1 (even ``dist_info`` instantiates ``bdist_wheel`` to
+name the dist-info), so the stock backend cannot run there at all. A
+wheel, however, is just a zip with a ``.dist-info`` (PEP 427), and a
+PEP 660 editable wheel for a pure-Python flat-layout package is a
+``.pth`` file plus that dist-info — small enough to assemble from the
+stdlib.
+
+Everything here derives from the static PEP 621 ``[project]`` table
+(read with stdlib ``tomllib``), so there is exactly one source of
+truth for name/version/deps/extras/scripts: pyproject.toml itself.
+``build_sdist`` alone delegates to ``setuptools.build_meta`` (tar
+needs no ``wheel``). The backend works identically with and without
+build isolation; its only build require is setuptools, and only for
+sdists.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import tomllib
+import zipfile
+from pathlib import Path
+
+_ROOT = Path(__file__).resolve().parents[1]
+_PACKAGE = "datawarehouse_vehicule_insurance_spark"
+_TAG = "py3-none-any"
+
+
+def build_sdist(sdist_directory, config_settings=None):
+    from setuptools import build_meta as _orig
+
+    return _orig.build_sdist(sdist_directory, config_settings)
+
+
+def get_requires_for_build_sdist(config_settings=None):
+    return []
+
+
+def get_requires_for_build_wheel(config_settings=None):
+    # Nothing beyond the [build-system] requires — in particular NOT
+    # "wheel", which is the point of this backend.
+    return []
+
+
+def get_requires_for_build_editable(config_settings=None):
+    return []
+
+
+def _project() -> dict:
+    with open(_ROOT / "pyproject.toml", "rb") as f:
+        return tomllib.load(f)["project"]
+
+
+def _dist_base(proj: dict) -> str:
+    # PEP 427 escaping: runs of [-_.] in the distribution name become
+    # a single underscore in wheel/dist-info file names.
+    import re
+
+    name = re.sub(r"[-_.]+", "_", proj["name"])
+    return f"{name}-{proj['version']}"
+
+
+def _metadata_files(proj: dict) -> dict[str, bytes]:
+    """Render the dist-info payload (METADATA, entry_points.txt,
+    WHEEL) from the [project] table — core metadata 2.1."""
+    lines = [
+        "Metadata-Version: 2.1",
+        f"Name: {proj['name']}",
+        f"Version: {proj['version']}",
+    ]
+    if "description" in proj:
+        lines.append(f"Summary: {proj['description']}")
+    lic = proj.get("license")
+    if isinstance(lic, dict) and "text" in lic:
+        lines.append(f"License: {lic['text']}")
+    if "requires-python" in proj:
+        lines.append(f"Requires-Python: {proj['requires-python']}")
+    for dep in proj.get("dependencies", []):
+        lines.append(f"Requires-Dist: {dep}")
+    for extra, deps in proj.get("optional-dependencies", {}).items():
+        lines.append(f"Provides-Extra: {extra}")
+        for dep in deps:
+            lines.append(f'Requires-Dist: {dep}; extra == "{extra}"')
+    body = b""
+    readme = proj.get("readme")
+    if isinstance(readme, str) and (_ROOT / readme).is_file():
+        ctype = (
+            "text/markdown" if readme.lower().endswith(".md") else "text/plain"
+        )
+        lines.append(f"Description-Content-Type: {ctype}")
+        body = (_ROOT / readme).read_bytes()
+    metadata = ("\n".join(lines) + "\n\n").encode() + body
+
+    files = {"METADATA": metadata}
+    scripts = proj.get("scripts", {})
+    if scripts:
+        ep = ["[console_scripts]"]
+        ep += [f"{k} = {v}" for k, v in scripts.items()]
+        files["entry_points.txt"] = ("\n".join(ep) + "\n").encode()
+    files["WHEEL"] = (
+        "Wheel-Version: 1.0\n"
+        "Generator: dwvi-in-tree-backend\n"
+        "Root-Is-Purelib: true\n"
+        f"Tag: {_TAG}\n"
+    ).encode()
+    return files
+
+
+def prepare_metadata_for_build_wheel(metadata_directory, config_settings=None):
+    proj = _project()
+    di_name = f"{_dist_base(proj)}.dist-info"
+    di = Path(metadata_directory) / di_name
+    di.mkdir(parents=True, exist_ok=True)
+    for fname, data in _metadata_files(proj).items():
+        (di / fname).write_bytes(data)
+    return di_name
+
+
+def prepare_metadata_for_build_editable(metadata_directory, config_settings=None):
+    return prepare_metadata_for_build_wheel(metadata_directory, config_settings)
+
+
+def _record_line(arcname: str, data: bytes) -> str:
+    digest = base64.urlsafe_b64encode(
+        hashlib.sha256(data).digest()
+    ).rstrip(b"=").decode("ascii")
+    return f"{arcname},sha256={digest},{len(data)}"
+
+
+def _assemble(wheel_directory: str, payload) -> str:
+    """Write ``<dist>-<ver>-py3-none-any.whl`` into wheel_directory.
+    ``payload`` is an iterable of (arcname, bytes) for everything
+    outside the dist-info; the dist-info (incl. a PEP 376 RECORD with
+    sha256 + size) is rendered fresh from pyproject.toml."""
+    proj = _project()
+    base = _dist_base(proj)
+    di_name = f"{base}.dist-info"
+    wheel_name = f"{base}-{_TAG}.whl"
+    out = Path(wheel_directory) / wheel_name
+
+    record: list[str] = []
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for arcname, data in payload:
+            zf.writestr(arcname, data)
+            record.append(_record_line(arcname, data))
+        for fname, data in _metadata_files(proj).items():
+            arcname = f"{di_name}/{fname}"
+            zf.writestr(arcname, data)
+            record.append(_record_line(arcname, data))
+        record.append(f"{di_name}/RECORD,,")
+        zf.writestr(f"{di_name}/RECORD", "\n".join(record) + "\n")
+    return wheel_name
+
+
+def build_editable(wheel_directory, config_settings=None, metadata_directory=None):
+    """PEP 660 editable wheel: one ``.pth`` line adding the project
+    root to sys.path — the same non-strict strategy setuptools itself
+    uses for a flat-layout pure-Python package."""
+    pth = (str(_ROOT) + "\n").encode()
+    return _assemble(
+        wheel_directory, [(f"__editable__.{_PACKAGE}.pth", pth)]
+    )
+
+
+def build_wheel(wheel_directory, config_settings=None, metadata_directory=None):
+    """Regular wheel: the package tree itself (pure Python, flat
+    layout), minus caches."""
+    pkg_root = _ROOT / _PACKAGE
+    payload = []
+    for f in sorted(pkg_root.rglob("*")):
+        if not f.is_file() or "__pycache__" in f.parts:
+            continue
+        payload.append(
+            (f"{_PACKAGE}/{f.relative_to(pkg_root).as_posix()}", f.read_bytes())
+        )
+    return _assemble(wheel_directory, payload)

@@ -30,6 +30,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..compat import context_key, persistent_rdd_ids
 from .plancut import checkpoint_cut, mark_stage
 
 from .dedup import (
@@ -562,9 +563,13 @@ def checkpoint_baseline(spark) -> set:
     """Snapshot of the session's persistent-RDD ids, taken BEFORE a
     composed run — :func:`release_checkpoints` frees everything created
     since. (``localCheckpoint`` RDDs register in this map exactly like
-    caches do.)"""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    return {int(k) for k in jmap.keySet().toArray()}
+    caches do.) Under Spark Connect the JVM block-manager map is
+    unreachable — the snapshot degrades to empty and the paired
+    :func:`release_checkpoints` frees nothing: checkpoint blocks live
+    until the session ends, the pre-accounting behavior (see
+    ``compat.persistent_rdd_ids``)."""
+    ids = persistent_rdd_ids(spark)
+    return ids if ids is not None else set()
 
 
 def release_checkpoints(spark, baseline: set) -> int:
@@ -591,10 +596,18 @@ def release_checkpoints(spark, baseline: set) -> int:
     BEFORE the baseline snapshot is untouched; frames the caller
     cached DURING the run are released with it (scope the run
     accordingly). Prefer :func:`curation_run`, whose release is scoped
-    to the run's OWN plan cuts and cannot touch concurrent work."""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    to the run's OWN plan cuts and cannot touch concurrent work.
+
+    Connect degradation: with no reachable block-manager map this
+    frees nothing and returns 0 — blocks live until the session ends,
+    never an error (README "Spark Connect compatibility")."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        entries = jmap.entrySet().toArray()
+    except Exception:  # noqa: BLE001 — Connect: no block-manager access
+        return 0
     n = 0
-    for entry in jmap.entrySet().toArray():
+    for entry in entries:
         if int(entry.getKey()) not in baseline:
             entry.getValue().unpersist(False)
             n += 1
@@ -735,15 +748,17 @@ def _pre_armed(explicit) -> bool:
 # per process, shared by every session clone — foreachBatch clones a
 # NEW session per batch, so keying on the SESSION would forget the
 # defect every batch and re-pay the doomed first attempt each time.
+# ``compat.context_key`` keeps the keying working under Connect
+# (spark.app.id conf, then session id as last resort).
 _DEFECT_SEEN: set[str] = set()
 
 
 def _mark_defect_seen(sess) -> None:
-    _DEFECT_SEEN.add(sess.sparkContext.applicationId)
+    _DEFECT_SEEN.add(context_key(sess))
 
 
 def _defect_seen(sess) -> bool:
-    return sess.sparkContext.applicationId in _DEFECT_SEEN
+    return context_key(sess) in _DEFECT_SEEN
 
 
 @contextmanager

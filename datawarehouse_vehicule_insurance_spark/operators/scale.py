@@ -162,7 +162,13 @@ def weighted_exact_percentile(
 
 def explain_shuffles(df: DataFrame) -> dict[str, int]:
     """Count exchange/broadcast nodes in the executed plan — a cheap
-    plan-quality probe used by tests to assert shuffle budgets."""
+    plan-quality probe used by tests to assert shuffle budgets.
+
+    HARD-REQUIRES classic mode (raises under Spark Connect, no
+    fallback): this is a diagnostic whose entire value is the JVM
+    plan — returning zeros without one would make every shuffle-budget
+    assertion built on it vacuously pass (README "Spark Connect
+    compatibility")."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
         "exchanges": plan.count("Exchange"),

@@ -22,6 +22,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..compat import safe_broadcast
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -482,7 +484,7 @@ def _ivf_assign(
     import numpy as np
     import pandas as pd
 
-    b = df.sparkSession.sparkContext.broadcast(cents)
+    b = safe_broadcast(df.sparkSession, cents)
     # id-type-generic: mirror df's id field rather than hardcoding long
     # (string vector ids must survive the round trip — r5 advice)
     id_ddl = df.schema[id_name].dataType.simpleString()
@@ -789,6 +791,17 @@ def _train_pq(
         return M / norms
 
     X = _unit(np.array([r[1] for r in train_rows], dtype=np.float64))
+    return _lloyd_books(X, m, ks, kmeans_iters, seed)
+
+
+def _lloyd_books(X, m: int, ks: int, kmeans_iters: int, seed: int):
+    """Per-subspace ``ks``-centroid Lloyd iterations over a driver-side
+    training matrix (rows already normalized / residualized by the
+    caller). Returns a list of m (ks, dim/m) codebook arrays — shared
+    by whole-vector PQ (:func:`_train_pq`) and residual PQ
+    (:func:`ivfpq_topk`)."""
+    import numpy as np
+
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -918,7 +931,7 @@ def _pq_encode(
     spark = candidates.sparkSession
     m = len(books)
     sub = books[0].shape[1]
-    b_books = spark.sparkContext.broadcast(books)
+    b_books = safe_broadcast(spark, books)
 
     def _encode(batches):
         B = b_books.value
@@ -1038,7 +1051,7 @@ def pq_topk(
         [Q[:, j * sub:(j + 1) * sub] @ books[j].T for j in range(m)],
         axis=1,
     )
-    b_lut = spark.sparkContext.broadcast((qids, lut))
+    b_lut = safe_broadcast(spark, (qids, lut))
 
     def _scan(batches):
         ids_q, L = b_lut.value
@@ -1073,6 +1086,333 @@ def pq_topk(
     )
 
 
+def ivfpq_fingerprint(
+    n_cells: int, m: int, ks: int, train_sample: int,
+    kmeans_iters: int, kmeans_sample: int, seed: int,
+) -> str:
+    """Canonical fingerprint of IVF-PQ training parameters (coarse
+    quantizer + residual codebooks train together — one stamp)."""
+    return (
+        f"ivfpq/n_cells={n_cells}/m={m}/ks={ks}"
+        f"/train_sample={train_sample}/kmeans_iters={kmeans_iters}"
+        f"/kmeans_sample={kmeans_sample}/seed={seed}"
+    )
+
+
+def _train_ivfpq(
+    candidates: DataFrame,
+    n_cells: int,
+    m: int,
+    ks: int,
+    train_sample: int,
+    kmeans_iters: int,
+    kmeans_sample: int,
+    seed: int,
+    cand_id: str,
+    cand_vec: str,
+):
+    """Driver-side IVF-PQ training on deterministic bounded samples
+    (lowest ids, like both parents): spherical-Lloyd coarse centroids
+    (:func:`_train_ivf`), then per-subspace Lloyd on the sample's
+    RESIDUALS to its coarse assignment (:func:`_lloyd_books`). Returns
+    (cents (n_cells, dim), books: m arrays of (ks, dim/m))."""
+    import numpy as np
+
+    cents = _train_ivf(
+        candidates, n_cells, kmeans_iters, kmeans_sample, seed,
+        cand_id, cand_vec,
+    )
+    train_rows = (
+        candidates.filter(_finite_vec(cand_vec))
+        .select(cand_id, cand_vec)
+        .orderBy(cand_id)
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([r[1] for r in train_rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    X /= norms
+    R = X - cents[(X @ cents.T).argmax(axis=1)]
+    books = _lloyd_books(R, m, ks, kmeans_iters, seed)
+    return cents, books
+
+
+def _ivfpq_encode(
+    candidates: DataFrame, cents, books, cand_id: str, cand_vec: str
+) -> DataFrame:
+    """Arrow-batched IVF-PQ corpus encode → (id, __cell, __code):
+    unit-normalize, coarse-assign, residualize, per-subspace code.
+    Non-finite vectors are DROPPED (same rationale as
+    :func:`_pq_encode`: a corrupt vector would get an arbitrary but
+    finite code and pollute every probe)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = candidates.sparkSession
+    m = len(books)
+    sub = books[0].shape[1]
+    b_model = safe_broadcast(spark, (cents, books))
+
+    def _encode(batches):
+        C, B = b_model.value
+        for pdf in batches:
+            M = np.array(list(pdf[cand_vec]), dtype=np.float64)
+            keep = np.isfinite(M).all(axis=1)
+            if not keep.all():
+                M = M[keep]
+                pdf = pdf[keep]
+            if not len(M):
+                continue
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            M /= norms
+            cells = (M @ C.T).argmax(axis=1)
+            Res = M - C[cells]
+            codes = np.empty((len(M), m), dtype=np.int32)
+            for j, Bj in enumerate(B):
+                Rj = Res[:, j * sub:(j + 1) * sub]
+                d2 = (
+                    (Rj ** 2).sum(axis=1, keepdims=True)
+                    - 2.0 * Rj @ Bj.T
+                    + (Bj ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({
+                cand_id: pdf[cand_id].to_numpy(dtype=np.int64),
+                "__cell": cells.astype(np.int32),
+                "__code": list(codes),
+            })
+
+    return candidates.select(cand_id, cand_vec).mapInPandas(
+        _encode, f"{cand_id} long, __cell int, __code array<int>"
+    )
+
+
+def ivfpq_centroids_table(
+    candidates: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    train_sample: int = 2048,
+    kmeans_iters: int = 5,
+    kmeans_sample: int = 2048,
+    seed: int = 42,
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable IVF-PQ index, part 1: returns (centroids_table,
+    codebooks_table) — the coarse (cell, centroid) rows and the
+    residual (subspace, code, centroid) rows, BOTH stamped with the
+    joint :func:`ivfpq_fingerprint` (coarse quantizer and residual
+    codebooks train together; a mixed-provenance pair must fail probe
+    validation). Train ONCE, write both as parquet, probe many times
+    (:func:`ivfpq_topk` ``centroids=``/``codebooks=``)."""
+    cents, books = _train_ivfpq(
+        candidates, n_cells, m, ks, train_sample, kmeans_iters,
+        kmeans_sample, seed, cand_id, cand_vec,
+    )
+    spark = candidates.sparkSession
+    fp = ivfpq_fingerprint(
+        n_cells, m, ks, train_sample, kmeans_iters, kmeans_sample, seed
+    )
+    cents_tbl = spark.createDataFrame(
+        [(int(c), [float(x) for x in cents[c]]) for c in range(len(cents))],
+        "cell int, centroid array<double>",
+    ).withColumn(ANN_PARAMS_COL, F.lit(fp))
+    books_tbl = spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j][c]])
+            for j in range(len(books))
+            for c in range(len(books[j]))
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).withColumn(ANN_PARAMS_COL, F.lit(fp))
+    return cents_tbl, books_tbl
+
+
+def ivfpq_encode_table(
+    candidates: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    train_sample: int = 2048,
+    kmeans_iters: int = 5,
+    kmeans_sample: int = 2048,
+    seed: int = 42,
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """The persistable IVF-PQ index, part 2: the encoded corpus —
+    (vec_id, cell, code, __ann_params) at m bytes of code + a cell id
+    per vector. An ingest pipeline appends each accepted batch\'s rows
+    so :func:`ivfpq_topk` (``codes=``) scans straight off parquet with
+    no per-call encode of the corpus."""
+    fp = ivfpq_fingerprint(
+        n_cells, m, ks, train_sample, kmeans_iters, kmeans_sample, seed
+    )
+    _validate_ann_params(centroids, fp, "IVF-PQ centroids")
+    _validate_ann_params(codebooks, fp, "IVF-PQ codebooks")
+    cents = _load_ivf_centroids(centroids)
+    books = _load_pq_codebooks(codebooks)
+    codes = _ivfpq_encode(candidates, cents, books, cand_id, cand_vec)
+    return codes.select(
+        F.col(cand_id),
+        F.col("__cell").alias("cell"),
+        F.col("__code").alias("code"),
+    ).withColumn(ANN_PARAMS_COL, F.lit(fp))
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    train_sample: int = 2048,
+    kmeans_iters: int = 5,
+    kmeans_sample: int = 2048,
+    seed: int = 42,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — PQ over RESIDUALS to the IVF coarse
+    quantizer, the composition real ANN systems (FAISS ``IVFPQ``) run
+    at scale. On clustered corpora, whole-vector PQ codes land on
+    cluster centers, so the codebook budget is spent re-expressing
+    what the coarse structure already says; encoding the residual
+    ``v − centroid(cell_v)`` spends it on the within-cluster geometry
+    where the true top-k lives. Measured on a 20k 32-center mixture
+    (``tools/op_replica.py`` ann_shortlist_clustered, r12):
+    shortlist-100 containment of the exact top-10 is 0.865 IVF-PQ
+    (8/32 probing) vs 0.805 whole-vector PQ at m=8/ks=256 — and the
+    advantage needs the coarse quantizer to RESOLVE the clusters: at
+    16 cells over 32 clusters, cells merge cluster pairs, residuals
+    go bimodal, and containment falls back to whole-vector PQ\'s
+    level. Honest limit, measured not assumed: when clusters are
+    near-duplicate-tight (within-cluster cosine spread ~1e-4, below
+    any m-byte code\'s resolution), EVERY PQ variant\'s direct ranking
+    collapses to tie-noise — that regime belongs to :func:`ivf_topk`,
+    which re-ranks exact cosines inside probed cells. Like
+    :func:`pq_topk`, this tier\'s production shape is shortlist (k ≈
+    50–100) → exact re-rank downstream.
+
+    Asymmetric similarity decomposes without per-cell lookup tables:
+    ``sim(q, v) ≈ ⟨q, c(cell_v)⟩ + Σ_j ⟨q_j, book_j[code_vj]⟩`` — a
+    per-(query, cell) constant (an nq × n_cells matmul, driver-side)
+    plus the SAME per-subspace LUT sum as :func:`pq_topk`. Each query
+    scans only its ``n_probe`` closest cells (non-probed candidates
+    are masked out batch-side), so the scan does IVF\'s candidate
+    bounding AND PQ\'s byte bounding: at 100 TB, ~n_probe/n_cells of
+    the corpus is read, at m bytes per vector, in one mapInPandas
+    pass with only Q·k rows per partition leaving for the final rank.
+
+    ``centroids`` / ``codebooks`` / ``codes`` (optional): persisted
+    :func:`ivfpq_centroids_table` / :func:`ivfpq_encode_table`
+    artifacts — with all three, the probe runs NO training and NO
+    corpus-encode jobs (bounded centroid/codebook reads and the code
+    scan only); stamped parameters are validated against this call\'s,
+    and the coarse/residual pair must carry the SAME joint stamp."""
+    import numpy as np
+    import pandas as pd
+
+    spark = candidates.sparkSession
+    fp = ivfpq_fingerprint(
+        n_cells, m, ks, train_sample, kmeans_iters, kmeans_sample, seed
+    )
+    if (centroids is None) != (codebooks is None):
+        raise ValueError(
+            "centroids= and codebooks= must be passed together (they "
+            "train jointly and carry one stamp)"
+        )
+    if codes is not None and centroids is None:
+        raise ValueError(
+            "codes= requires centroids=/codebooks= (the query-side "
+            "probe is built from the same model)"
+        )
+    if centroids is not None:
+        _validate_ann_params(centroids, fp, "IVF-PQ centroids")
+        _validate_ann_params(codebooks, fp, "IVF-PQ codebooks")
+        cents = _load_ivf_centroids(centroids)
+        books = _load_pq_codebooks(codebooks)
+    else:
+        cents, books = _train_ivfpq(
+            candidates, n_cells, m, ks, train_sample, kmeans_iters,
+            kmeans_sample, seed, cand_id, cand_vec,
+        )
+    sub = books[0].shape[1]
+
+    if codes is not None:
+        _validate_ann_params(codes, fp, "IVF-PQ codes")
+        codes_df = codes.select(
+            F.col(cand_id),
+            F.col("cell").alias("__cell"),
+            F.col("code").alias("__code"),
+        )
+    else:
+        codes_df = _ivfpq_encode(candidates, cents, books, cand_id, cand_vec)
+
+    def _unit(M):
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return M / norms
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = _unit(np.array([r[1] for r in q_rows], dtype=np.float64))
+    cell_sims = Q @ cents.T                      # (nq, n_cells)
+    order = np.argsort(-cell_sims, axis=1)
+    probe_mask = np.zeros_like(cell_sims, dtype=bool)
+    np.put_along_axis(probe_mask, order[:, :n_probe], True, axis=1)
+    lut = np.stack(
+        [Q[:, j * sub:(j + 1) * sub] @ books[j].T for j in range(m)],
+        axis=1,
+    )                                            # (nq, m, ks)
+    b_lut = safe_broadcast(spark, (qids, lut, cell_sims, probe_mask))
+
+    def _scan(batches):
+        ids_q, L, CS, PM = b_lut.value
+        nq = len(ids_q)
+        for pdf in batches:
+            codes_m = np.array(list(pdf["__code"]), dtype=np.int64)
+            cells = pdf["__cell"].to_numpy(dtype=np.int64)
+            n = len(codes_m)
+            sims = CS[:, cells].copy()           # (nq, n) coarse term
+            for j in range(m):
+                sims += L[:, j, :][:, codes_m[:, j]]
+            sims[~PM[:, cells]] = -np.inf        # outside probe set
+            cids = pdf[cand_id].to_numpy(dtype=np.int64)
+            top = min(k, n)
+            part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            vals = np.take_along_axis(sims, part, axis=1)
+            out = pd.DataFrame({
+                query_id: np.repeat(ids_q, top),
+                cand_id: cids[part].ravel(),
+                "pq_sim": vals.ravel(),
+            })
+            yield out[np.isfinite(out["pq_sim"])]
+
+    local_top = codes_df.mapInPandas(
+        _scan, f"{query_id} long, {cand_id} long, pq_sim double"
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("pq_sim").desc(), F.col(cand_id).asc()
+    )
+    return (
+        local_top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, F.round("pq_sim", 6).alias("pq_sim"),
+                "rank")
+    )
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
@@ -1132,7 +1472,7 @@ def semantic_dedup(
         cents = _train_ivf(
             df, n_cells, kmeans_iters, kmeans_sample, seed, id_col, vec_col
         )
-    b_cents = df.sparkSession.sparkContext.broadcast(cents)
+    b_cents = safe_broadcast(df.sparkSession, cents)
 
     assigned = _ivf_assign(df, cents, id_col, vec_col).join(
         df.select(id_col, vec_col), id_col

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..compat import safe_broadcast
+
 #: marker stopwords per language — tiny n-gram-free heuristic; the point
 #: is the distributed shape (one projection, no UDF), not NLP accuracy.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -928,7 +930,7 @@ def bpe_encode(
     _validate_bpe_stamp(merges, bpe_fingerprint(num_merges, max_words))
     rows = merges.select("rank", "left", "right").collect()
     ranks = {(r[1], r[2]): r[0] for r in rows}
-    b_ranks = df.sparkSession.sparkContext.broadcast(ranks)
+    b_ranks = safe_broadcast(df.sparkSession, ranks)
     import re as _re
 
     out_fields = ", ".join(
@@ -1100,7 +1102,7 @@ def bpe_encode_bytes(
     _validate_bpe_stamp(merges, bpe_bytes_fingerprint(num_merges, max_words))
     rows = merges.select("rank", "left", "right").collect()
     ranks = {(r[1], r[2]): r[0] for r in rows}
-    b_ranks = df.sparkSession.sparkContext.broadcast(ranks)
+    b_ranks = safe_broadcast(df.sparkSession, ranks)
     import re as _re
 
     out_fields = ", ".join(
@@ -1964,7 +1966,7 @@ def bpe_encode_ids(
         r["token"]: r["token_id"]
         for r in vocab.select("token", "token_id").collect()
     }
-    b_map = df.sparkSession.sparkContext.broadcast(mapping)
+    b_map = safe_broadcast(df.sparkSession, mapping)
     enc = bpe_encode(
         df, merges, num_merges, max_words, text_col, "__bpe_toks"
     )

@@ -14,6 +14,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from .compat import safe_set_log_level
+
 
 def get_spark(
     app_name: str = "datawarehouse_vehicule_insurance_spark",
@@ -67,5 +69,6 @@ def get_spark(
             builder = builder.config(k, v)
 
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    # no-op under Spark Connect (no client log-level API) — see compat
+    safe_set_log_level(spark, "WARN")
     return spark

@@ -523,6 +523,71 @@ def test_pq_topk_shortlist_recall_vs_exact(spark):
     assert short_pairs == again
 
 
+def test_ivfpq_shortlist_on_clustered_data(spark):
+    """IVF-PQ (residual PQ, r12) on a clustered corpus, in the
+    production shortlist framing its docstring commits to: a
+    shortlist of 25/~790 must contain the exact top-5 (measured 0.90
+    containment on this geometry), quantized sims stay in cosine
+    range, training is seed-deterministic, and the probe mask REALLY
+    bounds the scan — with n_probe=1, every returned candidate shares
+    the query's own cell (on this well-separated mixture, its cluster
+    mod-class: cells train from the lowest 8 ids, one per cluster)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n_clusters, per, dim = 8, 100, 16
+    C = rng.normal(scale=1.0, size=(n_clusters, dim))
+    rows = []
+    for i in range(n_clusters * per):
+        # sigma ~ |center| component scale: clusters are separated but
+        # within-cluster cosine spread is resolvable by 16 codes/2-dim
+        # subspace (the degenerate near-dup-tight regime is covered by
+        # tools/op_replica.py's clustered recall check)
+        v = C[i % n_clusters] + 1.0 * rng.normal(size=dim)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).repartition(8)
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cands = emb.filter(F.col("vec_id") >= 8)
+
+    def topk_sets(df):
+        out = {}
+        for r in df.select("query_id", "vec_id").collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    truth = topk_sets(S.cosine_topk(qs, cands, k=5))
+    short = S.ivfpq_topk(
+        qs, cands, k=25, n_cells=8, n_probe=2, m=8, ks=16
+    )
+    got = short.collect()
+    sl = topk_sets(short)
+    containment = sum(
+        len(sl.get(q, set()) & ids) / len(ids) for q, ids in truth.items()
+    ) / len(truth)
+    assert containment >= 0.8, f"shortlist containment {containment}"
+    # quantized sims stay in the cosine range; ranks well-formed
+    assert all(-1.01 <= r["pq_sim"] <= 1.01 for r in got)
+    assert all(1 <= r["rank"] <= 25 for r in got)
+
+    # determinism: training samples and codebooks are seed-pinned
+    again = topk_sets(
+        S.ivfpq_topk(qs, cands, k=25, n_cells=8, n_probe=2, m=8, ks=16)
+    )
+    assert again == sl
+
+    # the probe mask bounds the scan
+    one = S.ivfpq_topk(qs, cands, k=5, n_cells=8, n_probe=1, m=8, ks=16)
+    clusters_of = {i: i % n_clusters for i, _ in rows}
+    for r in one.collect():
+        assert (
+            clusters_of[r["vec_id"]] == clusters_of[r["query_id"]]
+        ), "n_probe=1 returned a candidate outside the probed cell"
+
+
 def test_chunk_documents_reconstruction_and_overlap(spark):
     rows = [
         (0, " ".join(f"w{i}" for i in range(10))),
@@ -838,6 +903,68 @@ def test_pq_index_persistence_round_trip(spark, tmp_path):
                   codebooks=books)
     with pytest.raises(ValueError, match="requires codebooks"):
         S.pq_topk(qs, cands, codes=codes, **kw)
+
+
+def test_ivfpq_index_persistence_round_trip(spark, tmp_path):
+    """Same contract as the IVF and PQ round trips, for the r12
+    composed tier: persisted coarse centroids + residual codebooks +
+    encoded corpus probe identically to the in-memory path with
+    training poisoned; parameter drift and mixed-provenance artifact
+    pairs raise."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    kw = dict(k=5, n_cells=8, n_probe=4, m=8, ks=16, kmeans_iters=3)
+
+    direct = {(r["query_id"], r["vec_id"], r["pq_sim"], r["rank"])
+              for r in S.ivfpq_topk(qs, cands, **kw).collect()}
+    assert direct  # non-degenerate probe
+
+    cents_tbl, books_tbl = S.ivfpq_centroids_table(
+        cands, n_cells=8, m=8, ks=16, kmeans_iters=3
+    )
+    cents_tbl.write.parquet(str(tmp_path / "ivfpq_centroids"))
+    books_tbl.write.parquet(str(tmp_path / "ivfpq_codebooks"))
+    cents = spark.read.parquet(str(tmp_path / "ivfpq_centroids"))
+    books = spark.read.parquet(str(tmp_path / "ivfpq_codebooks"))
+    S.ivfpq_encode_table(
+        cands, cents, books, n_cells=8, m=8, ks=16, kmeans_iters=3
+    ).write.parquet(str(tmp_path / "ivfpq_codes"))
+    codes = spark.read.parquet(str(tmp_path / "ivfpq_codes"))
+
+    def _poisoned(*a, **k):
+        raise AssertionError("training ran on the load path")
+
+    real = S._train_ivfpq
+    try:
+        S._train_ivfpq = _poisoned
+        loaded = {(r["query_id"], r["vec_id"], r["pq_sim"], r["rank"])
+                  for r in S.ivfpq_topk(
+                      qs, cands, centroids=cents, codebooks=books,
+                      codes=codes, **kw
+                  ).collect()}
+    finally:
+        S._train_ivfpq = real
+    assert loaded == direct
+
+    # drifted parameters must fail closed
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        S.ivfpq_topk(qs, cands, k=5, n_cells=16, n_probe=4, m=8,
+                     ks=16, kmeans_iters=3, centroids=cents,
+                     codebooks=books)
+    # artifact pairs are all-or-nothing (one joint training stamp)
+    with pytest.raises(ValueError, match="together"):
+        S.ivfpq_topk(qs, cands, centroids=cents, **kw)
+    with pytest.raises(ValueError, match="requires centroids"):
+        S.ivfpq_topk(qs, cands, codes=codes, **kw)
+    # a whole-vector PQ codebook table (different stamp) cannot pose
+    # as the residual half of an IVF-PQ model
+    wrong_books = S.pq_codebooks_table(cands, m=8, ks=16, kmeans_iters=3)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        S.ivfpq_topk(qs, cands, centroids=cents, codebooks=wrong_books,
+                     **kw)
 
 
 def test_ivf_neardup_candidates_full_probe_equals_bruteforce(spark, tmp_path):

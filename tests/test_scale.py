@@ -1190,6 +1190,32 @@ def test_ensure_parallelism_is_plan_aware(spark):
     assert out2.rdd.getNumPartitions() == dp
     assert out2.count() == 100
 
+    # r11 ADVICE: the exchange check matches NODE names, not raw
+    # substrings — a narrow plan whose projection merely CONTAINS
+    # "Exchange" inside an identifier (stockExchange) must still get
+    # the guard, while the prefixed BroadcastExchange / ReusedExchange
+    # node names still suppress it (regex sanity, no plan needed).
+    from datawarehouse_vehicule_insurance_spark.operators.plancut import (
+        _EXCHANGE_NODE,
+    )
+
+    assert _EXCHANGE_NODE.search("+- Exchange hashpartitioning(g#1, 32)")
+    assert _EXCHANGE_NODE.search("+- BroadcastExchange HashedRelation")
+    assert _EXCHANGE_NODE.search("+- ReusedExchange [id#0L]")
+    assert not _EXCHANGE_NODE.search("Project [stockExchange#3, id#0L]")
+
+    named = spark.range(0, 100, numPartitions=1).withColumnRenamed(
+        "id", "stockExchange"
+    )
+    out3, jobs3 = _jobs_during(
+        spark, "ep_probe_named", lambda: ensure_parallelism(named)
+    )
+    assert jobs3 == 0
+    assert out3.rdd.getNumPartitions() == dp, (
+        "a column named stockExchange disabled the parallelism guard"
+    )
+    assert out3.count() == 100
+
 
 def test_gopher_arrow_build_runs_upstream_shuffle_once(spark):
     """The live round-10 double-execution site: ``curation_run`` calls

@@ -27,10 +27,12 @@ Prints one ok/FAIL line per check (with wall time), exits 1 on failure.
 
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+_REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(_REPO_ROOT))
 
 from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
@@ -383,6 +385,130 @@ def check_ann_recall():
     return None
 
 
+def _mixture_table(n_vec: int, n_clusters: int, dim: int,
+                   center_scale: float, sigma: float, seed: int):
+    """Mixture-of-Gaussians embedding table, built distributively (JVM
+    randn per component — no driver-side corpus matrix; only the
+    n_clusters×dim center matrix rides through a broadcast join),
+    localCheckpoint-pinned so randn cannot resample per action."""
+    rng = np.random.default_rng(seed)
+    C = rng.normal(scale=center_scale, size=(n_clusters, dim))
+    cents_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in C[i]]) for i in range(n_clusters)],
+        "__c bigint, __center array<double>",
+    )
+    noise = F.array(*[F.randn(1000 + i) for i in range(dim)])
+    return (
+        spark.range(n_vec)
+        .repartition(32)
+        .select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % n_clusters).alias("__c"),
+            noise.alias("__n"),
+        )
+        .join(F.broadcast(cents_df), "__c")
+        .select(
+            "vec_id",
+            F.zip_with(
+                "__center", "__n", lambda c, n: c + F.lit(sigma) * n
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.select("query_id", "vec_id").collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def _mean_recall(truth, approx):
+    per = [
+        len(approx.get(qid, set()) & ids) / len(ids)
+        for qid, ids in truth.items()
+    ]
+    return sum(per) / len(per)
+
+
+@check("ann_recall_clustered")
+def check_ann_recall_clustered():
+    """r11 verdict #6, geometry 1 of 2 — NEAR-DUPLICATE-TIGHT
+    clusters (32 centers at scale 5, sigma 0.5: within-cluster cosine
+    spread ~1e-4). The honest finding this check pins (r12, measured):
+    tiers that re-rank EXACT cosines inside their candidate sets (IVF
+    cells, LSH buckets) go to ~1.0 here, while EVERY PQ variant's
+    direct ranking collapses to tie-noise — 1e-4 cosine gaps are
+    below any m-byte code's resolution, residual-encoded or not
+    (measured: pq 0.045, ivfpq-shortlist no better; both WORSE than
+    their isotropic numbers). So the pq floor here is a chance-level
+    breakage detector (chance k/N = 5e-4), not a quality bar — the
+    quality claim for quantized tiers lives in the moderate-geometry
+    shortlist check below, which is the regime they are FOR."""
+    n_vec = emb.count()
+    n_q, k, dim = 20, 10, 64
+    clustered = _mixture_table(n_vec, 32, dim, 5.0, 0.5, seed=11)
+    q = (clustered.orderBy("vec_id").limit(n_q)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec")))
+    truth = _topk_sets(S.cosine_topk(q, clustered, k=k))
+    r_ivf = _mean_recall(truth, _topk_sets(
+        S.ivf_topk(q, clustered, k=k, n_cells=16, n_probe=4)))
+    r_lsh = _mean_recall(truth, _topk_sets(
+        S.lsh_topk(q, clustered, dim, k=k, n_planes=8, n_tables=4)))
+    r_pq = _mean_recall(truth, _topk_sets(
+        S.pq_topk(q, clustered, k=k, m=8, ks=16)))
+    print(f"    tight-cluster recall@{k} over {n_q} queries: "
+          f"ivf(4/16)={r_ivf:.3f} lsh(8x4)={r_lsh:.3f} pq(8x16)={r_pq:.3f}")
+    floors = {"ivf": (r_ivf, 0.8), "lsh": (r_lsh, 0.3),
+              "pq": (r_pq, 0.01)}
+    for name, (val, floor) in floors.items():
+        if val < floor:
+            return f"clustered {name} recall@{k} {val:.3f} < floor {floor}"
+    return None
+
+
+@check("ann_shortlist_clustered")
+def check_ann_shortlist_clustered():
+    """r11 verdict #6, geometry 2 of 2 — MODERATE clusters (32 centers
+    at scale 1, sigma 1.0: separated, but within-cluster spread is
+    resolvable by codes). This is the regime quantized tiers are FOR,
+    measured in their production framing: a shortlist of 100 must
+    contain the exact top-10 (downstream exact re-rank recovers order,
+    same design as test_pq_topk_shortlist_recall_vs_exact). Measured
+    r12 at 10x: pq 0.805, ivfpq 0.865 at m=8/ks=256 with 8/32 probing
+    — and the ivfpq advantage is coarse-resolution-sensitive: at 16
+    cells over these 32 clusters each cell merges two clusters,
+    residuals go bimodal, and containment drops to pq's 0.81 (also
+    measured). Floors are detectors with margin under those values;
+    ivfpq also gets a no-worse-than-pq floor (−0.05 noise allowance)
+    because losing the residual advantage means the composition
+    regressed to whole-vector behavior."""
+    n_vec = emb.count()
+    n_q, k, short, dim = 20, 10, 100, 64
+    clustered = _mixture_table(n_vec, 32, dim, 1.0, 1.0, seed=13)
+    q = (clustered.orderBy("vec_id").limit(n_q)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec")))
+    truth = _topk_sets(S.cosine_topk(q, clustered, k=k))
+    c_pq = _mean_recall(truth, _topk_sets(
+        S.pq_topk(q, clustered, k=short, m=8, ks=256)))
+    c_ivfpq = _mean_recall(truth, _topk_sets(
+        S.ivfpq_topk(q, clustered, k=short, n_cells=32, n_probe=8,
+                     m=8, ks=256)))
+    print(f"    moderate-cluster shortlist-{short} containment of "
+          f"top-{k}: pq(8x256)={c_pq:.3f} ivfpq(8/32,8x256)={c_ivfpq:.3f}")
+    if c_pq < 0.5:
+        return f"pq shortlist containment {c_pq:.3f} < floor 0.5"
+    if c_ivfpq < 0.6:
+        return f"ivfpq shortlist containment {c_ivfpq:.3f} < floor 0.6"
+    if c_ivfpq < c_pq - 0.05:
+        return (f"ivfpq {c_ivfpq:.3f} worse than pq {c_pq:.3f} — "
+                f"residual advantage lost")
+    return None
+
+
 @check("corrupt_heavy_decode_budget")
 def check_decode_budget():
     """r10 verdict #9a: the decode-error budget itself, proven cheap
@@ -394,7 +520,8 @@ def check_decode_budget():
     import importlib.util as _ilu
 
     spec = _ilu.spec_from_file_location(
-        "_mm_helpers", "/root/repo/tests/test_streaming_multimodal.py"
+        "_mm_helpers",
+        str(_REPO_ROOT / "tests" / "test_streaming_multimodal.py"),
     )
     helpers = _ilu.module_from_spec(spec)
     spec.loader.exec_module(helpers)
