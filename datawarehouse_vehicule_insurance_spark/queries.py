@@ -825,6 +825,26 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ shortlist probe over the embeddings table (AUDIT-only,
+    r12): quantized ranks have no exact SQL oracle — correctness is
+    pinned by test_dedup_similarity's shortlist/persistence tests and
+    the op_replica clustered-geometry checks. This entry exists so
+    tools/scaling_audit.py can measure the composed tier's scaling:
+    the probe-masked code scan reads ~n_probe/n_cells of the corpus
+    at m bytes per vector, so wall time should grow with corpus size
+    times that fraction (sub-linear in bytes touched vs brute)."""
+    from .operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_topk(
+        qs, emb, k=50, n_cells=16, n_probe=4, m=8, ks=16
+    )
+
+
 SQL_ANN_COSINE_TOPK = """
 WITH qs AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
@@ -3121,6 +3141,7 @@ AUDIT_VARIANTS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_log_weights_pruned": q_dsir_log_weights_pruned,
     # lm_score_only / lm_score_only_pruned were promoted to
     # BENCH_EXTRA in r11 (scaling_audit reaches them there)
+    "ann_ivfpq_shortlist": q_ann_ivfpq_shortlist,  # r12 composed tier
 }
 
 ORACLES: dict[str, str] = {
