@@ -79,8 +79,15 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # min-of-5 (vs the suite's min-of-3): measured r12, a single
+    # canary run jitters ~25% peak-to-peak on this host REGARDLESS of
+    # job length (2e9 and 8e9 rows both spread ~0.23-0.27 relative),
+    # so a longer job buys nothing and more samples buy a tighter min.
+    # Even so, treat canary_sec as ±10% between quiet runs: it detects
+    # the LARGE host drifts (co-tenancy, thermal throttle, 1.5-2x)
+    # that previously cost rounds of re-attribution, not 5% effects.
     _canary_once()  # warm: codegen + stage setup, not measured
-    canary = round(min(_canary_once() for _ in range(3)), 4)
+    canary = round(min(_canary_once() for _ in range(5)), 4)
 
     # three passes, report the min per query: the host shows
     # intermittent load spikes that can inflate a single cold run
