@@ -956,12 +956,16 @@ def _pq_encode(
                 )
                 codes[:, j] = d2.argmin(axis=1)
             yield pd.DataFrame({
-                cand_id: pdf[cand_id].to_numpy(dtype=np.int64),
+                cand_id: pdf[cand_id].to_numpy(),
                 "__code": list(codes),
             })
 
+    # id-type-generic: mirror the candidate id field's DDL rather than
+    # hardcoding long (string vector ids must survive the round trip —
+    # same contract as _ivf_assign, r5 advice / r12 verdict #2)
+    id_ddl = candidates.schema[cand_id].dataType.simpleString()
     return candidates.select(cand_id, cand_vec).mapInPandas(
-        _encode, f"{cand_id} long, __code array<int>"
+        _encode, f"{cand_id} {id_ddl}, __code array<int>"
     )
 
 
@@ -1044,7 +1048,9 @@ def pq_topk(
         codes_df = _pq_encode(candidates, books, cand_id, cand_vec)
 
     q_rows = queries.select(query_id, query_vec).collect()
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    # ids stay in their native type (long, string, …) — the scan output
+    # schema mirrors both sides' id DDLs below
+    qids = np.array([r[0] for r in q_rows])
     Q = _unit(np.array([r[1] for r in q_rows], dtype=np.float64))
     # LUT[q, j, c] = dot(query_j, codebook_j[c]): pq_sim = sum_j LUT
     lut = np.stack(
@@ -1057,12 +1063,14 @@ def pq_topk(
         ids_q, L = b_lut.value
         nq = len(ids_q)
         for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
             codes = np.array(list(pdf["__code"]), dtype=np.int64)
-            n = len(codes)
             sims = np.zeros((nq, n), dtype=np.float64)
             for j in range(m):
                 sims += L[:, j, :][:, codes[:, j]]
-            cids = pdf[cand_id].to_numpy(dtype=np.int64)
+            cids = pdf[cand_id].to_numpy()
             top = min(k, n)
             # local per-query top-k: only Q*k rows leave the partition
             part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
@@ -1072,8 +1080,10 @@ def pq_topk(
                 "pq_sim": np.take_along_axis(sims, part, axis=1).ravel(),
             })
 
+    qid_ddl = queries.schema[query_id].dataType.simpleString()
+    cid_ddl = codes_df.schema[cand_id].dataType.simpleString()
     local_top = codes_df.mapInPandas(
-        _scan, f"{query_id} long, {cand_id} long, pq_sim double"
+        _scan, f"{query_id} {qid_ddl}, {cand_id} {cid_ddl}, pq_sim double"
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("pq_sim").desc(), F.col(cand_id).asc()
@@ -1179,13 +1189,17 @@ def _ivfpq_encode(
                 )
                 codes[:, j] = d2.argmin(axis=1)
             yield pd.DataFrame({
-                cand_id: pdf[cand_id].to_numpy(dtype=np.int64),
+                cand_id: pdf[cand_id].to_numpy(),
                 "__cell": cells.astype(np.int32),
                 "__code": list(codes),
             })
 
+    # id-type-generic: mirror the candidate id field's DDL rather than
+    # hardcoding long (string vector ids must survive the round trip —
+    # same contract as _ivf_assign, r5 advice / r12 verdict #2)
+    id_ddl = candidates.schema[cand_id].dataType.simpleString()
     return candidates.select(cand_id, cand_vec).mapInPandas(
-        _encode, f"{cand_id} long, __cell int, __code array<int>"
+        _encode, f"{cand_id} {id_ddl}, __cell int, __code array<int>"
     )
 
 
@@ -1249,7 +1263,16 @@ def ivfpq_encode_table(
     (vec_id, cell, code, __ann_params) at m bytes of code + a cell id
     per vector. An ingest pipeline appends each accepted batch\'s rows
     so :func:`ivfpq_topk` (``codes=``) scans straight off parquet with
-    no per-call encode of the corpus."""
+    no per-call encode of the corpus.
+
+    Layout at scale: write this table ``partitionBy("cell")`` (or at
+    least ``sortWithinPartitions("cell")``) — :func:`ivfpq_topk`
+    filters the scan to the union of probed cells, and the filter
+    only saves BYTES when the layout lets Catalyst turn it into
+    partition pruning (or parquet row-group skipping via the min/max
+    stats a cell-sorted file carries). On an unsorted layout the
+    filter still bounds rows entering the Python workers, but every
+    parquet page is read."""
     fp = ivfpq_fingerprint(
         n_cells, m, ks, train_sample, kmeans_iters, kmeans_sample, seed
     )
@@ -1309,12 +1332,17 @@ def ivfpq_topk(
     Asymmetric similarity decomposes without per-cell lookup tables:
     ``sim(q, v) ≈ ⟨q, c(cell_v)⟩ + Σ_j ⟨q_j, book_j[code_vj]⟩`` — a
     per-(query, cell) constant (an nq × n_cells matmul, driver-side)
-    plus the SAME per-subspace LUT sum as :func:`pq_topk`. Each query
-    scans only its ``n_probe`` closest cells (non-probed candidates
-    are masked out batch-side), so the scan does IVF\'s candidate
-    bounding AND PQ\'s byte bounding: at 100 TB, ~n_probe/n_cells of
-    the corpus is read, at m bytes per vector, in one mapInPandas
-    pass with only Q·k rows per partition leaving for the final rank.
+    plus the SAME per-subspace LUT sum as :func:`pq_topk`. The code
+    scan is PRUNED to the union of all queries\' probed cells by a
+    plain Catalyst filter (``__cell IN (...)``, ≤ nq·n_probe ids)
+    BEFORE the mapInPandas pass, and each query\'s ranking is
+    additionally masked to its OWN ``n_probe`` cells batch-side — so
+    the scan does IVF\'s candidate bounding AND PQ\'s byte bounding in
+    I/O, not just in results: at 100 TB, ~n_probe/n_cells of the
+    corpus is read (exactly that fraction when the persisted codes
+    are laid out by cell — see :func:`ivfpq_encode_table`), at m
+    bytes per vector, in one mapInPandas pass with only Q·k rows per
+    partition leaving for the final rank.
 
     ``centroids`` / ``codebooks`` / ``codes`` (optional): persisted
     :func:`ivfpq_centroids_table` / :func:`ivfpq_encode_table`
@@ -1367,12 +1395,23 @@ def ivfpq_topk(
         return M / norms
 
     q_rows = queries.select(query_id, query_vec).collect()
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    # ids stay in their native type (long, string, …) — the scan output
+    # schema mirrors both sides' id DDLs below
+    qids = np.array([r[0] for r in q_rows])
     Q = _unit(np.array([r[1] for r in q_rows], dtype=np.float64))
     cell_sims = Q @ cents.T                      # (nq, n_cells)
     order = np.argsort(-cell_sims, axis=1)
     probe_mask = np.zeros_like(cell_sims, dtype=bool)
     np.put_along_axis(probe_mask, order[:, :n_probe], True, axis=1)
+    # IVF read-bounding (r12 verdict #1): prune the code scan to the
+    # UNION of all queries' probed cells BEFORE the scan, so the
+    # n_probe/n_cells read fraction is a property of the PLAN (a filter
+    # Catalyst pushes into a persisted codes= parquet scan), not just of
+    # the result mask. ≤ nq·n_probe cell ids — driver-side tiny. The
+    # per-query mask below still applies: the union filter bounds what
+    # is READ across queries; the mask bounds what each query RANKS.
+    probed_cells = [int(c) for c in np.unique(order[:, :n_probe])]
+    codes_df = codes_df.filter(F.col("__cell").isin(probed_cells))
     lut = np.stack(
         [Q[:, j * sub:(j + 1) * sub] @ books[j].T for j in range(m)],
         axis=1,
@@ -1383,14 +1422,16 @@ def ivfpq_topk(
         ids_q, L, CS, PM = b_lut.value
         nq = len(ids_q)
         for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
             codes_m = np.array(list(pdf["__code"]), dtype=np.int64)
             cells = pdf["__cell"].to_numpy(dtype=np.int64)
-            n = len(codes_m)
             sims = CS[:, cells].copy()           # (nq, n) coarse term
             for j in range(m):
                 sims += L[:, j, :][:, codes_m[:, j]]
             sims[~PM[:, cells]] = -np.inf        # outside probe set
-            cids = pdf[cand_id].to_numpy(dtype=np.int64)
+            cids = pdf[cand_id].to_numpy()
             top = min(k, n)
             part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
             vals = np.take_along_axis(sims, part, axis=1)
@@ -1401,8 +1442,10 @@ def ivfpq_topk(
             })
             yield out[np.isfinite(out["pq_sim"])]
 
+    qid_ddl = queries.schema[query_id].dataType.simpleString()
+    cid_ddl = codes_df.schema[cand_id].dataType.simpleString()
     local_top = codes_df.mapInPandas(
-        _scan, f"{query_id} long, {cand_id} long, pq_sim double"
+        _scan, f"{query_id} {qid_ddl}, {cand_id} {cid_ddl}, pq_sim double"
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("pq_sim").desc(), F.col(cand_id).asc()

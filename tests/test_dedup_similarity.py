@@ -967,6 +967,127 @@ def test_ivfpq_index_persistence_round_trip(spark, tmp_path):
                      **kw)
 
 
+def test_ivfpq_probed_cell_pruning_reaches_the_scan(spark, tmp_path):
+    """r12 verdict #1: ivfpq_topk prunes the code scan to the union of
+    probed cells BEFORE the mapInPandas pass. On a cell-partitioned
+    persisted codes table the pruning must be visible in the PLAN as
+    parquet PartitionFilters (bytes skipped, not rows masked), and
+    behaviorally every returned candidate must sit in one of its own
+    query's probed cells."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    kw = dict(n_cells=8, m=8, ks=16, kmeans_iters=3)
+
+    cents_tbl, books_tbl = S.ivfpq_centroids_table(cands, **kw)
+    cents_tbl.write.parquet(str(tmp_path / "cents"))
+    books_tbl.write.parquet(str(tmp_path / "books"))
+    cents = spark.read.parquet(str(tmp_path / "cents"))
+    books = spark.read.parquet(str(tmp_path / "books"))
+    # the layout the encode_table docstring prescribes at scale
+    S.ivfpq_encode_table(cands, cents, books, **kw).write.partitionBy(
+        "cell"
+    ).parquet(str(tmp_path / "codes"))
+    codes = spark.read.parquet(str(tmp_path / "codes"))
+
+    out = S.ivfpq_topk(
+        qs, cands, k=25, n_probe=2, centroids=cents, codebooks=books,
+        codes=codes, **kw,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the isin filter must push THROUGH the cell->__cell alias into the
+    # partitioned scan: partition pruning, the thing that bounds bytes
+    assert "PartitionFilters: [" in plan
+    part_filters = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cell" in part_filters and "IN" in part_filters.upper()
+
+    # behavioral bound: each query's results come only from the cells
+    # THAT query probes (recompute the probe sets from the persisted
+    # coarse centroids, independently of the operator)
+    C = np.array(
+        [r["centroid"] for r in sorted(
+            cents.select("cell", "centroid").collect(), key=lambda r: r[0]
+        )]
+    )
+    q_rows = {r["query_id"]: np.array(r["qvec"], dtype=np.float64)
+              for r in qs.collect()}
+    probed = {}
+    for qid, v in q_rows.items():
+        v = v / (np.linalg.norm(v) or 1.0)
+        probed[qid] = set(np.argsort(-(C @ v))[:2].tolist())
+    cell_of = {r["vec_id"]: r["cell"]
+               for r in codes.select("vec_id", "cell").collect()}
+    got = out.collect()
+    assert got, "pruned probe returned nothing"
+    for r in got:
+        assert cell_of[r["vec_id"]] in probed[r["query_id"]]
+
+
+def test_pq_and_ivfpq_string_ids_round_trip(spark, tmp_path):
+    """r12 verdict #2: the PQ tiers are id-type-generic like _ivf_assign
+    (string vector ids survive the round trip). Zero-padded string ids
+    preserve the lowest-ids training-sample order, so the string-id run
+    must equal the long-id run 1:1 under the id mapping — for both the
+    in-memory path and the persisted-codes path."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    s_emb = emb.select(
+        F.format_string("doc-%04d", F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    s_qs = s_emb.filter(F.col("vec_id") < "doc-0005").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    s_cands = s_emb.filter(F.col("vec_id") >= "doc-0005")
+
+    def _mapped(rows):
+        return {(f"doc-{r['query_id']:04d}", f"doc-{r['vec_id']:04d}",
+                 r["pq_sim"], r["rank"]) for r in rows}
+
+    def _raw(rows):
+        return {(r["query_id"], r["vec_id"], r["pq_sim"], r["rank"])
+                for r in rows}
+
+    kw_pq = dict(k=5, m=8, ks=16, kmeans_iters=3)
+    base_pq = _mapped(S.pq_topk(qs, cands, **kw_pq).collect())
+    got_pq = S.pq_topk(s_qs, s_cands, **kw_pq)
+    assert dict(got_pq.dtypes)["query_id"] == "string"
+    assert dict(got_pq.dtypes)["vec_id"] == "string"
+    assert _raw(got_pq.collect()) == base_pq
+
+    kw = dict(k=5, n_cells=8, n_probe=4, m=8, ks=16, kmeans_iters=3)
+    base = _mapped(S.ivfpq_topk(qs, cands, **kw).collect())
+    got = S.ivfpq_topk(s_qs, s_cands, **kw)
+    assert dict(got.dtypes)["query_id"] == "string"
+    assert dict(got.dtypes)["vec_id"] == "string"
+    assert _raw(got.collect()) == base
+
+    # persisted path: string ids survive parquet + the pruned scan
+    idx_kw = dict(n_cells=8, m=8, ks=16, kmeans_iters=3)
+    cents_tbl, books_tbl = S.ivfpq_centroids_table(s_cands, **idx_kw)
+    cents_tbl.write.parquet(str(tmp_path / "s_cents"))
+    books_tbl.write.parquet(str(tmp_path / "s_books"))
+    cents = spark.read.parquet(str(tmp_path / "s_cents"))
+    books = spark.read.parquet(str(tmp_path / "s_books"))
+    S.ivfpq_encode_table(s_cands, cents, books, **idx_kw).write.parquet(
+        str(tmp_path / "s_codes")
+    )
+    codes = spark.read.parquet(str(tmp_path / "s_codes"))
+    loaded = S.ivfpq_topk(
+        s_qs, s_cands, centroids=cents, codebooks=books, codes=codes, **kw
+    )
+    assert _raw(loaded.collect()) == base
+
+
 def test_ivf_neardup_candidates_full_probe_equals_bruteforce(spark, tmp_path):
     """Probing a persisted IVF index with n_probe = n_cells is
     exhaustive: the batch-vs-corpus near-dup candidates equal the
