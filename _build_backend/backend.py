@@ -15,10 +15,13 @@ stdlib.
 Everything here derives from the static PEP 621 ``[project]`` table
 (read with stdlib ``tomllib``), so there is exactly one source of
 truth for name/version/deps/extras/scripts: pyproject.toml itself.
-``build_sdist`` alone delegates to ``setuptools.build_meta`` (tar
-needs no ``wheel``). The backend works identically with and without
-build isolation; its only build require is setuptools, and only for
-sdists.
+``build_sdist`` is stdlib too (r12 advice: the earlier
+setuptools-delegating sdist hook had an undeclared build require and
+would have omitted this backend from its own tarball — now the sdist
+is assembled in-tree like the wheel, with PKG-INFO rendered from the
+same [project] table, and round-trip tested: wheel-from-sdist ==
+wheel-from-tree). The backend works identically with and without
+build isolation and has ZERO build requires for every hook.
 """
 
 from __future__ import annotations
@@ -34,10 +37,46 @@ _PACKAGE = "datawarehouse_vehicule_insurance_spark"
 _TAG = "py3-none-any"
 
 
-def build_sdist(sdist_directory, config_settings=None):
-    from setuptools import build_meta as _orig
+def _sdist_sources():
+    """Every file a wheel build from the extracted sdist needs:
+    pyproject.toml (the metadata source of truth), the README it
+    references, THIS backend (pyproject's backend-path points into the
+    tree), and the package itself."""
+    files = [_ROOT / "pyproject.toml", _ROOT / "README.md"]
+    files += sorted((_ROOT / "_build_backend").rglob("*"))
+    files += sorted((_ROOT / _PACKAGE).rglob("*"))
+    return [
+        f for f in files if f.is_file() and "__pycache__" not in f.parts
+    ]
 
-    return _orig.build_sdist(sdist_directory, config_settings)
+
+def build_sdist(sdist_directory, config_settings=None):
+    """PEP 517 sdist from the stdlib alone: ``{base}.tar.gz`` with the
+    required single ``{base}/`` top directory, a PKG-INFO rendered from
+    the same [project] table as the wheel METADATA, and everything
+    :func:`build_wheel` needs. Deterministic (sorted members, zeroed
+    mtimes, fixed modes) so identical trees produce identical sdists."""
+    import io
+    import tarfile
+
+    proj = _project()
+    base = _dist_base(proj)
+    name = f"{base}.tar.gz"
+    members = [("PKG-INFO", _metadata_files(proj)["METADATA"])]
+    members += [
+        (f.relative_to(_ROOT).as_posix(), f.read_bytes())
+        for f in _sdist_sources()
+    ]
+    with tarfile.open(
+        Path(sdist_directory) / name, "w:gz", format=tarfile.PAX_FORMAT
+    ) as tf:
+        for arc, data in members:
+            info = tarfile.TarInfo(f"{base}/{arc}")
+            info.size = len(data)
+            info.mode = 0o644
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(data))
+    return name
 
 
 def get_requires_for_build_sdist(config_settings=None):

@@ -7,12 +7,19 @@ summary JSON line LAST ({"kind": "compact", "metric", "value",
 short enough that a tail-capture window always ends with it intact; the
 r10 compact-FIRST ordering scrolled it out and clipped the long line).
 
-Both lines carry ``canary_sec`` (r11 verdict #2): the wall time of a
-pinned pure-CPU Spark job — sum of xxhash64 over spark.range(2B) —
-measured min-of-3 on the same session right before the suite. It is a
-host-speed yardstick with zero I/O and a fixed plan, so cross-round
-comparison can use the computed ratio registry_value/canary_sec instead
-of a prose host-drift argument.
+Both lines carry the host-speed canaries (r11 verdict #2, extended r13
+per the r12 verdict #3): ``canary_sec`` is the wall time of a pinned
+pure-CPU JVM job — sum of xxhash64 over spark.range(2B) — and
+``canary_py_sec`` is a pinned PYTHON-WORKER job — a no-op pandas UDF
+over spark.range — each measured min-of-5 on the same session right
+before the suite; ``canary_post_sec`` / ``canary_py_post_sec`` repeat
+both AFTER the timed passes so mid-run host drift is visible (r12's
+bpe_token_count 1.6x excursion happened while the JVM canary read its
+fastest value ever — Python-worker contention is invisible to a
+JVM-only canary measured only at the start). They are host-speed
+yardsticks with zero I/O and fixed plans, so cross-round comparison
+can use computed ratios (registry_value/canary_sec, python-heavy
+queries vs canary_py_sec) instead of a prose host-drift argument.
 
 Each query executes via the noop sink — full computation, no driver-side
 collect, matching how a production pipeline consumes results.
@@ -26,6 +33,11 @@ import os
 import sys
 import time
 from pathlib import Path
+
+# module-level so the pandas-UDF canary's stringified type hints
+# (PEP 563, via `from __future__ import annotations`) resolve: pyspark
+# evaluates 'pd.Series' against this module's globals
+import pandas as pd
 
 _REPO_ROOT = str(Path(__file__).resolve().parent)
 if _REPO_ROOT not in sys.path:
@@ -61,14 +73,18 @@ def main() -> None:
     # pre-any-measured-work) so the noisy rule stays comparable
     load_before = os.getloadavg()
 
-    # Host-speed canary (r11 verdict #2): a pinned pure-CPU job with a
-    # fixed plan and zero I/O — sum of xxhash64 over range(2B). Its
-    # min-of-3 wall time moves with HOST speed (load, thermal, co-
-    # tenancy) and with nothing in this repo, so
-    # registry_value / canary_sec is a computed cross-round
-    # normalization where previous rounds had a prose host-drift
-    # argument. Measured min-of-3 like the suite, one throwaway
-    # warm pass first (codegen for this exact plan).
+    # Host-speed canaries (r11 verdict #2; r12 verdict #3 added the
+    # Python-worker leg + before/after bracketing). Two pinned jobs
+    # with fixed plans and zero I/O:
+    #   JVM leg — sum of xxhash64 over range(2B): moves with host CPU
+    #   speed (load, thermal, co-tenancy) and nothing in this repo.
+    #   Python leg — no-op pandas UDF over range(50M): additionally
+    #   rides the Arrow transfer + python worker pool, so it sees
+    #   PYTHON-WORKER contention the JVM leg is blind to (r12: bpe
+    #   +60% while the JVM canary read its fastest value ever).
+    # registry_value / canary_sec is the computed cross-round
+    # normalization; python-heavy query drift reads against
+    # canary_py_sec.
     def _canary_once() -> float:
         t0 = time.perf_counter()
         # modulo before the sum: 2e9 terms each < 1e9 tops out ~2e18,
@@ -79,15 +95,34 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _py_identity(s: pd.Series) -> pd.Series:
+        return s
+
+    def _canary_py_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(50_000_000).select(
+            F.sum(_py_identity("id"))
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     # min-of-5 (vs the suite's min-of-3): measured r12, a single
     # canary run jitters ~25% peak-to-peak on this host REGARDLESS of
     # job length (2e9 and 8e9 rows both spread ~0.23-0.27 relative),
     # so a longer job buys nothing and more samples buy a tighter min.
-    # Even so, treat canary_sec as ±10% between quiet runs: it detects
+    # Even so, treat each canary as ±10% between quiet runs: it detects
     # the LARGE host drifts (co-tenancy, thermal throttle, 1.5-2x)
     # that previously cost rounds of re-attribution, not 5% effects.
-    _canary_once()  # warm: codegen + stage setup, not measured
-    canary = round(min(_canary_once() for _ in range(5)), 4)
+    def _canary_pair() -> tuple[float, float]:
+        _canary_once()  # warm: codegen + stage setup, not measured
+        jvm = round(min(_canary_once() for _ in range(5)), 4)
+        _canary_py_once()  # warm: worker pool + this plan's codegen
+        py = round(min(_canary_py_once() for _ in range(5)), 4)
+        return jvm, py
+
+    canary, canary_py = _canary_pair()
 
     # three passes, report the min per query: the host shows
     # intermittent load spikes that can inflate a single cold run
@@ -103,6 +138,10 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, elapsed), elapsed)
+    # bracket: re-measure both canaries AFTER the suite — a pre/post
+    # gap > the ±10% read rule means the host drifted MID-RUN and the
+    # affected queries' numbers carry that drift
+    canary_post, canary_py_post = _canary_pair()
     load_after = os.getloadavg()
 
     def _n_pids() -> int:
@@ -147,10 +186,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
-        # host-speed canary: min-of-3 wall of the pinned pure-CPU job
-        # (docstring) — divide registry_value by this to normalize a
-        # cross-round comparison for host drift
+        # host-speed canaries: min-of-5 walls of the pinned pure-CPU
+        # JVM job and the pinned Python-worker job (docstring), each
+        # measured before AND after the timed passes — divide
+        # registry_value by canary_sec (python-heavy queries by
+        # canary_py_sec) to normalize a cross-round comparison for
+        # host drift; a pre/post gap flags mid-run drift
         "canary_sec": canary,
+        "canary_py_sec": canary_py,
+        "canary_post_sec": canary_post,
+        "canary_py_post_sec": canary_py_post,
         # host-load fingerprint: 1/5/15-min loadavg sampled before and
         # after the timed passes, plus the live PID count — a loaded
         # box (loadavg >> 32 or a PID spike) explains a slow round
@@ -183,6 +228,9 @@ def main() -> None:
         "sf": sf_dir,
         "noisy": noisy,
         "canary_sec": canary,
+        "canary_py_sec": canary_py,
+        "canary_post_sec": canary_post,
+        "canary_py_post_sec": canary_py_post,
         "registry_md5": registry_md5,
     }))
 

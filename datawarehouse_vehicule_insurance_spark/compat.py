@@ -54,11 +54,21 @@ def safe_broadcast(spark, obj: Any):
     """``spark.sparkContext.broadcast(obj)`` on classic Spark; a
     :class:`ClosureBroadcast` under Connect (or any context failure).
     Call sites use the returned handle's ``.value`` inside UDF
-    closures exactly as before — both paths pickle fine."""
+    closures exactly as before — both paths pickle fine.
+
+    Only the CONTEXT probe degrades (r12 advice): a session whose
+    ``sparkContext`` is unreachable is Connect, and closure capture is
+    the documented fallback. A ``broadcast()`` call that fails on a
+    session with a working context (pickle error, broadcast OOM) is a
+    genuine fault and propagates — silently re-shipping a
+    gigabyte-scale unpicklable-for-broadcast artifact inside every
+    task closure would convert a loud failure into quiet task-size
+    bloat."""
     try:
-        return spark.sparkContext.broadcast(obj)
-    except Exception:  # noqa: BLE001 — any Connect/introspection failure
+        sc = spark.sparkContext
+    except Exception:  # noqa: BLE001 — Connect/introspection failure
         return ClosureBroadcast(obj)
+    return sc.broadcast(obj)
 
 
 def safe_set_log_level(spark, level: str) -> None:
@@ -76,9 +86,13 @@ def context_key(spark) -> str:
     across the session clones ``foreachBatch`` creates — used to key
     per-application state (the zip-defect sticky heal). Fallback
     chain: classic ``sparkContext.applicationId`` → the ``spark.app.id``
-    conf (readable under Connect) → the Python id of the session
-    object (last resort: correct within one client process, which is
-    the only scope the heal state lives in anyway)."""
+    conf (readable under Connect) → a uuid cached ON the session
+    object (last resort: unique for the process lifetime — a bare
+    ``id(spark)`` key can be REUSED by CPython after GC, letting a
+    later session inherit a dead one's sticky-heal state; r12 advice).
+    ``id()`` remains only for exotic session objects that reject
+    attribute writes, where the reuse hazard is accepted and
+    documented rather than silent."""
     try:
         return str(spark.sparkContext.applicationId)
     except Exception:  # noqa: BLE001
@@ -89,7 +103,16 @@ def context_key(spark) -> str:
             return str(app_id)
     except Exception:  # noqa: BLE001
         pass
-    return f"py-session-{id(spark)}"
+    key = getattr(spark, "_dwvi_context_key", None)
+    if key is None:
+        import uuid
+
+        key = f"py-session-{uuid.uuid4().hex}"
+        try:
+            object.__setattr__(spark, "_dwvi_context_key", key)
+        except Exception:  # noqa: BLE001 — slots/frozen session object
+            return f"py-session-{id(spark)}"
+    return key
 
 
 def persistent_rdd_ids(spark) -> set[int] | None:

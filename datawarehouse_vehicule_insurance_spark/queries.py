@@ -3085,7 +3085,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_batch": q_sessionize_batch,
     "window_analytics": q_window_analytics,
     "duplicate_span_trim": q_duplicate_span_trim,
-    "pivot_linestatus": q_pivot_linestatus,
+    "string_functions": q_string_functions,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_signatures": q_simhash_signatures,
     "title_exact_normalize": q_title_exact_normalize,
@@ -3096,7 +3096,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Rotated-out gate queries: out of the 50-slot driver registry
 # (QUERIES) but still part of the benchmarked surface — bench.py runs
 # QUERIES ∪ BENCH_EXTRA so their performance stays tracked round over
-# round. Round-12 rotation: zscore_by_segment (grouped-stats join +
+# round. Round-13 rotation: string_functions (the C-rule string
+# function showcase — concat/split/regexp/levenshtein/soundex over
+# customer text, stable in the bench-only set since r6) enters the
+# gate; rotated to bench-only is pivot_linestatus (the pivot
+# wide-aggregation shape, stable since r1 — grouped aggs stay covered
+# by pricing_summary/pricing_grouping_sets and its own ORACLES_EXTRA
+# entry per policy rule 2).
+# Round-12 rotation: zscore_by_segment (grouped-stats join +
 # per-row standardization over customer segments, stable in the
 # bench-only set since r9) enters the gate; rotated to bench-only is
 # shipping_priority (the TPC-H Q3 join+agg+order shape, stable since
@@ -3117,7 +3124,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # history: quality_classifier and running_revenue entered;
 # distinct_order_customers and zscore_by_segment left.
 BENCH_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "string_functions": q_string_functions,
+    "pivot_linestatus": q_pivot_linestatus,
     "array_functions": q_array_functions,
     "top_spenders": q_top_spenders,
     "filter_positive_amounts": q_filter_positive_amounts,
@@ -3189,7 +3196,7 @@ ORACLES: dict[str, str] = {
     "sessionize_batch": SQL_SESSIONIZE_BATCH,
     "window_analytics": SQL_WINDOW_ANALYTICS,
     "duplicate_span_trim": SQL_DUPLICATE_SPAN_TRIM,
-    "pivot_linestatus": SQL_PIVOT_LINESTATUS,
+    "string_functions": SQL_STRING_FUNCTIONS,
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "title_exact_normalize": SQL_TITLE_EXACT_NORMALIZE,
@@ -3205,7 +3212,7 @@ ORACLES: dict[str, str] = {
 # would leave the retired queries verified by nothing but history
 # (the round-6 verdict's one regression).
 ORACLES_EXTRA: dict[str, str] = {
-    "string_functions": SQL_STRING_FUNCTIONS,
+    "pivot_linestatus": SQL_PIVOT_LINESTATUS,
     "array_functions": SQL_ARRAY_FUNCTIONS,
     "top_spenders": SQL_TOP_SPENDERS,
     "filter_positive_amounts": SQL_FILTER_POSITIVE_AMOUNTS,

@@ -65,6 +65,28 @@ from ..operators.dedup import (
 BATCH_COL = "__batch_id"
 
 
+def _require_classic_driver(spark: SparkSession, loop_name: str) -> None:
+    """Fail FAST under Spark Connect (r12 verdict #7): the ingest loops'
+    per-batch block release and zip-defect heal assume the classic JVM
+    bridge (README "Spark Connect compatibility" — classic-only today).
+    Without this guard a Connect session would start the loop and only
+    degrade mid-run into silent no-release behavior: checkpoint blocks
+    accumulating for the query's whole lifetime with nothing reporting
+    it. ``compat.persistent_rdd_ids`` returning ``None`` IS the
+    documented Connect/block-accounting-unreachable signal, so the
+    guard and the degradation share one detector."""
+    from ..compat import persistent_rdd_ids
+
+    if persistent_rdd_ids(spark) is None:
+        raise RuntimeError(
+            f"{loop_name} requires a classic (non-Connect) Spark driver: "
+            "per-batch checkpoint-block release and the zip-defect heal "
+            "need the JVM block-manager bridge, which this session does "
+            "not expose. Run ingest loops on a classic driver (see "
+            "README 'Spark Connect compatibility')."
+        )
+
+
 def _try_read_parquet(
     spark: SparkSession, path: str, merge_schema: bool = False
 ) -> DataFrame | None:
@@ -631,6 +653,7 @@ def run_incremental_curation(
     goes index-only. Without it the quota falls back to the corpus
     groupBy (correct, just the pre-index cost).
     """
+    _require_classic_driver(spark, "run_incremental_curation")
     if (line_counts_path is None) != (line_dedup_min_freq is None):
         raise ValueError(
             "pass line_counts_path and line_dedup_min_freq together "
@@ -1247,6 +1270,7 @@ def run_incremental_embedding_ingest(
         semantic_dedup,
     )
 
+    _require_classic_driver(spark, "run_incremental_embedding_ingest")
     if (codebooks_path is None) != (codes_path is None):
         raise ValueError(
             "pass codebooks_path and codes_path together (codes are "

@@ -38,6 +38,18 @@ class _ConfOnlySession(_NoContextSession):
     conf = _Conf()
 
 
+class _BrokenBroadcastSession:
+    """A session with a WORKING classic bridge whose broadcast call
+    itself fails (pickle error, broadcast OOM) — this must propagate,
+    not silently degrade into closure capture (r12 advice)."""
+
+    class _Ctx:
+        def broadcast(self, obj):  # noqa: ARG002
+            raise RuntimeError("broadcast OOM")
+
+    sparkContext = _Ctx()
+
+
 def test_safe_broadcast_classic_and_fallback(spark):
     real = safe_broadcast(spark, {"a": 1})
     assert real.value == {"a": 1}
@@ -51,6 +63,13 @@ def test_safe_broadcast_classic_and_fallback(spark):
     boxed.destroy()
 
 
+def test_safe_broadcast_propagates_classic_broadcast_failures():
+    # only an UNREACHABLE context degrades; a genuine broadcast fault
+    # on a reachable context stays loud
+    with pytest.raises(RuntimeError, match="broadcast OOM"):
+        safe_broadcast(_BrokenBroadcastSession(), {"a": 1})
+
+
 def test_context_key_fallback_chain(spark):
     # classic: the real applicationId
     assert context_key(spark) == spark.sparkContext.applicationId
@@ -60,6 +79,27 @@ def test_context_key_fallback_chain(spark):
     s = _NoContextSession()
     assert context_key(s) == context_key(s)
     assert context_key(s) != context_key(_NoContextSession())
+
+
+def test_context_key_survives_cpython_id_reuse():
+    """r12 advice: the last-resort key must not be a bare id(spark) —
+    CPython reuses addresses after GC, which would let a later session
+    inherit a dead session's sticky-heal state. The cached-uuid key
+    stays unique even when the allocator hands back the same address."""
+    s1 = _NoContextSession()
+    k1 = context_key(s1)
+    addr = id(s1)
+    del s1
+    reused = None
+    for _ in range(128):  # CPython freelists usually reuse immediately
+        cand = _NoContextSession()
+        if id(cand) == addr:
+            reused = cand
+            break
+        del cand
+    s2 = reused if reused is not None else _NoContextSession()
+    assert context_key(s2) != k1
+    assert context_key(s2) == context_key(s2)
 
 
 def test_block_accounting_degrades(spark):
@@ -114,6 +154,31 @@ def test_closure_broadcast_operator_equivalence(spark, monkeypatch):
         .collect()
     )
     assert degraded == classic
+
+
+def test_ingest_loops_fail_fast_under_connect(tmp_path):
+    """r12 verdict #7: the foreachBatch ingest loops are classic-only —
+    on a Connect-like session (block accounting unreachable) they must
+    raise a clear error at loop START, not degrade mid-run into silent
+    no-release behavior."""
+    from datawarehouse_vehicule_insurance_spark.streaming.curation import (
+        run_incremental_curation,
+        run_incremental_embedding_ingest,
+    )
+
+    sess = _NoContextSession()
+    with pytest.raises(RuntimeError, match="classic.*driver"):
+        run_incremental_curation(
+            sess, str(tmp_path / "src"), str(tmp_path / "corpus"),
+            str(tmp_path / "index"), str(tmp_path / "hash"),
+            str(tmp_path / "ckpt"),
+        )
+    with pytest.raises(RuntimeError, match="classic.*driver"):
+        run_incremental_embedding_ingest(
+            sess, str(tmp_path / "src"), str(tmp_path / "corpus"),
+            str(tmp_path / "cents"), str(tmp_path / "assign"),
+            str(tmp_path / "ckpt"),
+        )
 
 
 def test_explain_shuffles_is_documented_classic_only():

@@ -100,6 +100,78 @@ def test_build_regular_wheel(backend, tmp_path):
         assert "dwvi-spark" in zf.read(ep).decode()
 
 
+def test_sdist_round_trip(backend, tmp_path):
+    """r12 advice (medium): the sdist must be buildable in ISOLATION —
+    pure stdlib, carrying the backend itself and everything the wheel
+    hooks need. Round trip: build sdist → extract → build a wheel from
+    the EXTRACTED tree's own backend → identical payload RECORD to the
+    in-tree wheel."""
+    import tarfile
+
+    sdist_name = backend.build_sdist(str(tmp_path))
+    sdist = tmp_path / sdist_name
+    assert sdist.is_file() and sdist_name.endswith(".tar.gz")
+    base = sdist_name.removesuffix(".tar.gz")
+
+    with tarfile.open(sdist) as tf:
+        names = tf.getnames()
+        # PEP 517 layout: single top dir, metadata + build inputs inside
+        assert all(n.split("/")[0] == base for n in names)
+        assert f"{base}/PKG-INFO" in names
+        assert f"{base}/pyproject.toml" in names
+        assert f"{base}/_build_backend/backend.py" in names
+        assert (
+            f"{base}/datawarehouse_vehicule_insurance_spark/queries.py"
+            in names
+        )
+        assert not any("__pycache__" in n for n in names)
+        pkg_info = tf.extractfile(f"{base}/PKG-INFO").read().decode()
+        assert "Name: datawarehouse-vehicule-insurance-spark" in pkg_info
+        assert "Requires-Dist: pyspark" in pkg_info
+        extract_dir = tmp_path / "x"
+        tf.extractall(extract_dir, filter="data")
+
+    # build a wheel FROM the extracted sdist via its own backend copy
+    spec = importlib.util.spec_from_file_location(
+        "dwvi_backend_from_sdist",
+        extract_dir / base / "_build_backend" / "backend.py",
+    )
+    sdist_backend = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sdist_backend)
+    (tmp_path / "from_sdist").mkdir()
+    whl_name = sdist_backend.build_wheel(str(tmp_path / "from_sdist"))
+    _check_wheel(
+        tmp_path / "from_sdist" / whl_name,
+        "datawarehouse_vehicule_insurance_spark/queries.py",
+    )
+
+    # payload identity with the in-tree wheel (RECORD pins name+hash+size
+    # of every member, so equal RECORDs == equal wheels)
+    (tmp_path / "from_tree").mkdir()
+    tree_whl_name = backend.build_wheel(str(tmp_path / "from_tree"))
+    assert whl_name == tree_whl_name
+
+    def _record(whl: Path) -> str:
+        with zipfile.ZipFile(whl) as zf:
+            di = next(
+                n.split("/")[0] for n in zf.namelist() if ".dist-info/" in n
+            )
+            return zf.read(f"{di}/RECORD").decode()
+
+    assert _record(tmp_path / "from_sdist" / whl_name) == _record(
+        tmp_path / "from_tree" / tree_whl_name
+    )
+
+    # determinism: same tree, byte-identical sdist
+    (tmp_path / "again").mkdir()
+    again = backend.build_sdist(str(tmp_path / "again"))
+    assert (tmp_path / "again" / again).read_bytes() == sdist.read_bytes()
+
+    # zero-build-requires honesty: no hook needs anything importable
+    assert backend.get_requires_for_build_sdist() == []
+    assert backend.get_requires_for_build_wheel() == []
+
+
 def test_editable_wheel_pip_installable(backend, tmp_path):
     """End-to-end: the editable wheel import-works via its .pth —
     simulate what site adds by reading the .pth and importing through
