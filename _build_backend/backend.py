@@ -56,6 +56,7 @@ def build_sdist(sdist_directory, config_settings=None):
     the same [project] table as the wheel METADATA, and everything
     :func:`build_wheel` needs. Deterministic (sorted members, zeroed
     mtimes, fixed modes) so identical trees produce identical sdists."""
+    import gzip
     import io
     import tarfile
 
@@ -67,15 +68,20 @@ def build_sdist(sdist_directory, config_settings=None):
         (f.relative_to(_ROOT).as_posix(), f.read_bytes())
         for f in _sdist_sources()
     ]
-    with tarfile.open(
-        Path(sdist_directory) / name, "w:gz", format=tarfile.PAX_FORMAT
-    ) as tf:
-        for arc, data in members:
-            info = tarfile.TarInfo(f"{base}/{arc}")
-            info.size = len(data)
-            info.mode = 0o644
-            info.mtime = 0
-            tf.addfile(info, io.BytesIO(data))
+    # gzip via an explicit mtime=0 GzipFile: plain "w:gz" stamps the
+    # build wall-clock into the gzip header, so two builds of the same
+    # tree in different seconds would differ byte-wise
+    with open(Path(sdist_directory) / name, "wb") as raw:
+        with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as gz:
+            with tarfile.open(
+                fileobj=gz, mode="w", format=tarfile.PAX_FORMAT
+            ) as tf:
+                for arc, data in members:
+                    info = tarfile.TarInfo(f"{base}/{arc}")
+                    info.size = len(data)
+                    info.mode = 0o644
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(data))
     return name
 
 

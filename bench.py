@@ -138,9 +138,14 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, elapsed), elapsed)
-    # bracket: re-measure both canaries AFTER the suite — a pre/post
-    # gap > the ±10% read rule means the host drifted MID-RUN and the
-    # affected queries' numbers carry that drift
+    # bracket: re-measure both canaries AFTER the suite. JVM leg: a
+    # pre/post gap > the ±10% read rule means the host drifted MID-RUN.
+    # Python leg reading rule (measured r13, two quiet runs): the post
+    # value reads ~1.6-1.7x the pre value even on a quiet box — the
+    # suite's many pandas-UDF stages leave the session's Python worker
+    # pool larger/more fragmented, a SESSION artifact, not host drift.
+    # So compare canary_py_sec pre-to-pre across rounds, and flag
+    # mid-run contention only when post/pre goes well beyond ~1.7.
     canary_post, canary_py_post = _canary_pair()
     load_after = os.getloadavg()
 
