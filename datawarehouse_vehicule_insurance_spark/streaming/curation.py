@@ -907,16 +907,25 @@ def run_incremental_curation(
     )
 
 
-def _rewrite_artifact(spark: SparkSession, df: DataFrame, path: str) -> int:
+def _rewrite_artifact(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    extra_partition_cols: tuple[str, ...] = (),
+) -> int:
     """The takedown/maintenance write contract, in one place: eagerly
     checkpoint the surviving frame (so the in-place overwrite never
     reads its own output), land it under the reserved ``__batch_id=-1``
-    partition (loop-compatible), and return the rows-after count."""
+    partition (loop-compatible), and return the rows-after count.
+    ``extra_partition_cols`` preserves layout-bearing partition columns
+    through the rewrite (the clustered embedding corpus is partitioned
+    by ``cell`` — losing that on a retraction would silently cost the
+    probe its partition pruning)."""
     pinned = df.localCheckpoint(eager=True)
     (
         pinned.withColumn(BATCH_COL, F.lit(-1))
         .write.mode("overwrite")
-        .partitionBy(BATCH_COL)
+        .partitionBy(BATCH_COL, *extra_partition_cols)
         .parquet(path)
     )
     return spark.read.parquet(path).count()
@@ -978,9 +987,11 @@ def retract_documents(
 
     ``retracted_ids``: one-column DataFrame of ids. Returns per-path
     rows-after counts."""
+    # pinned eagerly for the same reason as retract_vectors: ids may
+    # derive from the corpus this command is about to rewrite in place
     ids = retracted_ids.select(
         F.col(retracted_ids.columns[0]).alias(id_col)
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     corpus = _read_artifact(
         spark, corpus_path,
         # quota-mode corpora may have gained the source column by
@@ -1073,30 +1084,44 @@ def retract_vectors(
     corpus_path: str,
     assignments_path: str | None = None,
     codes_path: str | None = None,
+    clustered_path: str | None = None,
     vec_id: str = "vec_id",
 ) -> dict:
     """Embedding twin of :func:`retract_documents`: remove vectors from
     the stored embedding corpus and its persisted IVF assignment /
-    PQ code artifacts in one consistent rewrite (id anti-joins
-    throughout — every artifact is vec_id-keyed). Centroids and
-    codebooks are untouched: they are index-lifetime GEOMETRY, not
+    PQ code / clustered-corpus artifacts in one consistent rewrite (id
+    anti-joins throughout — every artifact is vec_id-keyed). Centroids
+    and codebooks are untouched: they are index-lifetime GEOMETRY, not
     per-vector state, and remain valid for the surviving corpus. A
     later re-submission of a retracted vector id (or its near-identical
     embedding) is accepted again by the ingest loop. Same in-place
     rewrite contract and 100-TB table-format note as
-    :func:`retract_documents`. Returns per-path rows-after counts."""
+    :func:`retract_documents`. Returns per-path rows-after counts. The
+    clustered table's ``cell`` partitioning survives the rewrite (its
+    probe pruning depends on it)."""
+    # pin the id set BEFORE any rewrite: retracted_ids may lawfully
+    # derive from the corpus itself ("retract everything matching X"),
+    # and the first in-place artifact rewrite deletes the files a lazy
+    # ids plan would re-read for the second artifact (r13, found by the
+    # clustered-artifact test)
     ids = retracted_ids.select(
         F.col(retracted_ids.columns[0]).alias(vec_id)
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     out: dict = {}
-    for path in (corpus_path, assignments_path, codes_path):
+    for path, extra in (
+        (corpus_path, ()),
+        (assignments_path, ()),
+        (codes_path, ()),
+        (clustered_path, ("cell",)),
+    ):
         if path is None:
             continue
         art = _read_artifact(spark, path)
         if art is None:
             raise ValueError(f"no artifact at {path}")
         out[path] = _rewrite_artifact(
-            spark, art.join(ids, vec_id, "left_anti"), path
+            spark, art.join(ids, vec_id, "left_anti"), path,
+            extra_partition_cols=extra,
         )
     return out
 
@@ -1108,6 +1133,7 @@ def rebuild_embedding_indexes(
     assignments_path: str,
     codebooks_path: str | None = None,
     codes_path: str | None = None,
+    clustered_path: str | None = None,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 16,
@@ -1121,17 +1147,22 @@ def rebuild_embedding_indexes(
     retrain: bool = False,
 ) -> dict:
     """Embedding twin of :func:`rebuild_corpus_indexes`: regenerate the
-    IVF assignment table (and optionally the PQ codebooks + codes) from
-    the corpus. Existing centroids are REUSED so the cell geometry stays
+    IVF assignment table (and optionally the PQ codebooks + codes, and
+    the cell-partitioned clustered corpus) from the corpus. Existing
+    centroids are REUSED so the cell geometry stays
     consistent with history; ``retrain=True`` (or missing centroids)
     retrains them from the corpus and rewrites everything under the new
-    geometry. Also THE path to enable the PQ tier on a pre-existing
-    corpus — per-batch appends only cover new arrivals, this backfills
-    every vector's codes. Artifacts land under the reserved batch
-    partition so the loop's appends compose. Returns row counts."""
+    geometry. Also THE path to enable the PQ tier — or the clustered
+    storage tier (``clustered_path``) — on a pre-existing
+    corpus: per-batch appends only cover new arrivals, this backfills
+    every vector's codes / clustered rows. Artifacts land under the
+    reserved batch partition so the loop's appends compose (the
+    clustered table additionally keeps its ``cell`` partitioning).
+    Returns row counts."""
     from ..operators.similarity import (
         ivf_assign_table,
         ivf_centroids_table,
+        ivf_clustered_corpus_table,
         pq_codebooks_table,
         pq_encode_table,
     )
@@ -1151,11 +1182,11 @@ def rebuild_embedding_indexes(
         cents = spark.read.parquet(centroids_path)
     out = {centroids_path: cents.count()}
 
-    def _rewrite(df: DataFrame, path: str) -> None:
+    def _rewrite(df: DataFrame, path: str, *extra_cols: str) -> None:
         (
             df.withColumn(BATCH_COL, F.lit(-1))
             .write.mode("overwrite")
-            .partitionBy(BATCH_COL)
+            .partitionBy(BATCH_COL, *extra_cols)
             .parquet(path)
         )
         out[path] = spark.read.parquet(path).count()
@@ -1166,6 +1197,14 @@ def rebuild_embedding_indexes(
         ),
         assignments_path,
     )
+    if clustered_path is not None:
+        _rewrite(
+            ivf_clustered_corpus_table(
+                corpus, cents, cand_id=vec_id, cand_vec=vec_col, **ivf_kw
+            ),
+            clustered_path,
+            "cell",
+        )
     if codebooks_path is not None:
         pq_kw = dict(
             m=pq_m, ks=pq_ks, train_sample=pq_train_sample,
@@ -1211,6 +1250,7 @@ def run_incremental_embedding_ingest(
     transform=None,
     codebooks_path: str | None = None,
     codes_path: str | None = None,
+    clustered_path: str | None = None,
     pq_m: int = 8,
     pq_ks: int = 16,
     pq_train_sample: int = 2048,
@@ -1260,10 +1300,22 @@ def run_incremental_embedding_ingest(
     batch member in the same cell are dropped before anything is
     appended. Runs after the vs-corpus rejection, so the corpus check
     probes the full batch while the diversity prune pays only for
-    accepted vectors."""
+    accepted vectors.
+
+    ``clustered_path`` (optional) additionally maintains the
+    cell-partitioned CLUSTERED corpus
+    (:func:`~..operators.similarity.ivf_clustered_corpus_table`,
+    written ``partitionBy(__batch_id, cell)`` — dynamic-partition
+    replays stay idempotent AND ``cell`` stays a partition column, so
+    consumers run ``ivf_topk(clustered=...)`` with the vector read
+    pruned to probed cells straight off the loop's artifact). Enabling
+    it on a pre-existing corpus requires a
+    :func:`rebuild_embedding_indexes` backfill first, same rule as the
+    PQ tier."""
     from ..operators.similarity import (
         ivf_assign_table,
         ivf_centroids_table,
+        ivf_clustered_corpus_table,
         ivf_neardup_candidates,
         pq_codebooks_table,
         pq_encode_table,
@@ -1325,6 +1377,20 @@ def run_incremental_embedding_ingest(
                 "embedding index artifacts missing while a corpus "
                 "exists — run rebuild_embedding_indexes() before "
                 "resuming the ingest loop"
+            )
+        if (
+            clustered_path is not None
+            and corpus is not None
+            and _try_read_parquet(sess, clustered_path) is None
+        ):
+            # enabling clustered storage on an existing corpus:
+            # per-batch appends would only cover the tail — backfill
+            # first (same rule as the PQ tier). Checked BEFORE any
+            # append so a guarded batch leaves no partial writes.
+            raise ValueError(
+                "clustered corpus missing while a corpus exists — run "
+                "rebuild_embedding_indexes(..., clustered_path=) to "
+                "backfill before resuming the loop"
             )
         if cents is None:
             ivf_centroids_table(
@@ -1402,6 +1468,22 @@ def run_incremental_embedding_ingest(
                     **pq_kw,
                 ),
                 codes_path,
+            )
+        if clustered_path is not None:
+            # backfill guard already ran pre-append (top of the body)
+            (
+                ivf_clustered_corpus_table(
+                    survivors, cents, cand_id=vec_id, cand_vec=vec_col,
+                    **ivf_kw,
+                )
+                .withColumn(BATCH_COL, F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                # cell stays a partition column UNDER the batch id:
+                # replays rewrite their own (batch, cell) slices
+                # identically while probes still partition-prune on cell
+                .partitionBy(BATCH_COL, "cell")
+                .parquet(clustered_path)
             )
         if on_batch_stats is not None:
             # document-loop contract: fires once per attempt, after
@@ -1502,13 +1584,16 @@ def compact_loop_indexes(
 
 
 def _compact_one(
-    spark: SparkSession, path: str, fn, out: dict, ignore_missing: bool
+    spark: SparkSession, path: str, fn, out: dict, ignore_missing: bool,
+    extra_partition_cols: tuple[str, ...] = (),
 ) -> None:
     """Shared compaction step: read (batch column stripped), transform,
     rewrite in place, record before/after. ``ignore_missing`` records
     ``None`` for a not-yet-created artifact instead of raising — the
     CLI's shape, where a newly configured index may not exist until a
-    batch with survivors lands."""
+    batch with survivors lands. ``extra_partition_cols`` preserves
+    layout-bearing partition columns (the clustered corpus's ``cell``)
+    through the rewrite."""
     art = _read_artifact(spark, path)
     if art is None:
         if ignore_missing:
@@ -1516,7 +1601,9 @@ def _compact_one(
             return
         raise ValueError(f"no index at {path}")
     before = art.count()
-    after = _rewrite_artifact(spark, fn(art), path)
+    after = _rewrite_artifact(
+        spark, fn(art), path, extra_partition_cols=extra_partition_cols
+    )
     out[path] = {"before": before, "after": after}
 
 
@@ -1583,12 +1670,17 @@ def compact_embedding_indexes(
     corpus_path: str | None = None,
     assignments_path: str | None = None,
     codes_path: str | None = None,
+    clustered_path: str | None = None,
 ) -> dict:
     """Embedding twin of :func:`compact_loop_indexes`: fold the vector
     ingest loop's per-batch append partitions (corpus, IVF assignments,
-    PQ codes — all vec_id-keyed, duplicated only by replays) into the
-    reserved ``-1`` partition with duplicate rows dropped. Centroids
-    and codebooks are single-write artifacts and never need compaction.
+    PQ codes, clustered corpus — all vec_id-keyed, duplicated only by
+    replays) into the reserved ``-1`` partition with duplicate rows
+    dropped. Centroids and codebooks are single-write artifacts and
+    never need compaction. The clustered table keeps its ``cell``
+    partitioning through the rewrite — compaction is exactly where its
+    probe win consolidates: after it, each probed cell is ONE clustered
+    partition instead of one slice per batch.
     Same run-between-loop-runs contract; returns
     ``{path: {"before": n, "after": n}}``."""
     out: dict = {}
@@ -1597,4 +1689,9 @@ def compact_embedding_indexes(
             _compact_one(
                 spark, path, lambda df: df.distinct(), out, False
             )
+    if clustered_path is not None:
+        _compact_one(
+            spark, clustered_path, lambda df: df.distinct(), out, False,
+            extra_partition_cols=("cell",),
+        )
     return out

@@ -740,6 +740,130 @@ def test_streaming_embedding_ingest_pq_artifacts(spark, tmp_path):
     assert loaded == direct
 
 
+def test_streaming_embedding_ingest_clustered_artifact(spark, tmp_path):
+    """r13: with clustered_path the embedding loop also maintains the
+    cell-partitioned CLUSTERED corpus (FAISS inverted-list layout):
+    consumers run ivf_topk(clustered=) straight off the loop artifact —
+    vector read partition-pruned to probed cells — and get exactly the
+    assignments-path answer. Enabling it on an existing corpus requires
+    a rebuild backfill (PQ-tier rule); retraction and compaction both
+    preserve the cell layout."""
+    import glob
+    import shutil
+
+    from datawarehouse_vehicule_insurance_spark.operators import (
+        similarity as S,
+    )
+
+    src = str(tmp_path / "src")
+    p = {k: str(tmp_path / k)
+         for k in ("corpus", "cents", "asg", "clustered", "ckpt")}
+
+    def run(clustered=True):
+        q = SC.run_incremental_embedding_ingest(
+            spark, src, p["corpus"], p["cents"], p["asg"], p["ckpt"],
+            neardup_threshold=0.95, n_probe=2, n_cells=4,
+            clustered_path=p["clustered"] if clustered else None,
+        )
+        q.awaitTermination()
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.filter(F.col("vec_id") < 60).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    def _poisoned(*a, **k):
+        raise AssertionError("train ran after batch 1")
+
+    real = S._train_ivf
+    try:
+        S._train_ivf = _poisoned
+        emb.filter(F.col("vec_id") >= 60).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run()
+    finally:
+        S._train_ivf = real
+
+    corpus = spark.read.parquet(p["corpus"]).drop(SC.BATCH_COL)
+    cents = spark.read.parquet(p["cents"])
+    asg = spark.read.parquet(p["asg"])
+    clustered = spark.read.parquet(p["clustered"])
+    assert clustered.count() == corpus.count()
+    # the cell layout is real partition directories under each batch
+    assert glob.glob(f"{p['clustered']}/{SC.BATCH_COL}=*/cell=*")
+
+    qs = corpus.limit(5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    kw = dict(k=5, n_cells=4, n_probe=2)
+
+    def _probe(**extra):
+        out = S.ivf_topk(qs, corpus, centroids=cents, **kw, **extra)
+        return out, {(r["query_id"], r["vec_id"], r["cosine_sim"],
+                      r["rank"]) for r in out.collect()}
+
+    _, base = _probe(assignments=asg)
+    clu_df, clu = _probe(clustered=clustered)
+    assert clu == base and base
+    plan = clu_df._jdf.queryExecution().executedPlan().toString()
+    sections = [
+        c.split("]")[0] for c in plan.split("PartitionFilters: [")[1:]
+    ]
+    assert any("cell" in s and "IN" in s.upper() for s in sections)
+
+    # enable-later rule: a lost/never-built clustered table with a
+    # corpus present fails the batch and points at the backfill
+    shutil.rmtree(p["clustered"])
+    emb.filter(F.col("vec_id") < 30).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    with pytest.raises(Exception, match="clustered_path"):
+        run()
+    counts = SC.rebuild_embedding_indexes(
+        spark, p["corpus"], p["cents"], p["asg"],
+        clustered_path=p["clustered"], n_cells=4,
+    )
+    assert counts[p["clustered"]] == corpus.count()
+    run()  # resumes on the backfilled artifact
+
+    # retraction removes from the clustered table too, keeping cells
+    gone = corpus.limit(3).select("vec_id")
+    n_before = spark.read.parquet(p["clustered"]).count()
+    SC.retract_vectors(
+        spark, gone, p["corpus"], assignments_path=p["asg"],
+        clustered_path=p["clustered"],
+    )
+    after = spark.read.parquet(p["clustered"])
+    assert after.count() == n_before - 3
+    assert glob.glob(f"{p['clustered']}/{SC.BATCH_COL}=-1/cell=*")
+
+    # compaction folds batches, keeps the cell layout, probe unchanged
+    SC.compact_embedding_indexes(
+        spark, corpus_path=p["corpus"], assignments_path=p["asg"],
+        clustered_path=p["clustered"],
+    )
+    assert glob.glob(f"{p['clustered']}/{SC.BATCH_COL}=-1/cell=*")
+    corpus2 = spark.read.parquet(p["corpus"]).drop(SC.BATCH_COL)
+    qs2 = corpus2.limit(5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    a = {(r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+         for r in S.ivf_topk(
+             qs2, corpus2, centroids=cents,
+             assignments=spark.read.parquet(p["asg"]), **kw
+         ).collect()}
+    c = {(r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+         for r in S.ivf_topk(
+             qs2, corpus2, centroids=cents,
+             clustered=spark.read.parquet(p["clustered"]), **kw
+         ).collect()}
+    assert c == a and a
+
+
 def test_incremental_dedup_text_free_with_all_three_indexes(spark, tmp_path):
     """With bands + hashes + shingles persisted, incremental_dedup needs
     no corpus DataFrame at all and its plan references the corpus
