@@ -457,6 +457,7 @@ def _run_embed_stream(args: argparse.Namespace) -> int:
         neardup_threshold=args.neardup_threshold,
         n_probe=args.n_probe, n_cells=args.n_cells,
         codebooks_path=args.codebooks, codes_path=args.codes,
+        clustered_path=args.clustered,
         semantic_threshold=args.semantic_threshold,
         on_batch_stats=_print_batch_stats if args.stage_counts else None,
     )
@@ -759,6 +760,10 @@ def main(argv: list[str] | None = None) -> int:
         "with --codes)",
     )
     p.add_argument("--codes", help="embed-stream: PQ code-table dir")
+    p.add_argument(
+        "--clustered", help="embed-stream: cell-partitioned clustered "
+        "corpus dir (optional; probe reads prune to probed cells)",
+    )
     p.add_argument(
         "--neardup-threshold", dest="neardup_threshold", type=float,
         default=0.95,

@@ -922,6 +922,12 @@ def _rewrite_artifact(
     by ``cell`` — losing that on a retraction would silently cost the
     probe its partition pruning)."""
     pinned = df.localCheckpoint(eager=True)
+    if extra_partition_cols:
+        # cluster writers by the layout columns: partitionBy from an
+        # unclustered frame emits tasks x dirs tiny files (measured to
+        # invert the clustered probe's pruning win — see
+        # similarity.ivf_clustered_corpus_table)
+        pinned = pinned.repartition(*extra_partition_cols)
     (
         pinned.withColumn(BATCH_COL, F.lit(-1))
         .write.mode("overwrite")
@@ -1183,6 +1189,9 @@ def rebuild_embedding_indexes(
     out = {centroids_path: cents.count()}
 
     def _rewrite(df: DataFrame, path: str, *extra_cols: str) -> None:
+        if extra_cols:
+            # see _rewrite_artifact: cluster writers by layout columns
+            df = df.repartition(*extra_cols)
         (
             df.withColumn(BATCH_COL, F.lit(-1))
             .write.mode("overwrite")
@@ -1476,6 +1485,11 @@ def run_incremental_embedding_ingest(
                     survivors, cents, cand_id=vec_id, cand_vec=vec_col,
                     **ivf_kw,
                 )
+                # cluster writers by cell first: partitionBy from an
+                # unclustered frame emits tasks x cells tiny files per
+                # batch (see ivf_clustered_corpus_table docstring —
+                # measured to invert the pruning win)
+                .repartition("cell")
                 .withColumn(BATCH_COL, F.lit(int(batch_id)))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

@@ -1993,6 +1993,7 @@ def test_cli_embed_stream(spark, tmp_path, capsys):
         "--centroids", str(tmp_path / "cents"),
         "--assignments", str(tmp_path / "asg"),
         "--checkpoint", str(tmp_path / "ckpt"),
+        "--clustered", str(tmp_path / "clustered"),
         "--n-cells", "2", "--n-probe", "2",
         "--semantic-threshold", "0.9",
     ]
@@ -2023,6 +2024,13 @@ def test_cli_embed_stream(spark, tmp_path, capsys):
             "semantic_dedup": 1,
         }}
     ]
+    # --clustered: the cell-partitioned clustered corpus tracked the
+    # loop (one row per accepted vector, cell dirs on disk)
+    import glob as _glob
+
+    clustered = spark.read.parquet(str(tmp_path / "clustered"))
+    assert clustered.count() == 3
+    assert _glob.glob(str(tmp_path / "clustered" / "__batch_id=*") + "/cell=*")
 
 
 def test_cli_compact_every_ignores_missing_artifacts(spark, tmp_path,
