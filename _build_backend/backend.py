@@ -37,16 +37,27 @@ _PACKAGE = "datawarehouse_vehicule_insurance_spark"
 _TAG = "py3-none-any"
 
 
+# what an sdist may contain (r13 advice): an explicit suffix allowlist
+# instead of bare rglob('*'), so stray working-tree files (editor
+# backups, .orig merge leftovers, ad-hoc notes) cannot silently ride
+# into the published tarball and break the byte-identical-rebuild
+# guarantee between superficially identical trees
+_SDIST_SUFFIXES = {".py", ".md", ".toml", ".typed"}
+
+
 def _sdist_sources():
     """Every file a wheel build from the extracted sdist needs:
     pyproject.toml (the metadata source of truth), the README it
     references, THIS backend (pyproject's backend-path points into the
-    tree), and the package itself."""
+    tree), and the package itself — filtered to the allowlisted
+    source/metadata suffixes."""
     files = [_ROOT / "pyproject.toml", _ROOT / "README.md"]
     files += sorted((_ROOT / "_build_backend").rglob("*"))
     files += sorted((_ROOT / _PACKAGE).rglob("*"))
     return [
-        f for f in files if f.is_file() and "__pycache__" not in f.parts
+        f for f in files
+        if f.is_file() and "__pycache__" not in f.parts
+        and f.suffix in _SDIST_SUFFIXES
     ]
 
 
@@ -217,11 +228,14 @@ def build_editable(wheel_directory, config_settings=None, metadata_directory=Non
 
 def build_wheel(wheel_directory, config_settings=None, metadata_directory=None):
     """Regular wheel: the package tree itself (pure Python, flat
-    layout), minus caches."""
+    layout), minus caches — same suffix allowlist as the sdist, so
+    wheel-from-tree stays byte-identical to wheel-from-sdist even with
+    stray files in the working tree."""
     pkg_root = _ROOT / _PACKAGE
     payload = []
     for f in sorted(pkg_root.rglob("*")):
-        if not f.is_file() or "__pycache__" in f.parts:
+        if (not f.is_file() or "__pycache__" in f.parts
+                or f.suffix not in _SDIST_SUFFIXES):
             continue
         payload.append(
             (f"{_PACKAGE}/{f.relative_to(pkg_root).as_posix()}", f.read_bytes())

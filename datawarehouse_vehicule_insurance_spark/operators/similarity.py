@@ -645,7 +645,7 @@ def ivf_neardup_candidates(
 
 def ivf_topk(
     queries: DataFrame,
-    candidates: DataFrame,
+    candidates: DataFrame | None = None,
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
@@ -695,8 +695,16 @@ def ivf_topk(
     Catalyst partition pruning on the cell layout, so only the probed
     cells' partitions are READ, making the probe's I/O
     ~n_probe/n_cells of the corpus BYTES, not just of its comparisons.
+    With ``clustered=`` the ``candidates`` frame is never scanned, so it
+    is optional in that mode (r13 advice — the API now reflects the
+    actual data flow: the clustered table is the authoritative corpus).
     """
     fp = ivf_fingerprint(n_cells, kmeans_iters, kmeans_sample, seed)
+    if candidates is None and clustered is None:
+        raise ValueError(
+            "candidates= is required unless clustered= is given (only "
+            "the clustered layout carries the corpus vectors itself)"
+        )
     if assignments is not None and centroids is None:
         raise ValueError(
             "assignments= requires centroids= (queries are assigned "
@@ -727,6 +735,15 @@ def ivf_topk(
 
     if clustered is not None:
         _validate_ann_params(clustered, fp, "IVF clustered corpus")
+        # pin q_cells BEFORE the probed-cell collect (r13 advice): the
+        # plan below executes twice — once for the distinct __cell
+        # collect, once in the final broadcast join — and an unpinned
+        # nondeterministic queries frame (limit/sample without an
+        # ordering) could return DIFFERENT rows on the two executions,
+        # leaving joined queries in cells the probe filter never read.
+        # The eager localCheckpoint materializes one consistent result
+        # (and halves the probe's Arrow assignment work as a bonus).
+        q_cells = q_cells.localCheckpoint(eager=True)
         # static probed-cell pruning, same move as ivfpq_topk's code
         # scan: the distinct probed-cell set is bounded by n_cells
         # regardless of how many queries there are, so one cheap
@@ -1063,6 +1080,142 @@ def _pq_encode(
     )
 
 
+def _pq_scan_distributed(
+    queries: DataFrame,
+    codes_df: DataFrame,
+    books,
+    cents,
+    n_probe: int | None,
+    k: int,
+    m: int,
+    query_id: str,
+    query_vec: str,
+    cand_id: str,
+    n_rows: tuple[int | None, int | None],
+    query_block_rows: int,
+    code_block_rows: int,
+) -> DataFrame:
+    """Rectangle-grid PQ code scan with the query side staying a
+    DataFrame — the large-nq path shared by :func:`pq_topk` and
+    :func:`ivfpq_topk` (r13 verdict #1: the collect path's driver-side
+    query materialization and O(nq·n_probe) ``isin`` literal don't
+    survive re-ranking-a-shard query counts).
+
+    Same grid as :func:`cross_corpus_cosine_pairs`: queries block by
+    ``pmod(xxhash64(id), bq)``, codes by ``pmod(xxhash64(id), bc)``,
+    each side fans out across the other's block axis so every (i, j)
+    pair meets in exactly one cogrouped task. Per task: unit-normalize
+    the query block, build ITS lookup tables from the broadcast
+    codebooks (nq_block·m·ks — never the global nq LUT), score the code
+    block, emit the block-local per-query top-k. Shuffle bytes are the
+    rectangle's inherent cost — query vectors replicate ``bc`` times
+    and m-byte codes ``bq`` times; size the blocks so both legs stay
+    bounded (codes are ~dim·4/m× smaller than vectors, hence the much
+    larger default ``code_block_rows``). Only Q·k rows per task reach
+    the final exact-rank window.
+
+    With ``cents``/``n_probe`` (the IVF-PQ tier) each task additionally
+    computes its query block's coarse term and probe mask from the
+    broadcast centroids — the probed-cell READ bounding happens before
+    this function via a broadcast semi-join (see :func:`ivfpq_topk`).
+    """
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = codes_df.sparkSession
+    nq = n_rows[0] if n_rows[0] is not None else queries.count()
+    nc = n_rows[1] if n_rows[1] is not None else codes_df.count()
+    bq = max(1, _math.ceil(nq / query_block_rows))
+    bc = max(1, _math.ceil(nc / code_block_rows))
+    sub = books[0].shape[1]
+    b_model = safe_broadcast(spark, (books, cents))
+
+    qside = (
+        queries.select(query_id, query_vec)
+        .withColumn(
+            "__bi",
+            F.pmod(F.xxhash64(F.col(query_id).cast("string")),
+                   F.lit(bq)).cast("int"),
+        )
+        .withColumn("__bj", F.explode(F.sequence(F.lit(0), F.lit(bc - 1))))
+    )
+    ccols = [cand_id, "__code"] + (["__cell"] if cents is not None else [])
+    cside = (
+        codes_df.select(*ccols)
+        .withColumn(
+            "__bj",
+            F.pmod(F.xxhash64(F.col(cand_id).cast("string")),
+                   F.lit(bc)).cast("int"),
+        )
+        .withColumn("__bi", F.explode(F.sequence(F.lit(0), F.lit(bq - 1))))
+    )
+
+    def _pair(qpdf, cpdf):
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({
+                query_id: qpdf[query_id].iloc[:0],
+                cand_id: cpdf[cand_id].iloc[:0],
+                "pq_sim": pd.Series(dtype="float64"),
+            })
+        books_, cents_ = b_model.value
+        Q = np.array(list(qpdf[query_vec]), dtype=np.float64)
+        norms = np.linalg.norm(Q, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        Q /= norms
+        L = np.stack(
+            [Q[:, j * sub:(j + 1) * sub] @ books_[j].T for j in range(m)],
+            axis=1,
+        )
+        codes_m = np.array(list(cpdf["__code"]), dtype=np.int64)
+        n = len(cpdf)
+        if cents_ is None:
+            sims = np.zeros((len(qpdf), n), dtype=np.float64)
+        else:
+            cell_sims = Q @ cents_.T
+            t = min(n_probe, cell_sims.shape[1])
+            order = np.argsort(-cell_sims, axis=1)
+            PM = np.zeros_like(cell_sims, dtype=bool)
+            np.put_along_axis(PM, order[:, :t], True, axis=1)
+            cells = cpdf["__cell"].to_numpy(dtype=np.int64)
+            sims = cell_sims[:, cells].copy()
+        for j in range(m):
+            sims += L[:, j, :][:, codes_m[:, j]]
+        if cents_ is not None:
+            sims[~PM[:, cells]] = -np.inf
+        qids = qpdf[query_id].to_numpy()
+        cids = cpdf[cand_id].to_numpy()
+        top = min(k, n)
+        part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+        vals = np.take_along_axis(sims, part, axis=1)
+        out = pd.DataFrame({
+            query_id: np.repeat(qids, top),
+            cand_id: cids[part].ravel(),
+            "pq_sim": vals.ravel(),
+        })
+        return out[np.isfinite(out["pq_sim"])]
+
+    qid_ddl = queries.schema[query_id].dataType.simpleString()
+    cid_ddl = codes_df.schema[cand_id].dataType.simpleString()
+    local_top = (
+        qside.groupBy("__bi", "__bj")
+        .cogroup(cside.groupBy("__bi", "__bj"))
+        .applyInPandas(
+            _pair, f"{query_id} {qid_ddl}, {cand_id} {cid_ddl}, pq_sim double"
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("pq_sim").desc(), F.col(cand_id).asc()
+    )
+    return (
+        local_top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, F.round("pq_sim", 6).alias("pq_sim"),
+                "rank")
+    )
+
+
 def pq_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -1078,6 +1231,11 @@ def pq_topk(
     cand_vec: str = "embedding",
     codebooks: DataFrame | None = None,
     codes: DataFrame | None = None,
+    distributed: bool = False,
+    n_rows: tuple[int | None, int | None] = (None, None),
+    query_block_rows: int = 1024,
+    code_block_rows: int = 65536,
+    max_collect_queries: int = 65536,
 ) -> DataFrame:
     """Product-quantization approximate top-k — the compression tier of
     the ANN ladder (brute → LSH buckets → IVF cells → PQ codes): every
@@ -1107,6 +1265,16 @@ def pq_topk(
     the probe runs NO training or corpus-encode jobs (the m·ks-row
     codebook read and the code scan only); stamped parameters are
     validated against this call's.
+
+    Two query-side shapes (r13 verdict #1). Default: the SERVING shape
+    — queries collect to the driver and one global LUT broadcasts; the
+    collect is guarded at ``max_collect_queries`` (the default bounds
+    the LUT broadcast at ~67 MB for m=8/ks=16) and RAISES past it
+    rather than silently materializing a shard on the driver.
+    ``distributed=True``: the RE-RANK-A-SHARD shape — queries stay a
+    DataFrame and the scan runs as a cogrouped block rectangle
+    (:func:`_pq_scan_distributed`); ``n_rows`` = (nq, n_codes)
+    optionally sizes the grid without counting jobs.
     """
     import numpy as np
     import pandas as pd
@@ -1141,7 +1309,23 @@ def pq_topk(
     else:
         codes_df = _pq_encode(candidates, books, cand_id, cand_vec)
 
-    q_rows = queries.select(query_id, query_vec).collect()
+    if distributed:
+        return _pq_scan_distributed(
+            queries, codes_df, books, None, None, k, m,
+            query_id, query_vec, cand_id,
+            n_rows, query_block_rows, code_block_rows,
+        )
+
+    q_rows = (
+        queries.select(query_id, query_vec)
+        .limit(max_collect_queries + 1).collect()
+    )
+    if len(q_rows) > max_collect_queries:
+        raise ValueError(
+            f"pq_topk collect path saw > {max_collect_queries} queries "
+            "(max_collect_queries); pass distributed=True for the "
+            "rectangle-scan path that keeps queries executor-side"
+        )
     # ids stay in their native type (long, string, …) — the scan output
     # schema mirrors both sides' id DDLs below
     qids = np.array([r[0] for r in q_rows])
@@ -1386,6 +1570,42 @@ def ivfpq_encode_table(
     ).withColumn(ANN_PARAMS_COL, F.lit(fp))
 
 
+def _probed_cells_frame(
+    queries: DataFrame, cents, n_probe: int, query_vec: str
+) -> DataFrame:
+    """Distinct union of all queries' probed cells as a DataFrame —
+    ≤ n_cells rows no matter how many queries, computed executor-side
+    (Arrow-batched matmul against the broadcast centroids, per-batch
+    dedup, then a tiny distinct). The broadcast-semi-join replacement
+    for the collect path's O(nq·n_probe) ``isin`` literal."""
+    import numpy as np
+    import pandas as pd
+
+    b = safe_broadcast(queries.sparkSession, cents)
+
+    def _cells(batches):
+        C = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(list(pdf[query_vec]), dtype=np.float64)
+            norms = np.linalg.norm(Q, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            Q /= norms
+            sims = Q @ C.T
+            t = min(n_probe, sims.shape[1])
+            order = np.argsort(-sims, axis=1)[:, :t]
+            yield pd.DataFrame(
+                {"__cell": np.unique(order).astype("int32")}
+            )
+
+    return (
+        queries.select(query_vec)
+        .mapInPandas(_cells, "__cell int")
+        .distinct()
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -1405,6 +1625,11 @@ def ivfpq_topk(
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
     codes: DataFrame | None = None,
+    distributed: bool = False,
+    n_rows: tuple[int | None, int | None] = (None, None),
+    query_block_rows: int = 1024,
+    code_block_rows: int = 65536,
+    max_collect_queries: int = 65536,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — PQ over RESIDUALS to the IVF coarse
     quantizer, the composition real ANN systems (FAISS ``IVFPQ``) run
@@ -1447,7 +1672,19 @@ def ivfpq_topk(
     artifacts — with all three, the probe runs NO training and NO
     corpus-encode jobs (bounded centroid/codebook reads and the code
     scan only); stamped parameters are validated against this call\'s,
-    and the coarse/residual pair must carry the SAME joint stamp."""
+    and the coarse/residual pair must carry the SAME joint stamp.
+
+    Two query-side shapes (r13 verdict #1), same contract as
+    :func:`pq_topk`. Default (serving): queries collect driver-side,
+    guarded at ``max_collect_queries``, and the probed-cell union
+    prunes the code scan as an ``isin`` literal. ``distributed=True``
+    (re-rank-a-shard): queries stay a DataFrame; the probed-cell union
+    becomes a broadcast LEFT-SEMI join on a ≤ n_cells-row cells frame
+    (:func:`_probed_cells_frame`) — still a Catalyst filter pushable
+    into a cell-partitioned ``codes=`` layout — and the scan runs as
+    the cogrouped block rectangle with per-task coarse terms and probe
+    masks. ``n_rows`` = (nq, n_codes_after_prune) skips the sizing
+    counts."""
     import numpy as np
     import pandas as pd
 
@@ -1487,12 +1724,35 @@ def ivfpq_topk(
     else:
         codes_df = _ivfpq_encode(candidates, cents, books, cand_id, cand_vec)
 
+    if distributed:
+        # READ bounding without the isin literal: ≤ n_cells distinct
+        # probed cells as a broadcast semi-join — Catalyst still pushes
+        # the cell restriction into a persisted cell-partitioned codes
+        # layout (plan-asserted in tests), with no O(nq·n_probe) driver
+        # materialization anywhere.
+        probed = _probed_cells_frame(queries, cents, n_probe, query_vec)
+        codes_df = codes_df.join(F.broadcast(probed), "__cell", "left_semi")
+        return _pq_scan_distributed(
+            queries, codes_df, books, cents, n_probe, k, m,
+            query_id, query_vec, cand_id,
+            n_rows, query_block_rows, code_block_rows,
+        )
+
     def _unit(M):
         norms = np.linalg.norm(M, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
         return M / norms
 
-    q_rows = queries.select(query_id, query_vec).collect()
+    q_rows = (
+        queries.select(query_id, query_vec)
+        .limit(max_collect_queries + 1).collect()
+    )
+    if len(q_rows) > max_collect_queries:
+        raise ValueError(
+            f"ivfpq_topk collect path saw > {max_collect_queries} "
+            "queries (max_collect_queries); pass distributed=True for "
+            "the rectangle-scan path that keeps queries executor-side"
+        )
     # ids stay in their native type (long, string, …) — the scan output
     # schema mirrors both sides' id DDLs below
     qids = np.array([r[0] for r in q_rows])

@@ -172,6 +172,74 @@ def test_sdist_round_trip(backend, tmp_path):
     assert backend.get_requires_for_build_wheel() == []
 
 
+def test_sdist_excludes_stray_working_tree_files(backend, tmp_path):
+    """r13 advice (low): sdist/wheel collection is an explicit suffix
+    allowlist, not rglob('*') — a stray editor backup planted in the
+    package dir must not ride into either artifact (which would also
+    break the byte-identical-rebuild guarantee)."""
+    import tarfile
+
+    pkg_root = Path(backend._ROOT) / backend._PACKAGE
+    stray = pkg_root / "session.py.orig"
+    assert not stray.exists(), "leftover stray file in the package tree"
+    clean_sdist = backend.build_sdist(str(tmp_path))
+    clean_bytes = (tmp_path / clean_sdist).read_bytes()
+    try:
+        stray.write_text("# editor backup noise\n")
+        (tmp_path / "dirty").mkdir()
+        dirty_name = backend.build_sdist(str(tmp_path / "dirty"))
+        with tarfile.open(tmp_path / "dirty" / dirty_name) as tf:
+            assert not any(n.endswith(".orig") for n in tf.getnames())
+        # byte-identical despite the stray file
+        assert (
+            tmp_path / "dirty" / dirty_name
+        ).read_bytes() == clean_bytes
+        (tmp_path / "dirty_whl").mkdir()
+        whl = backend.build_wheel(str(tmp_path / "dirty_whl"))
+        with zipfile.ZipFile(tmp_path / "dirty_whl" / whl) as zf:
+            assert not any(n.endswith(".orig") for n in zf.namelist())
+    finally:
+        stray.unlink(missing_ok=True)
+
+
+def test_wheel_from_sdist_imports_in_clean_process(backend, tmp_path):
+    """r13 verdict #8 (CI-shape smoke, offline): sdist → extract →
+    wheel from the extracted tree → unzip the wheel → import the
+    package from it in a fresh interpreter whose sys.path holds ONLY
+    the unzipped wheel (plus stdlib/site), proving the sdist carries
+    everything the installed package needs."""
+    import subprocess
+    import tarfile
+
+    sdist_name = backend.build_sdist(str(tmp_path))
+    base = sdist_name.removesuffix(".tar.gz")
+    with tarfile.open(tmp_path / sdist_name) as tf:
+        tf.extractall(tmp_path / "x", filter="data")
+    spec = importlib.util.spec_from_file_location(
+        "dwvi_backend_ci_smoke",
+        tmp_path / "x" / base / "_build_backend" / "backend.py",
+    )
+    sb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sb)
+    whl = sb.build_wheel(str(tmp_path))
+    site = tmp_path / "site"
+    with zipfile.ZipFile(tmp_path / whl) as zf:
+        zf.extractall(site)
+    code = (
+        "import sys; sys.path.insert(0, r'%s'); "
+        "import datawarehouse_vehicule_insurance_spark as p; "
+        "from datawarehouse_vehicule_insurance_spark.operators import "
+        "similarity, dedup, gold; "
+        "assert r'%s' in p.__file__, p.__file__; print('ok')" % (site, site)
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "ok"
+
+
 def test_editable_wheel_pip_installable(backend, tmp_path):
     """End-to-end: the editable wheel import-works via its .pth —
     simulate what site adds by reading the .pth and importing through
