@@ -16,6 +16,7 @@ expressions computed in float64 — no Python UDF in the hot path.
 
 from __future__ import annotations
 
+import logging
 import math
 import random
 
@@ -23,6 +24,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..compat import safe_broadcast
+
+logger = logging.getLogger(
+    "datawarehouse_vehicule_insurance_spark.similarity"
+)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -760,6 +765,14 @@ def ivf_topk(
         ).filter(F.col("__cell").isin(probed))
     elif assignments is not None:
         _validate_ann_params(assignments, fp, "IVF assignments")
+        # deprecation-style nudge (r13 verdict #2): this path attaches
+        # vectors via a corpus-scale shuffle join per probe — measured
+        # 3.3× slower than the clustered layout at 1.2M vectors
+        logger.info(
+            "ivf_topk probing via assignments= — corpus-scale shuffle "
+            "join per probe; prefer clustered= "
+            "(ivf_clustered_corpus_table) for partition-pruned reads"
+        )
         cand_cells = assignments.select(
             F.col(cand_id), F.col("cell").alias("__cell")
         ).join(candidates.select(cand_id, cand_vec), cand_id)

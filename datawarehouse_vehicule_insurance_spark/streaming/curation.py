@@ -28,6 +28,8 @@ Scale shape (the 100-TB argument):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,6 +65,8 @@ from ..operators.dedup import (
 )
 
 BATCH_COL = "__batch_id"
+
+logger = logging.getLogger("datawarehouse_vehicule_insurance_spark.curation")
 
 
 def _require_classic_driver(spark: SparkSession, loop_name: str) -> None:
@@ -1090,7 +1094,7 @@ def retract_vectors(
     corpus_path: str,
     assignments_path: str | None = None,
     codes_path: str | None = None,
-    clustered_path: str | None = None,
+    clustered_path: str | None = "auto",
     vec_id: str = "vec_id",
 ) -> dict:
     """Embedding twin of :func:`retract_documents`: remove vectors from
@@ -1104,7 +1108,21 @@ def retract_vectors(
     rewrite contract and 100-TB table-format note as
     :func:`retract_documents`. Returns per-path rows-after counts. The
     clustered table's ``cell`` partitioning survives the rewrite (its
-    probe pruning depends on it)."""
+    probe pruning depends on it).
+
+    ``clustered_path`` default ``"auto"`` mirrors the ingest loop's
+    clustered-by-default layout (r13 verdict #2): the derived
+    ``{corpus_path}_clustered`` table is included in the retraction IF
+    it exists — otherwise a loop run under the default would silently
+    keep retracted vectors probe-visible in its clustered artifact. An
+    explicit path keeps the strict no-artifact error; ``None``
+    excludes the tier."""
+    if clustered_path == "auto":
+        derived = corpus_path.rstrip("/") + "_clustered"
+        clustered_path = (
+            derived if _try_read_parquet(spark, derived) is not None
+            else None
+        )
     # pin the id set BEFORE any rewrite: retracted_ids may lawfully
     # derive from the corpus itself ("retract everything matching X"),
     # and the first in-place artifact rewrite deletes the files a lazy
@@ -1259,7 +1277,7 @@ def run_incremental_embedding_ingest(
     transform=None,
     codebooks_path: str | None = None,
     codes_path: str | None = None,
-    clustered_path: str | None = None,
+    clustered_path: str | None = "auto",
     pq_m: int = 8,
     pq_ks: int = 16,
     pq_train_sample: int = 2048,
@@ -1311,16 +1329,26 @@ def run_incremental_embedding_ingest(
     probes the full batch while the diversity prune pays only for
     accepted vectors.
 
-    ``clustered_path`` (optional) additionally maintains the
-    cell-partitioned CLUSTERED corpus
+    ``clustered_path`` additionally maintains the cell-partitioned
+    CLUSTERED corpus
     (:func:`~..operators.similarity.ivf_clustered_corpus_table`,
     written ``partitionBy(__batch_id, cell)`` — dynamic-partition
     replays stay idempotent AND ``cell`` stays a partition column, so
     consumers run ``ivf_topk(clustered=...)`` with the vector read
-    pruned to probed cells straight off the loop's artifact). Enabling
-    it on a pre-existing corpus requires a
-    :func:`rebuild_embedding_indexes` backfill first, same rule as the
-    PQ tier."""
+    pruned to probed cells straight off the loop's artifact).
+
+    DEFAULT ``"auto"`` (r13 verdict #2 — the clustered layout measured
+    3.3× faster to probe at 1.2M vectors, so NEW loops get it without
+    opting in): derives ``{corpus_path}_clustered`` and maintains it
+    from the first batch. Resuming a PRE-EXISTING corpus that has no
+    clustered table under ``"auto"`` does NOT raise — it logs a
+    deprecation-style warning (probes off this loop's artifacts take
+    the slow assignments join until a
+    :func:`rebuild_embedding_indexes` backfill) and continues
+    assignments-only, so old loops keep running unchanged. An EXPLICIT
+    ``clustered_path`` keeps the strict contract: enabling it on a
+    pre-existing corpus without a backfill raises, same rule as the PQ
+    tier. Pass ``None`` to disable the tier outright."""
     from ..operators.similarity import (
         ivf_assign_table,
         ivf_centroids_table,
@@ -1337,6 +1365,9 @@ def run_incremental_embedding_ingest(
             "pass codebooks_path and codes_path together (codes are "
             "meaningless without their codebooks)"
         )
+    auto_clustered = clustered_path == "auto"
+    if auto_clustered:
+        clustered_path = corpus_path.rstrip("/") + "_clustered"
 
     if schema is None:
         schema = spark.read.parquet(src_path).schema
@@ -1352,6 +1383,7 @@ def run_incremental_embedding_ingest(
     )
 
     def _process_body(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal clustered_path
         sess = batch_df.sparkSession
         # per-batch funnel, the document loop's diagnostic contract:
         # boundary cuts register with the batch's registry, counts
@@ -1392,15 +1424,32 @@ def run_incremental_embedding_ingest(
             and corpus is not None
             and _try_read_parquet(sess, clustered_path) is None
         ):
-            # enabling clustered storage on an existing corpus:
-            # per-batch appends would only cover the tail — backfill
-            # first (same rule as the PQ tier). Checked BEFORE any
-            # append so a guarded batch leaves no partial writes.
-            raise ValueError(
-                "clustered corpus missing while a corpus exists — run "
-                "rebuild_embedding_indexes(..., clustered_path=) to "
-                "backfill before resuming the loop"
-            )
+            if auto_clustered:
+                # back-compat: a pre-existing assignments-only loop
+                # resumed under the "auto" default keeps running, but
+                # loudly — probes off its artifacts pay the slow
+                # corpus-scale assignments join until a backfill
+                logger.warning(
+                    "deprecated layout: corpus at %s has no clustered "
+                    "table — continuing assignments-only; probes take "
+                    "the slow assignments join (measured 3.3x slower "
+                    "at 1.2M vectors). Run rebuild_embedding_indexes("
+                    "..., clustered_path=%r) to adopt the clustered "
+                    "layout.", corpus_path, clustered_path,
+                )
+                clustered_path = None
+            else:
+                # enabling clustered storage on an existing corpus:
+                # per-batch appends would only cover the tail —
+                # backfill first (same rule as the PQ tier). Checked
+                # BEFORE any append so a guarded batch leaves no
+                # partial writes.
+                raise ValueError(
+                    "clustered corpus missing while a corpus exists — "
+                    "run rebuild_embedding_indexes(..., "
+                    "clustered_path=) to backfill before resuming the "
+                    "loop"
+                )
         if cents is None:
             ivf_centroids_table(
                 batch, cand_id=vec_id, cand_vec=vec_col, **ivf_kw
@@ -1684,7 +1733,7 @@ def compact_embedding_indexes(
     corpus_path: str | None = None,
     assignments_path: str | None = None,
     codes_path: str | None = None,
-    clustered_path: str | None = None,
+    clustered_path: str | None = "auto",
 ) -> dict:
     """Embedding twin of :func:`compact_loop_indexes`: fold the vector
     ingest loop's per-batch append partitions (corpus, IVF assignments,
@@ -1696,7 +1745,20 @@ def compact_embedding_indexes(
     probe win consolidates: after it, each probed cell is ONE clustered
     partition instead of one slice per batch.
     Same run-between-loop-runs contract; returns
-    ``{path: {"before": n, "after": n}}``."""
+    ``{path: {"before": n, "after": n}}``. ``clustered_path`` default
+    ``"auto"`` mirrors :func:`retract_vectors`: the loop-default
+    ``{corpus_path}_clustered`` table is compacted IF present."""
+    if clustered_path == "auto":
+        derived = (
+            corpus_path.rstrip("/") + "_clustered"
+            if corpus_path is not None else None
+        )
+        clustered_path = (
+            derived
+            if derived is not None
+            and _try_read_parquet(spark, derived) is not None
+            else None
+        )
     out: dict = {}
     for path in (corpus_path, assignments_path, codes_path):
         if path is not None:

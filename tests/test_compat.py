@@ -70,6 +70,21 @@ def test_safe_broadcast_propagates_classic_broadcast_failures():
         safe_broadcast(_BrokenBroadcastSession(), {"a": 1})
 
 
+def test_safe_broadcast_unpicklable_raises_on_real_session(spark):
+    """r13 verdict #7: the loud-failure branch on a REAL classic
+    session — an artifact that cannot pickle must raise at broadcast
+    time (classic broadcast serializes eagerly), never degrade into
+    closure capture where the same pickle failure would move to every
+    task serialization instead."""
+
+    class _UnpicklableArtifact:
+        def __reduce__(self):
+            raise TypeError("cannot pickle this artifact")
+
+    with pytest.raises(Exception, match="cannot pickle this artifact"):
+        safe_broadcast(spark, _UnpicklableArtifact())
+
+
 def test_context_key_fallback_chain(spark):
     # classic: the real applicationId
     assert context_key(spark) == spark.sparkContext.applicationId

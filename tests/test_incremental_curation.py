@@ -864,6 +864,111 @@ def test_streaming_embedding_ingest_clustered_artifact(spark, tmp_path):
     assert c == a and a
 
 
+def test_embedding_loop_clustered_by_default(spark, tmp_path, caplog):
+    """r13 verdict #2: NEW loops get the clustered layout without
+    opting in — clustered_path defaults to "auto", deriving
+    {corpus}_clustered and maintaining it from batch 1; retraction and
+    compaction under their own "auto" defaults keep the derived table
+    consistent. A PRE-EXISTING assignments-only corpus resumed under
+    the default does NOT raise: it logs the deprecated-layout warning
+    and continues assignments-only (back-compat)."""
+    import glob
+    import logging
+
+    from datawarehouse_vehicule_insurance_spark.operators import (
+        similarity as S,
+    )
+
+    src = str(tmp_path / "src")
+    p = {k: str(tmp_path / k) for k in ("corpus", "cents", "asg", "ckpt")}
+    derived = p["corpus"] + "_clustered"
+
+    def run():
+        q = SC.run_incremental_embedding_ingest(
+            spark, src, p["corpus"], p["cents"], p["asg"], p["ckpt"],
+            neardup_threshold=0.95, n_probe=2, n_cells=4,
+        )
+        q.awaitTermination()
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.filter(F.col("vec_id") < 60).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    emb.filter(F.col("vec_id") >= 60).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    corpus = spark.read.parquet(p["corpus"]).drop(SC.BATCH_COL)
+    clustered = spark.read.parquet(derived)
+    assert clustered.count() == corpus.count()
+    assert glob.glob(f"{derived}/{SC.BATCH_COL}=*/cell=*")
+
+    # probe parity straight off the default artifact
+    cents = spark.read.parquet(p["cents"])
+    qs = corpus.limit(5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    kw = dict(k=5, n_cells=4, n_probe=2)
+    base = {(r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+            for r in S.ivf_topk(
+                qs, corpus, centroids=cents,
+                assignments=spark.read.parquet(p["asg"]), **kw
+            ).collect()}
+    got = {(r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+           for r in S.ivf_topk(
+               qs, centroids=cents, clustered=clustered, **kw
+           ).collect()}
+    assert got == base and got
+
+    # retract/compact under THEIR "auto" defaults see the derived table
+    gone = corpus.limit(2).select("vec_id")
+    n_before = clustered.count()
+    out = SC.retract_vectors(
+        spark, gone, p["corpus"], assignments_path=p["asg"]
+    )
+    assert derived in out
+    assert spark.read.parquet(derived).count() == n_before - 2
+    out = SC.compact_embedding_indexes(
+        spark, corpus_path=p["corpus"], assignments_path=p["asg"]
+    )
+    assert derived in out
+    assert glob.glob(f"{derived}/{SC.BATCH_COL}=-1/cell=*")
+
+    # back-compat: pre-existing assignments-only corpus + the default →
+    # warning, not a failed batch, and still no clustered table
+    src2 = str(tmp_path / "src2")
+    p2 = {k: str(tmp_path / f"old_{k}")
+          for k in ("corpus", "cents", "asg", "ckpt")}
+    emb.filter(F.col("vec_id") < 40).coalesce(1).write.mode(
+        "append"
+    ).parquet(src2)
+    q = SC.run_incremental_embedding_ingest(
+        spark, src2, p2["corpus"], p2["cents"], p2["asg"], p2["ckpt"],
+        neardup_threshold=0.95, n_probe=2, n_cells=4,
+        clustered_path=None,
+    )
+    q.awaitTermination()
+    assert not glob.glob(p2["corpus"] + "_clustered")
+    emb.filter(F.col("vec_id") >= 90).coalesce(1).write.mode(
+        "append"
+    ).parquet(src2)
+    with caplog.at_level(
+        logging.WARNING,
+        logger="datawarehouse_vehicule_insurance_spark.curation",
+    ):
+        q = SC.run_incremental_embedding_ingest(
+            spark, src2, p2["corpus"], p2["cents"], p2["asg"],
+            p2["ckpt"], neardup_threshold=0.95, n_probe=2, n_cells=4,
+        )
+        q.awaitTermination()
+    assert any("deprecated layout" in r.message for r in caplog.records)
+    assert spark.read.parquet(p2["corpus"]).count() > 40 - 1
+    assert not glob.glob(p2["corpus"] + "_clustered")
+
+
 def test_incremental_dedup_text_free_with_all_three_indexes(spark, tmp_path):
     """With bands + hashes + shingles persisted, incremental_dedup needs
     no corpus DataFrame at all and its plan references the corpus
