@@ -2548,6 +2548,14 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams, unigrams = bigram_lm_tables(docs)
     bigrams = bigrams.localCheckpoint()
     unigrams = unigrams.localCheckpoint()
+    # publish the pinned full-corpus model into the session cache (r13
+    # verdict #6): this query KEEPS training per call — its bench entry
+    # stays the honest train+score cost — but q_dsir_log_weights' raw
+    # side and the score-only variants can reuse the tables instead of
+    # retraining the identical model later in the same suite run.
+    # bigram counts are deterministic, so the cached tables equal what
+    # any consumer would have trained itself.
+    _AUDIT_LM_MODELS[(sf_dir, 1)] = (bigrams, unigrams)
     return lm_perplexity(docs, bigrams, unigrams).select(
         "doc_id",
         F.round("avg_logp", 6).alias("avg_logp"),
@@ -2580,11 +2588,15 @@ def q_dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     proj = docs.select("doc_id", "text")
     # both models eagerly pinned before the two scoring passes (see
-    # q_lm_perplexity — per-reference training re-runs otherwise)
+    # q_lm_perplexity — per-reference training re-runs otherwise).
+    # The TARGET (en-slice) model is this query's own and trains per
+    # call; the RAW model is the same full-corpus bigram LM that
+    # q_lm_perplexity trains, so it comes from the session cache (r13
+    # verdict #6) — one full-corpus training per suite run, not two.
     target = tuple(t.localCheckpoint() for t in bigram_lm_tables(
         docs.filter(F.col("lang") == "en").select("doc_id", "text")
     ))
-    raw = tuple(t.localCheckpoint() for t in bigram_lm_tables(proj))
+    raw = _audit_lm_model(spark, sf_dir, 1)
     return dsir_log_weights(proj, target, raw).select(
         "doc_id", "log_weight"
     )
@@ -2664,7 +2676,10 @@ def q_dsir_log_weights_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (sf_dir, min_count); pinned localCheckpoints, process-local — in
 #: bench's min-of-3 the first pass trains and pins, so the min tracks
 #: the score-only cost (r10 verdict #4: the shape that matters is now
-#: bench-registered, not audit-only).
+#: bench-registered, not audit-only). q_lm_perplexity PUBLISHES its
+#: per-call (min_count=1) training here, so within one suite run the
+#: full-corpus model trains exactly once — dsir's raw side and the
+#: score-only variants reuse it (r13 verdict #6).
 _AUDIT_LM_MODELS: dict[tuple, tuple] = {}
 
 
@@ -3053,7 +3068,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_per_order": q_lineitem_per_order,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
-    "customer_order_semijoins": q_customer_order_semijoins,
+    "array_functions": q_array_functions,
     "last_order_per_customer": q_last_order_per_customer,
     "dedup_exact_documents": q_dedup_exact_documents,
     "doc_lang_fingerprint": q_doc_lang_fingerprint,
@@ -3096,7 +3111,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Rotated-out gate queries: out of the 50-slot driver registry
 # (QUERIES) but still part of the benchmarked surface — bench.py runs
 # QUERIES ∪ BENCH_EXTRA so their performance stays tracked round over
-# round. Round-13 rotation: string_functions (the C-rule string
+# round. Round-14 rotation: array_functions (higher-order array
+# functions — transform/filter/aggregate/zip_with over lineitem
+# groups, stable in the bench-only set since r6) enters the gate;
+# rotated to bench-only is customer_order_semijoins (the left-semi /
+# left-anti join pair, stable since r1 — semi/anti semantics stay
+# covered by customer_set_ops' INTERSECT/EXCEPT in the gate and by
+# its own ORACLES_EXTRA entry per policy rule 2).
+# Round-13 rotation: string_functions (the C-rule string
 # function showcase — concat/split/regexp/levenshtein/soundex over
 # customer text, stable in the bench-only set since r6) enters the
 # gate; rotated to bench-only is pivot_linestatus (the pivot
@@ -3125,7 +3147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # distinct_order_customers and zscore_by_segment left.
 BENCH_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_linestatus": q_pivot_linestatus,
-    "array_functions": q_array_functions,
+    "customer_order_semijoins": q_customer_order_semijoins,
     "top_spenders": q_top_spenders,
     "filter_positive_amounts": q_filter_positive_amounts,
     "distinct_order_customers": q_distinct_order_customers,
@@ -3164,7 +3186,7 @@ ORACLES: dict[str, str] = {
     "lineitem_per_order": SQL_LINEITEM_PER_ORDER,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
-    "customer_order_semijoins": SQL_CUSTOMER_ORDER_SEMIJOINS,
+    "array_functions": SQL_ARRAY_FUNCTIONS,
     "last_order_per_customer": SQL_LAST_ORDER_PER_CUSTOMER,
     "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
     "doc_lang_fingerprint": SQL_DOC_LANG_FINGERPRINT,
@@ -3213,7 +3235,7 @@ ORACLES: dict[str, str] = {
 # (the round-6 verdict's one regression).
 ORACLES_EXTRA: dict[str, str] = {
     "pivot_linestatus": SQL_PIVOT_LINESTATUS,
-    "array_functions": SQL_ARRAY_FUNCTIONS,
+    "customer_order_semijoins": SQL_CUSTOMER_ORDER_SEMIJOINS,
     "top_spenders": SQL_TOP_SPENDERS,
     "filter_positive_amounts": SQL_FILTER_POSITIVE_AMOUNTS,
     "distinct_order_customers": SQL_DISTINCT_ORDER_CUSTOMERS,
