@@ -591,36 +591,93 @@ def dsir_log_weights(
     have no positions and get a NULL ``log_weight`` — the resampler
     excludes them (decide such docs upstream).
 
-    Scale shape: both scoring passes are narrow explodes joined to
-    dim-sized model tables (AQE broadcasts), one mean per doc; the two
-    score frames join the input on the id — no driver state, no UDF.
+    Scale shape: ONE narrow bigram explode of the candidate corpus is
+    joined to BOTH models' dim-sized tables (AQE broadcasts) and both
+    per-position log-probs are averaged in the same per-doc aggregate —
+    the corpus is tokenized once, not once per model (r14 optimization;
+    the per-row log-prob values and their per-partition accumulation
+    order are identical to two separate ``lm_perplexity`` passes, so
+    the rounded outputs are unchanged). The bigram-position count the
+    weight needs falls out of the same aggregate for free — no third
+    pass over the text. No driver state, no UDF.
     """
-    from .text_analysis import lm_perplexity, tokens
+    from .text_analysis import (
+        LM_PARAMS_COL,
+        _doc_bigrams,
+        _validate_lm_stamp,
+    )
 
     if "log_weight" in docs.columns:
         raise ValueError(
             "docs already has a log_weight column; rename it first"
         )
+    for model, what in ((target_model, "target"), (raw_model, "raw")):
+        _validate_lm_stamp(model[0], f"{what} bigram")
+        _validate_lm_stamp(model[1], f"{what} unigram")
     proj = docs.select(id_col, text_col)
-    t = lm_perplexity(
-        proj, target_model[0], target_model[1], text_col, id_col,
-        k_smooth, lam,
-    ).select(id_col, F.col("avg_logp").alias("__t_avg"))
-    r = lm_perplexity(
-        proj, raw_model[0], raw_model[1], text_col, id_col,
-        k_smooth, lam,
-    ).select(id_col, F.col("avg_logp").alias("__r_avg"))
-    n_pos = F.size(tokens(F.col(text_col))) - 1
-    weights = (
-        proj.select(id_col, n_pos.alias("__n_pos"))
-        .join(t, id_col, "left")
-        .join(r, id_col, "left")
+    k = F.lit(k_smooth)
+
+    def _model_sides(model: tuple, tag: str):
+        bg = model[0].drop(LM_PARAMS_COL).select(
+            "prev_hash", "w_hash", F.col("n_pair").alias(f"__np_{tag}")
+        )
+        uni = model[1].drop(LM_PARAMS_COL)
+        ctx = uni.select(
+            F.col("tok_hash").alias("prev_hash"),
+            F.col("n_prev").alias(f"__nprev_{tag}"),
+        )
+        cur = uni.select(
+            F.col("tok_hash").alias("w_hash"),
+            F.col("n_tok").alias(f"__ntok_{tag}"),
+        )
+        v = uni.agg(
+            F.max("__vocab").alias(f"__V_{tag}"),
+            F.max("__total").alias(f"__N_{tag}"),
+        )
+        return bg, ctx, cur, v
+
+    def _logp(tag: str) -> F.Column:
+        p_bigram = (F.coalesce(F.col(f"__np_{tag}"), F.lit(0)) + k) / (
+            F.coalesce(F.col(f"__nprev_{tag}"), F.lit(0))
+            + k * F.col(f"__V_{tag}")
+        )
+        p_unigram = (F.coalesce(F.col(f"__ntok_{tag}"), F.lit(0)) + k) / (
+            F.col(f"__N_{tag}") + k * F.col(f"__V_{tag}")
+        )
+        return F.log(F.lit(lam) * p_bigram + F.lit(1.0 - lam) * p_unigram)
+
+    bg_t, ctx_t, cur_t, v_t = _model_sides(target_model, "t")
+    bg_r, ctx_r, cur_r, v_r = _model_sides(raw_model, "r")
+    scored = (
+        _doc_bigrams(proj, text_col, id_col)
+        .join(bg_t, ["prev_hash", "w_hash"], "left")
+        .join(ctx_t, ["prev_hash"], "left")
+        .join(cur_t, ["w_hash"], "left")
+        .join(bg_r, ["prev_hash", "w_hash"], "left")
+        .join(ctx_r, ["prev_hash"], "left")
+        .join(cur_r, ["w_hash"], "left")
+        .crossJoin(v_t)  # 1-row frames — bounded by construction
+        .crossJoin(v_r)
         .select(
             id_col,
-            F.round(
-                (F.col("__t_avg") - F.col("__r_avg")) * F.col("__n_pos"), 6
-            ).alias("log_weight"),
+            _logp("t").alias("__lt"),
+            _logp("r").alias("__lr"),
         )
+        .groupBy(id_col)
+        .agg(
+            F.avg("__lt").alias("__t_avg"),
+            F.avg("__lr").alias("__r_avg"),
+            # one row per bigram position — exactly the n_tokens − 1
+            # factor log w(x) needs; docs with < 2 tokens have no rows
+            # and surface as NULL through the left join, as before
+            F.count(F.lit(1)).alias("__n_pos"),
+        )
+    )
+    weights = scored.select(
+        id_col,
+        F.round(
+            (F.col("__t_avg") - F.col("__r_avg")) * F.col("__n_pos"), 6
+        ).alias("log_weight"),
     )
     return docs.join(weights, id_col, "left")
 

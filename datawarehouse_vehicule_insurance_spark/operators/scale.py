@@ -131,9 +131,23 @@ def weighted_exact_percentile(
     free (it is the total weight already computed), saving callers a
     second scan of the fact table.
     """
-    w = df.filter(F.col(value_col).isNotNull()).groupBy(
-        F.col(group_col), F.col(value_col).alias("__v")
-    ).agg(F.count(F.lit(1)).alias("__w"))
+    from .plancut import ensure_parallelism
+
+    # Keyed parallelism guard (r14): a single-row-group scan (or a
+    # 1-partition checkpointed frame) would run this whole compression
+    # aggregate's map side on one task. Repartitioning ON THE GROUPING
+    # KEYS replaces the aggregation's own exchange rather than adding
+    # one — zero extra shuffles, and a no-op whenever the input plan
+    # already contains an exchange (see ensure_parallelism).
+    src = ensure_parallelism(
+        df.filter(F.col(value_col).isNotNull()).select(
+            F.col(group_col), F.col(value_col).alias("__v")
+        ),
+        keys=[group_col, "__v"],
+    )
+    w = src.groupBy(F.col(group_col), F.col("__v")).agg(
+        F.count(F.lit(1)).alias("__w")
+    )
 
     win = Window.partitionBy(group_col).orderBy("__v")
     wtot = Window.partitionBy(group_col)

@@ -516,32 +516,56 @@ def bigram_lm_tables(
     keeps model-table size bounded as the training corpus grows. For
     sharded training, prune after the merge instead.
     """
-    bg = _doc_bigrams(train, text_col, id_col)
     stamp = F.lit(lm_fingerprint())
-    bigrams = (
-        bg.groupBy("prev_hash", "w_hash")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-        .withColumn(LM_PARAMS_COL, stamp)
+    # ONE tokenize+explode pass over the training corpus feeds BOTH
+    # model tables (r14 optimization; previously the bigram and unigram
+    # sides each re-read and re-tokenized the corpus — two full text
+    # passes). Every token occurrence becomes one (token, next-or-NULL)
+    # row: the token at position i paired with the token at i+1, final
+    # tokens paired with NULL. From the (pair → count) aggregate —
+    # vocabulary²-bounded, NOT corpus-bounded — everything derives:
+    #   n_pair(prev, w)  = count of the non-NULL pair row
+    #   n_tok(w)         = Σ counts over rows with __p = w
+    #   n_prev(w)        = the same Σ restricted to non-NULL __n
+    # (identical integers to the old two-pass form). The pair-count
+    # table is cut with a lazy localCheckpoint so the two derived
+    # outputs share ONE materialization of the explode instead of
+    # re-running it per output. Tokenize in a pre-projection: inlining
+    # tokens(text) into the Generate re-evaluates the regex split per
+    # subexpression reference (profiled 16x on the old posexplode form).
+    pre = train.select(tokens(F.col(text_col)).alias("__ts"))
+    pair_rows = pre.select(
+        F.explode(
+            F.transform(
+                F.col("__ts"),
+                lambda t, i: F.struct(
+                    F.xxhash64(t).alias("p"),
+                    F.when(
+                        i < F.size(F.col("__ts")) - 1,
+                        F.xxhash64(F.element_at(F.col("__ts"), i + F.lit(2))),
+                    ).alias("n"),
+                ),
+            )
+        ).alias("__pr")
+    ).select(F.col("__pr.p").alias("__p"), F.col("__pr.n").alias("__n"))
+    counts = (
+        pair_rows.groupBy("__p", "__n")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
     )
-    # tokenize ONCE per document in a pre-projection: putting
-    # size(tokens(text)) next to posexplode(tokens(text)) makes the
-    # Generate node re-evaluate the regex split per OUTPUT row — the
-    # whole tokenization re-ran once per token (profiled 16x the
-    # bigram side's cost on identical input)
-    tok_rows = train.select(
-        tokens(F.col(text_col)).alias("__ts")
-    ).select(
-        F.posexplode("__ts").alias("__pos", "__tok"),
-        (F.size("__ts") - 1).alias("__last"),
-    ).select(
-        F.xxhash64(F.col("__tok")).alias("tok_hash"),
-        F.when(F.col("__pos") < F.col("__last"), 1)
-        .otherwise(0)
-        .alias("__is_ctx"),
+    bigrams = counts.filter(F.col("__n").isNotNull()).select(
+        F.col("__p").alias("prev_hash"),
+        F.col("__n").alias("w_hash"),
+        F.col("__c").alias("n_pair"),
+        stamp.alias(LM_PARAMS_COL),
     )
-    per_tok = tok_rows.groupBy("tok_hash").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.sum("__is_ctx").alias("n_prev"),
+    per_tok = counts.groupBy(F.col("__p").alias("tok_hash")).agg(
+        F.sum("__c").alias("n_tok"),
+        F.sum(
+            F.when(F.col("__n").isNotNull(), F.col("__c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_prev"),
     )
     totals = per_tok.agg(
         F.count(F.lit(1)).alias("__vocab"),

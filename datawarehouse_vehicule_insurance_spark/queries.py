@@ -34,8 +34,89 @@ from datawarehouse_vehicule_insurance_spark.operators.gold import (
 # ---------------------------------------------------------------------------
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+#: deterministic hash-repartition keys per testdata table (unique row
+#: identity — even spread, no sortBeforeRepartition cost, and retried
+#: tasks reproduce the same row→partition assignment, unlike keyless
+#: round-robin; guide §2.5)
+_PAR_KEYS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "orders": ("o_orderkey",),
+    "customer": ("c_custkey",),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "events": ("event_id",),
+}
+
+#: footer-read cache: path -> (n_row_groups, n_rows); driver-side
+#: pyarrow reads, no Spark job (same rationale as _parquet_num_rows)
+_SCAN_LAYOUT: dict[str, tuple[int, int]] = {}
+
+
+def _scan_layout(path: str) -> tuple[int, int]:
+    if path not in _SCAN_LAYOUT:
+        import os
+
+        try:
+            import pyarrow.parquet as pq
+
+            if os.path.isdir(path):
+                groups = rows = 0
+                for root, _, files in os.walk(path):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            md = pq.ParquetFile(
+                                os.path.join(root, f)
+                            ).metadata
+                            groups += md.num_row_groups
+                            rows += md.num_rows
+            else:
+                md = pq.ParquetFile(path).metadata
+                groups, rows = md.num_row_groups, md.num_rows
+        except Exception:
+            groups, rows = 1 << 30, 0  # unknown → assume splittable
+        _SCAN_LAYOUT[path] = (groups, rows)
+    return _SCAN_LAYOUT[path]
+
+
+def _par_scan(
+    spark: SparkSession, df: DataFrame, path: str, name: str
+) -> DataFrame:
+    """Scale-adaptive fix for the unsplittable-input shape (optimization
+    guide §2.5 "one huge unsplittable file ... repartition immediately
+    after the read"): parquet row groups are the unit of scan
+    parallelism, and the driver testdata ships each table as ONE file
+    with ONE row group — so every scan stage (and all the per-row
+    compute fused into it: tokenization, decimal partial aggregation,
+    Arrow batches feeding Python workers, ML gradient passes) runs as a
+    single task no matter how many cores the session has.
+
+    When the footer says the layout has fewer row groups than the
+    session has cores AND the table is big enough for the shuffle to
+    pay for itself, hash-repartition on the table's unique key to
+    ``defaultParallelism`` partitions. On production layouts (many
+    files / row groups — anything written by this engine's own sinks)
+    the guard makes this a no-op, so nothing extra is ever shuffled at
+    scale; the threshold adapts to the benched core count
+    (local[$SPARK_GRAFT_CPUS]) rather than hard-coding either shape."""
+    keys = _PAR_KEYS.get(name)
+    if keys is None:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    groups, rows = _scan_layout(path)
+    if groups >= cores or rows < 16 * cores:
+        return df
+    return df.repartition(cores, *[F.col(k) for k in keys])
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, par: bool = False
+) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if par:
+        df = _par_scan(spark, df, f"{sf_dir}/{name}.parquet", name)
+    return df
 
 
 def _parquet_num_rows(path: str) -> int | None:
@@ -61,7 +142,9 @@ def _parquet_num_rows(path: str) -> int | None:
         return None
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events(
+    spark: SparkSession, sf_dir: str, par: bool = False
+) -> DataFrame:
     """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
     Spark's vectorized reader rejects; read nanos as long and convert to a
     microsecond timestamp (exact integer div — a double division would
@@ -73,7 +156,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps, so only a LongType ``ts`` goes through the div-1000
     conversion."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    df = spark.read.parquet(path)
+    if par:
+        df = _par_scan(spark, df, path, "events")
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -144,8 +230,12 @@ def q_client_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     every groupBy) that reproduces pandas semantics — SURVEY.md §2.3 note.
     """
     customer = _t(spark, sf_dir, "customer")
+    # orders deliberately NOT _par_scan'd: the explicit
+    # repartition(o_custkey) below is already the parallelism (and
+    # clustering) fix for its single-row-group scan — a keyed par-scan
+    # in front would shuffle orders twice for nothing
     orders = _t(spark, sf_dir, "orders")
-    lineitem = _t(spark, sf_dir, "lineitem")
+    lineitem = _t(spark, sf_dir, "lineitem", par=True)
 
     # ONE explicit repartition on the conformed key serves BOTH orders
     # branches: hashpartitioning(o_custkey) satisfies the groupBy's
@@ -486,7 +576,7 @@ FROM lineitem GROUP BY 1
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary — the headline scan+agg benchmark
     (generalizes A1-A3; partial+final hash agg, whole-stage codegen)."""
-    lineitem = _t(spark, sf_dir, "lineitem")
+    lineitem = _t(spark, sf_dir, "lineitem", par=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -524,8 +614,8 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join + agg (J-chain analogue at scale): lineitem ⋈ orders ⋈
     customer ⋈ nation, revenue per nation. Dims broadcast; fact joins
     shuffle on their keys and AQE coalesces."""
-    lineitem = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem", par=True)
+    orders = _t(spark, sf_dir, "orders", par=True)
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     return (
@@ -662,7 +752,7 @@ def q_doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-2-gram repetition ratio, the Gopher-rules boilerplate
     signal) — all native expressions (no UDF), a single narrow
     projection."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     tokens = F.split(F.trim(F.col("text")), r"\s+")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size(tokens)
@@ -732,7 +822,7 @@ def q_doc_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak (language name asc), 'und' when no marker hits; plus md5
     over whitespace-normalized lowercase text (the canonical-form
     fingerprint used before near-dup passes)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     def _count_hits(markers: list[str]):
         arr = F.array(*[F.lit(m) for m in markers])
@@ -904,7 +994,7 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one parse amortized across extractions instead of one string walk
     per field). The oracle computes both columns from the same JSON so
     the two Spark paths are cross-checked against DuckDB ANSI JSON."""
-    events = _events(spark, sf_dir)
+    events = _events(spark, sf_dir, par=True)
     v = F.parse_json("props")
     return events.select(
         "event_id",
@@ -1257,7 +1347,7 @@ def q_pricing_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ls-only set). The rollup branch is a filter over the cached cube
     result, so the fact table is scanned and shuffled once, not
     twice."""
-    lineitem = _t(spark, sf_dir, "lineitem")
+    lineitem = _t(spark, sf_dir, "lineitem", par=True)
     cube = lineitem.cube("l_returnflag", "l_linestatus").agg(
         _dsum(F.col("l_quantity")).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -1383,7 +1473,7 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature construction itself."""
     from datawarehouse_vehicule_insurance_spark.operators.dedup import simhash
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     return docs.select(
         "doc_id",
         simhash(F.col("text"), bits=32, portable=True).alias("simhash"),
@@ -2087,7 +2177,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         contamination_overlap,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     benchmark = docs.filter(F.col("doc_id") % 100 == 0)
     corpus = docs.filter(F.col("doc_id") % 100 != 0)
     # n=4 on the synthetic corpus (tiny vocab, short docs) plays the
@@ -2332,7 +2422,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_repetition_features,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", par=True).select("doc_id", "text")
     quality = gopher_quality_features(docs).drop("text")
     rep = gopher_repetition_features(
         docs, top_ns=_GOPHER_TOP_NS, dup_ns=_GOPHER_DUP_NS
@@ -2709,7 +2799,7 @@ def q_lm_score_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         lm_perplexity,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", par=True).select("doc_id", "text")
     bg, uni = _audit_lm_model(spark, sf_dir, 1)
     return lm_perplexity(docs, bg, uni).select(
         "doc_id",
@@ -2728,7 +2818,7 @@ def q_lm_score_only_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         lm_perplexity,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", par=True).select("doc_id", "text")
     bg, uni = _audit_lm_model(spark, sf_dir, 2)
     return lm_perplexity(docs, bg, uni).select(
         "doc_id",
@@ -2784,7 +2874,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, text string",
     )
     merges = train_bpe(fixture, num_merges=16)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", par=True).select("doc_id", "text")
     return bpe_token_count(docs, merges, num_merges=16).select(
         "doc_id", "bpe_token_count"
     )
@@ -2983,7 +3073,7 @@ def q_duplicate_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicate_span_trim,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", par=True).select("doc_id", "text")
     return duplicate_span_trim(docs, min_span=10)
 
 
