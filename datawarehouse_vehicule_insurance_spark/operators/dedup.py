@@ -636,16 +636,30 @@ def ngram_jaccard(
         missing = cand_ids.join(
             precomputed.select(id_col), id_col, "left_anti"
         )
-        sh = pre.unionByName(
+        # the text-computed side feeds both pair-join sides below — cut
+        # it so the shingle build runs once; the INDEX side stays
+        # uncut: re-scanning a persisted parquet index twice is cheap,
+        # and the visible scan path is the loop's text-free evidence
+        # (plan-probed by tests)
+        sh = pre.unionByName(checkpoint_cut(
             docs.join(missing, id_col, "left_semi").select(
                 F.col(id_col),
                 _hashed_shingles(F.col(text_col), n).alias("sh"),
             )
-        )
+        ))
     else:
-        sh = docs.join(cand_ids, id_col, "left_semi").select(
-            F.col(id_col),
-            _hashed_shingles(F.col(text_col), n).alias("sh"),
+        # `sh` feeds BOTH sides of the pair join below — without a cut
+        # the whole subtree (the corpus semi-join shuffle + the shingle
+        # build) executes twice, plan-verified: documents was exchanged
+        # and sorted two times per verify (r14). The cut is bounded by
+        # the candidate universe (one hashed-shingle array per
+        # candidate doc), so one materialization replaces two
+        # corpus-sized shuffles.
+        sh = checkpoint_cut(
+            docs.join(cand_ids, id_col, "left_semi").select(
+                F.col(id_col),
+                _hashed_shingles(F.col(text_col), n).alias("sh"),
+            )
         )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

@@ -103,7 +103,10 @@ def _par_scan(
     keys = _PAR_KEYS.get(name)
     if keys is None:
         return df
-    cores = spark.sparkContext.defaultParallelism
+    try:
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext — skip the guard
+        return df
     groups, rows = _scan_layout(path)
     if groups >= cores or rows < 16 * cores:
         return df

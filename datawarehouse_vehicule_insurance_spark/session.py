@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # guide §6: zstd ≈ snappy read speed at a markedly better ratio —
+        # fewer bytes through every sink AND every downstream scan of
+        # the loops' persisted artifacts (indexes, model tables, batches)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

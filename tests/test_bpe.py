@@ -133,12 +133,15 @@ def test_encode_out_col_collision_raises(spark):
     taken = corpus.withColumn("bpe_tokens", F.lit("x"))
     with pytest.raises(ValueError, match="already exists"):
         bpe_encode(taken, merges, num_merges=4, max_words=100)
-    # the internal temp column is also guarded
-    with pytest.raises(ValueError, match="already exists"):
-        bpe_token_count(
-            corpus.withColumn("__bpe_toks", F.lit("x")),
-            merges, num_merges=4, max_words=100,
-        )
+    # r14: bpe_token_count counts inside the Arrow mapper (no token
+    # arrays cross back to the JVM), so there is no internal temp
+    # column to collide with any more — a frame carrying the old
+    # "__bpe_toks" name passes through untouched
+    with_old_temp = bpe_token_count(
+        corpus.withColumn("__bpe_toks", F.lit("x")),
+        merges, num_merges=4, max_words=100,
+    )
+    assert "bpe_token_count" in with_old_temp.columns
     with pytest.raises(ValueError, match="already exists"):
         bpe_token_count(
             corpus.withColumn("bpe_token_count", F.lit(1)),
@@ -175,6 +178,30 @@ def test_token_count_and_real_docs_reconstruction(spark):
         assert rebuilt[:-1] == words and rebuilt[-1] == ""
         # compression: subword count is never more than character count
         assert len(toks) <= sum(len(w) + 1 for w in words)
+
+
+def test_token_count_null_and_empty_text(spark):
+    """r14: bpe_token_count counts inside the Arrow mapper instead of
+    sizing a returned token array — pin the edge semantics the old
+    ``F.size(bpe_encode(...))`` form had: NULL text → NULL count,
+    empty/whitespace-only text → 0, and the column type stays int."""
+    corpus = spark.createDataFrame(
+        [(1, "aa ab"), (2, None), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(
+        corpus.filter("text is not null"), num_merges=4, max_words=100
+    )
+    out = bpe_token_count(corpus, merges, num_merges=4, max_words=100)
+    assert dict(out.dtypes)["bpe_token_count"] == "int"
+    got = {r["doc_id"]: r["bpe_token_count"] for r in out.collect()}
+    enc = bpe_encode(corpus, merges, num_merges=4, max_words=100)
+    ref = {
+        r["doc_id"]: (None if r["bpe_tokens"] is None else len(r["bpe_tokens"]))
+        for r in enc.collect()
+    }
+    assert got == ref
+    assert got[2] is None and got[3] == 0 and got[4] == 0
 
 
 def test_cli_bpe_train(spark, tmp_path, capsys):
