@@ -729,19 +729,22 @@ def test_quality_classifier_save_load_roundtrip(spark, tmp_path):
     assert got == want
 
 
-def test_round2_rewrite_plan_shapes(spark, sf_dir):
+def test_round2_rewrite_plan_shapes(spark, sf_dir, monkeypatch):
     """Plan-probe guards for the late-round-2 rewrites:
 
     - contamination_check builds grams per row — NO window sort
       (the old posexplode+lead pipeline had one per side);
     - the Jaccard verify stage adds no window and no pandas stage of
       its own (hashed shingle arrays of candidate docs, JVM array ops),
-      and restricts the docs side with left-semi joins.
+      and restricts the docs side with left-semi joins. Since r14 the
+      shingle build sits behind a ``checkpoint_cut`` (it feeds both
+      pair-join sides; without the cut the corpus semi-join executed
+      twice), which truncates the visible lineage at Scan ExistingRDD —
+      so the LeftSemi probe runs with the cut disabled, on the pre-cut
+      subtree the cut materializes.
     """
     from datawarehouse_vehicule_insurance_spark import queries as Q
-    from datawarehouse_vehicule_insurance_spark.operators.dedup import (
-        ngram_jaccard,
-    )
+    from datawarehouse_vehicule_insurance_spark.operators import dedup as D
 
     con = Q.QUERIES["contamination_check"](spark, sf_dir)
     con_plan = con._jdf.queryExecution().executedPlan().toString()
@@ -751,11 +754,17 @@ def test_round2_rewrite_plan_shapes(spark, sf_dir):
     pairs = spark.createDataFrame(
         [(0, 1), (2, 3)], "id_a long, id_b long"
     )
-    ver = ngram_jaccard(pairs, docs)
+    ver = D.ngram_jaccard(pairs, docs)
     ver_plan = ver._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in ver_plan
     assert "InPandas" not in ver_plan
-    assert "LeftSemi" in ver_plan
+
+    monkeypatch.setattr(D, "checkpoint_cut", lambda df: df)
+    ver_nocut = D.ngram_jaccard(pairs, docs)
+    nocut_plan = ver_nocut._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in nocut_plan
+    assert "InPandas" not in nocut_plan
+    assert "LeftSemi" in nocut_plan
 
 
 def test_cli_curate(spark, tmp_path, capsys):
