@@ -49,35 +49,78 @@ _PAR_KEYS: dict[str, tuple[str, ...]] = {
     "events": ("event_id",),
 }
 
-#: footer-read cache: path -> (n_row_groups, n_rows); driver-side
-#: pyarrow reads, no Spark job (same rationale as _parquet_num_rows)
-_SCAN_LAYOUT: dict[str, tuple[int, int]] = {}
+#: footer-read cache: (path, mtime_ns, size) -> (groups, rows, exhausted);
+#: driver-side pyarrow reads, no Spark job (same rationale as
+#: _parquet_num_rows). Keyed on the stat signature so a rewritten file
+#: or a directory with files added/removed re-probes instead of serving
+#: a stale layout (an in-place rewrite of one file INSIDE a directory
+#: does not bump the directory's own mtime — accepted residual staleness
+#: for a cache whose only consumer is a repartition heuristic).
+#: ``exhausted`` False means enumeration stopped early (threshold or
+#: file cap reached), so (groups, rows) are lower bounds.
+_SCAN_LAYOUT: dict[tuple, tuple[int, int, bool]] = {}
+
+#: footer reads per directory probe are bounded: a 100 TB layout can
+#: hold millions of files, and walking every footer driver-side just to
+#: learn "plenty of row groups" would stall the driver in front of the
+#: first scan (guide §5 "the driver should do almost no data work").
+_SCAN_LAYOUT_MAX_FILES = 64
 
 
-def _scan_layout(path: str) -> tuple[int, int]:
-    if path not in _SCAN_LAYOUT:
-        import os
+def _scan_layout(path: str, enough_groups: int = 1 << 30) -> tuple[int, int]:
+    """(total row groups, total rows) from parquet footers, stopping
+    EARLY once ``enough_groups`` row groups have been seen — the only
+    question the caller asks is "are there at least `cores` row
+    groups?", so on a many-file production layout the walk reads a
+    handful of footers instead of all of them. Directory enumeration is
+    additionally capped at ``_SCAN_LAYOUT_MAX_FILES`` footers; a layout
+    with more parquet files than the cap is reported as splittable
+    (groups clamped to ``enough_groups``) — every parquet file carries
+    at least one row group, so a >64-file layout cannot be the
+    single-task shape this probe exists to detect."""
+    import os
 
-        try:
-            import pyarrow.parquet as pq
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, 0, 0)
+    hit = _SCAN_LAYOUT.get(key)
+    if hit is not None:
+        groups, rows, exhausted = hit
+        if exhausted or groups >= enough_groups:
+            return groups, rows
+    groups = rows = 0
+    exhausted = True
+    try:
+        import pyarrow.parquet as pq
 
-            if os.path.isdir(path):
-                groups = rows = 0
-                for root, _, files in os.walk(path):
-                    for f in files:
-                        if f.endswith(".parquet"):
-                            md = pq.ParquetFile(
-                                os.path.join(root, f)
-                            ).metadata
-                            groups += md.num_row_groups
-                            rows += md.num_rows
-            else:
-                md = pq.ParquetFile(path).metadata
-                groups, rows = md.num_row_groups, md.num_rows
-        except Exception:
-            groups, rows = 1 << 30, 0  # unknown → assume splittable
-        _SCAN_LAYOUT[path] = (groups, rows)
-    return _SCAN_LAYOUT[path]
+        if os.path.isdir(path):
+            n_files = 0
+            for root, _, files in os.walk(path):
+                for f in sorted(files):
+                    if not f.endswith(".parquet"):
+                        continue
+                    if groups >= enough_groups:
+                        exhausted = False
+                        break
+                    if n_files >= _SCAN_LAYOUT_MAX_FILES:
+                        groups = max(groups, enough_groups)
+                        exhausted = False
+                        break
+                    md = pq.ParquetFile(os.path.join(root, f)).metadata
+                    groups += md.num_row_groups
+                    rows += md.num_rows
+                    n_files += 1
+                if not exhausted:
+                    break
+        else:
+            md = pq.ParquetFile(path).metadata
+            groups, rows = md.num_row_groups, md.num_rows
+    except Exception:
+        groups, rows = 1 << 30, 0  # unknown → assume splittable
+    _SCAN_LAYOUT[key] = (groups, rows, exhausted)
+    return groups, rows
 
 
 def _par_scan(
@@ -107,7 +150,7 @@ def _par_scan(
         cores = spark.sparkContext.defaultParallelism
     except Exception:  # Spark Connect: no sparkContext — skip the guard
         return df
-    groups, rows = _scan_layout(path)
+    groups, rows = _scan_layout(path, enough_groups=cores)
     if groups >= cores or rows < 16 * cores:
         return df
     return df.repartition(cores, *[F.col(k) for k in keys])

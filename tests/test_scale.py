@@ -1268,3 +1268,112 @@ def test_gopher_arrow_build_runs_upstream_shuffle_once(spark):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# _scan_layout: bounded driver-side footer reads (r15)
+# ---------------------------------------------------------------------------
+
+
+def _write_tiny_parquet_files(dirpath, n):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dirpath.mkdir(parents=True, exist_ok=True)
+    tbl = pa.table({"x": pa.array([1, 2, 3], type=pa.int64())})
+    for i in range(n):
+        pq.write_table(tbl, str(dirpath / f"part-{i:05d}.parquet"))
+
+
+class _CountingParquetFile:
+    """Delegating wrapper around pyarrow.parquet.ParquetFile that counts
+    constructions (= footer reads)."""
+
+    calls = 0
+
+    def __init__(self, real_cls):
+        self._real = real_cls
+
+    def __call__(self, *a, **kw):
+        type(self).calls += 1
+        return self._real(*a, **kw)
+
+
+def test_scan_layout_early_exit_bounds_footer_reads(tmp_path, monkeypatch):
+    """A many-file layout must NOT cost one footer read per file: the
+    walk stops as soon as `enough_groups` row groups are seen (guide §5
+    — the driver should do almost no data work in front of a scan)."""
+    import pyarrow.parquet as pq
+
+    from datawarehouse_vehicule_insurance_spark import queries as Q
+
+    d = tmp_path / "many_files"
+    _write_tiny_parquet_files(d, 40)
+
+    counter = _CountingParquetFile(pq.ParquetFile)
+    monkeypatch.setattr("pyarrow.parquet.ParquetFile", counter)
+    _CountingParquetFile.calls = 0
+
+    groups, rows = Q._scan_layout(str(d), enough_groups=8)
+    assert groups >= 8
+    # one footer per file until the threshold trips: 8 files of 1 row
+    # group each, plus at most one look-ahead
+    assert _CountingParquetFile.calls <= 9
+
+    # cached: same stat signature, no further footer reads
+    Q._scan_layout(str(d), enough_groups=8)
+    assert _CountingParquetFile.calls <= 9
+
+    # a larger threshold must re-probe (the cached count was partial)
+    _CountingParquetFile.calls = 0
+    groups2, _ = Q._scan_layout(str(d), enough_groups=30)
+    assert groups2 >= 30
+    assert 0 < _CountingParquetFile.calls <= 31
+
+
+def test_scan_layout_file_cap_reports_splittable(tmp_path, monkeypatch):
+    """Past the file cap the layout is reported splittable without
+    reading every footer — >cap parquet files can never be the
+    single-task shape the probe exists to detect."""
+    import pyarrow.parquet as pq
+
+    from datawarehouse_vehicule_insurance_spark import queries as Q
+
+    cap = Q._SCAN_LAYOUT_MAX_FILES
+    d = tmp_path / "past_cap"
+    _write_tiny_parquet_files(d, cap + 10)
+
+    counter = _CountingParquetFile(pq.ParquetFile)
+    monkeypatch.setattr("pyarrow.parquet.ParquetFile", counter)
+    _CountingParquetFile.calls = 0
+
+    big = 1 << 20
+    groups, _ = Q._scan_layout(str(d), enough_groups=big)
+    assert groups >= big  # clamped: "splittable enough"
+    assert _CountingParquetFile.calls <= cap + 1
+
+
+def test_scan_layout_cache_invalidates_on_dir_change(tmp_path):
+    """Adding a file changes the directory's stat signature, so the
+    layout is re-probed instead of served stale (r14 ADVICE)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datawarehouse_vehicule_insurance_spark import queries as Q
+
+    d = tmp_path / "grows"
+    _write_tiny_parquet_files(d, 2)
+    g1, r1 = Q._scan_layout(str(d), enough_groups=1 << 20)
+    assert (g1, r1) == (2, 6)
+
+    import os
+    import time
+
+    tbl = pa.table({"x": pa.array([1], type=pa.int64())})
+    pq.write_table(tbl, str(d / "part-99999.parquet"))
+    # dir mtime granularity can be coarse; force a distinct signature
+    now = time.time() + 2
+    os.utime(str(d), (now, now))
+
+    g2, r2 = Q._scan_layout(str(d), enough_groups=1 << 20)
+    assert (g2, r2) == (3, 7)
