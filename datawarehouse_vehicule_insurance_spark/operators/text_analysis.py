@@ -1030,7 +1030,13 @@ def _bpe_count_map(
     JVM — :func:`bpe_token_count` used to ship every document's full
     subword array out of Python and immediately drop it (guide §4:
     control how many columns cross). The memo caches per-word COUNTS,
-    so cost still tracks the batch vocabulary, not token volume."""
+    so cost still tracks the batch vocabulary, not token volume.
+
+    The count REPLACES ``text_col`` in the output (r15): echoing the
+    text back across the boundary just so a downstream Project could
+    drop it doubled the Arrow return traffic for a column no count
+    consumer reads — the output schema is the input's columns minus
+    ``text_col``, plus ``out_col``."""
     import pandas as pd
 
     _validate_bpe_stamp(merges, bpe_fingerprint(num_merges, max_words))
@@ -1041,8 +1047,10 @@ def _bpe_count_map(
 
     out_fields = ", ".join(
         f"`{c.name}` {c.dataType.simpleString()}" for c in df.schema.fields
+        if c.name != text_col
     )
-    out_schema = f"{out_fields}, `{out_col}` int"
+    sep = ", " if out_fields else ""
+    out_schema = f"{out_fields}{sep}`{out_col}` int"
     eow = BPE_EOW
 
     # self-contained closure, pickled by value (see bpe_encode)
@@ -1079,7 +1087,7 @@ def _bpe_count_map(
                         memo[w] = got
                     total += got
                 counts.append(total)
-            yield pdf.assign(
+            yield pdf.drop(columns=[text_col]).assign(
                 **{out_col: pd.array(counts, dtype="Int32")}
             )
 
@@ -1096,7 +1104,13 @@ def bpe_token_count(
 ) -> DataFrame:
     """Per-document subword token count under a TRAINED vocabulary — the
     budget number a pre-training mix is planned against (contrast
-    :func:`bpe_ish_token_count`, the model-free regex estimate)."""
+    :func:`bpe_ish_token_count`, the model-free regex estimate).
+
+    Output: the input's columns with ``text_col`` REPLACED by
+    ``out_col`` — the count is what the text becomes; keeping the text
+    would ship every document back across the Arrow boundary just to be
+    dropped (guide §4). NULL text → NULL count; empty/whitespace-only
+    text → 0."""
     if out_col in df.columns:
         raise ValueError(
             f"bpe_token_count: out_col {out_col!r} already exists on the "

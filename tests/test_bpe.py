@@ -308,11 +308,12 @@ def test_tokenize_and_pack_end_to_end(spark):
         else:
             assert total <= 512
 
-    # counts are the real vocabulary counts
+    # counts are the real vocabulary counts (r15: the count output no
+    # longer carries text — NULL text shows up as a NULL count)
     direct = {
         r["doc_id"]: r["bpe_token_count"]
         for r in bpe_token_count(docs, merges, num_merges=40)
-        .filter("text is not null").collect()
+        .filter("bpe_token_count is not null").collect()
     }
     for r in rows:
         assert r["bpe_token_count"] == direct[r["doc_id"]]
