@@ -591,6 +591,12 @@ def dsir_log_weights(
     have no positions and get a NULL ``log_weight`` — the resampler
     excludes them (decide such docs upstream).
 
+    ``id_col`` must be UNIQUE per row (the standard candidate-corpus
+    contract): the fused single-explode scoring pools bigram rows per
+    id, so duplicate ids would each receive the POOLED weight over all
+    their rows' positions rather than a per-row weight. Dedup or
+    re-key upstream if candidate rows can share an id.
+
     Scale shape: ONE narrow bigram explode of the candidate corpus is
     joined to BOTH models' dim-sized tables (AQE broadcasts) and both
     per-position log-probs are averaged in the same per-doc aggregate —

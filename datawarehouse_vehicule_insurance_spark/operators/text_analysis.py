@@ -515,6 +515,13 @@ def bigram_lm_tables(
     vocabulary first, then rare entries are dropped) — the knob that
     keeps model-table size bounded as the training corpus grows. For
     sharded training, prune after the merge instead.
+
+    NOTE: the internal pair-count table is cut with a lazy
+    ``checkpoint_cut`` (so both model tables share one materialization
+    of the tokenize+explode, and a streaming batch composing this
+    inside a ``cut_registry`` can free the blocks per-batch). Under AQE
+    the cut means model CONSTRUCTION executes the counting stages
+    eagerly at first use rather than fusing into the consumer's plan.
     """
     stamp = F.lit(lm_fingerprint())
     # ONE tokenize+explode pass over the training corpus feeds BOTH
@@ -548,10 +555,11 @@ def bigram_lm_tables(
             )
         ).alias("__pr")
     ).select(F.col("__pr.p").alias("__p"), F.col("__pr.n").alias("__n"))
-    counts = (
+    from .plancut import checkpoint_cut
+
+    counts = checkpoint_cut(
         pair_rows.groupBy("__p", "__n")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=False)
     )
     bigrams = counts.filter(F.col("__n").isNotNull()).select(
         F.col("__p").alias("prev_hash"),

@@ -160,3 +160,25 @@ def test_bench_extra_all_locally_oracled():
     slot, never its independent check."""
     assert set(_Q.ORACLES_EXTRA) == set(_Q.BENCH_EXTRA)
     assert not (set(_Q.ORACLES_EXTRA) & set(_Q.ORACLES))
+
+
+def test_lm_sharing_bench_order_invariant():
+    """q_lm_perplexity trains and PUBLISHES the full-corpus bigram LM in
+    queries._AUDIT_LM_MODELS; q_dsir_log_weights and the score-only
+    bench entries CONSUME it (training on miss, so standalone
+    correctness never depends on order). The bench iterates
+    {**QUERIES, **BENCH_EXTRA} in insertion order — if a rotation ever
+    moves a consumer ahead of lm_perplexity, ~0.6 s of training cost
+    silently shifts between bench entries and round-over-round
+    comparisons misattribute it (r14 verdict #4). Pin the order."""
+    order = list({**_Q.QUERIES, **_Q.BENCH_EXTRA})
+    i_pub = order.index("lm_perplexity")
+    for consumer in (
+        "dsir_log_weights", "lm_score_only", "lm_score_only_pruned"
+    ):
+        if consumer in order:
+            assert i_pub < order.index(consumer), (
+                f"{consumer} precedes lm_perplexity in bench order — "
+                "the shared-LM cost accounting depends on the trainer "
+                "running first (see q_lm_perplexity)"
+            )
