@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .plancut import checkpoint_cut, ensure_parallelism
+
 #: aggregates that can be split into (partial per salt) → (final combine)
 _COMBINERS: dict[str, tuple] = {
     "sum": (F.sum, F.sum),
@@ -119,8 +121,14 @@ def weighted_exact_percentile(
        ``groupBy().count()`` — for quantized domains (money in cents,
        ratings, ages) this collapses billions of rows to at most
        |distinct values| rows per group;
-    2. cumulative-sums the weights per group ordered by value (window
-       state = distinct values, not rows);
+    2. cumulative-sums the weights per group ordered by value with a
+       TWO-PHASE parallel prefix sum (r15): the compression is
+       range-partitioned on (group, value) so every task cumsums a
+       contiguous value slice, and a tiny per-(partition, group)
+       offset-prefix frame lifts local sums to global ranks — no task
+       ever holds more than its slice, even for a single giant group
+       (a ``Window.partitionBy(group)`` cumsum serializes each group
+       onto ONE task: the few-huge-groups straggler at 100 TB);
     3. picks/interpolates each percentile at rank ``p * (n - 1)`` with
        two conditional MINs — plain partial+final aggregation.
 
@@ -130,9 +138,16 @@ def weighted_exact_percentile(
     ``count_col`` optionally adds the per-group non-null value count —
     free (it is the total weight already computed), saving callers a
     second scan of the fact table.
-    """
-    from .plancut import ensure_parallelism
 
+    Plan note: the range-partitioned compression is pinned with a lazy
+    ``checkpoint_cut`` — partition ids must be frozen in the data
+    because two consumers (the offset frame and the cumsum) read them
+    and a re-executed range exchange may re-sample different bounds.
+    Like every AQE-era cut, creating it executes the upstream stages at
+    CONSTRUCTION time, and the visible plan truncates at the cut's
+    ``Scan ExistingRDD`` (the range exchange lives in the cut's own
+    subtree — tests probe it with the cut monkeypatched out).
+    """
     # Keyed parallelism guard (r14): a single-row-group scan (or a
     # 1-partition checkpointed frame) would run this whole compression
     # aggregate's map side on one task. Repartitioning ON THE GROUPING
@@ -149,11 +164,55 @@ def weighted_exact_percentile(
         F.count(F.lit(1)).alias("__w")
     )
 
-    win = Window.partitionBy(group_col).orderBy("__v")
-    wtot = Window.partitionBy(group_col)
+    # Phase 1 — range-partition on (group, value): ascending partition
+    # ids hold ascending contiguous (group, value) ranges (AQE may
+    # coalesce ADJACENT ranges, which preserves both properties), and
+    # (group, value) is unique after the compression so no key ever
+    # straddles a boundary. The partition id is materialized INTO the
+    # rows and the frame is cut so both downstream reads see one
+    # consistent id assignment.
+    wr = checkpoint_cut(
+        w.repartitionByRange(F.col(group_col), F.col("__v")).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+
+    # Phase 2a — tiny offset-prefix frame: one row per (partition,
+    # group) slice; a group spans at most |partitions| rows here, so
+    # the only remaining per-group-serial window runs on a frame whose
+    # size is bounded by the partition count, not the data.
+    offw = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        wr.groupBy("__pid", group_col)
+        .agg(F.sum("__w").alias("__ps"))
+        .select(
+            F.col("__pid").alias("__pid2"),
+            F.col(group_col).alias("__g2"),
+            F.coalesce(
+                F.sum("__ps").over(offw), F.lit(0).cast("long")
+            ).alias("__off"),
+            F.sum("__ps").over(Window.partitionBy(group_col)).alias("__n"),
+        )
+    )
+
+    # Phase 2b — per-slice local cumsum lifted by the slice's offset.
+    # The join keys (pid, group) are exactly the local window's
+    # partition spec, so the join's exchange doubles as the window's
+    # (null-safe on the group so a NULL group keeps its rows, as the
+    # single-window form did).
+    lw = Window.partitionBy("__pid", group_col).orderBy("__v")
     w = (
-        w.withColumn("__cumw", F.sum("__w").over(win))
-        .withColumn("__n", F.sum("__w").over(wtot))
+        wr.join(
+            offs,
+            (F.col("__pid") == F.col("__pid2"))
+            & F.col(group_col).eqNullSafe(F.col("__g2")),
+        )
+        .drop("__pid2", "__g2")
+        .withColumn("__cumw", F.col("__off") + F.sum("__w").over(lw))
     )
 
     aggs = []

@@ -231,6 +231,75 @@ def test_weighted_exact_percentile_interpolates(spark):
     assert out[0]["p50"] == pytest.approx(3.0)
 
 
+def test_weighted_exact_percentile_two_phase_many_slices(spark):
+    """The r15 two-phase cumulative sum must be exact when a single
+    group genuinely spans many range partitions — the few-huge-groups
+    shape the rewrite exists for. One group, 5000 distinct values,
+    shuffle partitions pinned high enough that the range exchange
+    splits the group across slices; p-values chosen to land on
+    interpolated and exact ranks."""
+    df = (
+        spark.range(20_000)
+        .selectExpr("'g' AS k", "CAST(id % 5000 AS double) AS v")
+    )
+    got = SC.weighted_exact_percentile(
+        df, "k", "v", {"p25": 0.25, "p50": 0.5, "p999": 0.999},
+        count_col="n",
+    ).collect()[0]
+    want = df.groupBy("k").agg(
+        F.percentile("v", 0.25).alias("p25"),
+        F.percentile("v", 0.5).alias("p50"),
+        F.percentile("v", 0.999).alias("p999"),
+    ).collect()[0]
+    assert got["n"] == 20_000
+    for c in ("p25", "p50", "p999"):
+        assert got[c] == pytest.approx(want[c], abs=1e-9)
+
+
+def test_weighted_exact_percentile_null_group_kept(spark):
+    """A NULL group key is a group like any other (the pre-r15
+    single-window form kept it; the two-phase join is null-safe on the
+    group, so it must too)."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 3.0), ("a", 5.0)], ["k", "v"]
+    )
+    rows = {
+        r["k"]: r["p50"]
+        for r in SC.weighted_exact_percentile(
+            df, "k", "v", {"p50": 0.5}
+        ).collect()
+    }
+    assert rows[None] == pytest.approx(2.0)
+    assert rows["a"] == pytest.approx(5.0)
+
+
+def test_weighted_exact_percentile_plan_range_partitioned(
+    spark, sf_dir, monkeypatch
+):
+    """Plan probes for the two-phase cumulative sum:
+
+    - the REAL plan's windows run partitioned by (slice id, group) —
+      never by the group alone, which would serialize each group onto
+      one task (the offset-prefix window over the tiny per-slice frame
+      is the sanctioned exception: its input is one row per slice);
+    - the pre-cut subtree (cut monkeypatched out, same pattern as the
+      ngram_jaccard probe) shows the range exchange on (group, value).
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = SC.weighted_exact_percentile(
+        li, "l_returnflag", "l_extendedprice", {"p50": 0.5}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__pid" in plan  # local cumsum windows keyed by slice id
+
+    monkeypatch.setattr(SC, "checkpoint_cut", lambda df: df)
+    nocut = SC.weighted_exact_percentile(
+        li, "l_returnflag", "l_extendedprice", {"p50": 0.5}
+    )
+    nocut_plan = nocut._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(l_returnflag" in nocut_plan
+
+
 def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
     from datawarehouse_vehicule_insurance_spark.operators import mlprep as MP
 
