@@ -3200,7 +3200,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_histogram": q_price_histogram,
     "range_validate_year": q_range_validate_year,
     "token_frequencies": q_token_frequencies,
-    "orders_per_customer": q_orders_per_customer,
+    "distinct_order_customers": q_distinct_order_customers,
     "lineitem_per_order": q_lineitem_per_order,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3247,7 +3247,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Rotated-out gate queries: out of the 50-slot driver registry
 # (QUERIES) but still part of the benchmarked surface — bench.py runs
 # QUERIES ∪ BENCH_EXTRA so their performance stays tracked round over
-# round. Round-14 rotation: array_functions (higher-order array
+# round. Round-15 rotation: distinct_order_customers (countDistinct
+# over the orders fact — the distinct-aggregation shape, gate member
+# r1-r8, bench-only since r9) re-enters the gate (precedent: r12's
+# zscore_by_segment return); rotated to bench-only is
+# orders_per_customer (groupBy-count per customer over orders, stable
+# since r1 — the grouped-count shape stays covered in-gate by
+# lineitem_per_order and client_summary, and §2 ID A1 keeps its
+# coverage via this query's ORACLES_EXTRA entry per policy rule 2).
+# Round-14 rotation: array_functions (higher-order array
 # functions — transform/filter/aggregate/zip_with over lineitem
 # groups, stable in the bench-only set since r6) enters the gate;
 # rotated to bench-only is customer_order_semijoins (the left-semi /
@@ -3286,7 +3294,7 @@ BENCH_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_semijoins": q_customer_order_semijoins,
     "top_spenders": q_top_spenders,
     "filter_positive_amounts": q_filter_positive_amounts,
-    "distinct_order_customers": q_distinct_order_customers,
+    "orders_per_customer": q_orders_per_customer,
     "shipping_priority": q_shipping_priority,
     "regex_validate_strip": q_regex_validate_strip,
     # r11 (r10 verdict #4): the production train-once/score-many LM
@@ -3318,7 +3326,7 @@ ORACLES: dict[str, str] = {
     "price_histogram": SQL_PRICE_HISTOGRAM,
     "range_validate_year": SQL_RANGE_VALIDATE_YEAR,
     "token_frequencies": SQL_TOKEN_FREQUENCIES,
-    "orders_per_customer": SQL_ORDERS_PER_CUSTOMER,
+    "distinct_order_customers": SQL_DISTINCT_ORDER_CUSTOMERS,
     "lineitem_per_order": SQL_LINEITEM_PER_ORDER,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
@@ -3374,7 +3382,7 @@ ORACLES_EXTRA: dict[str, str] = {
     "customer_order_semijoins": SQL_CUSTOMER_ORDER_SEMIJOINS,
     "top_spenders": SQL_TOP_SPENDERS,
     "filter_positive_amounts": SQL_FILTER_POSITIVE_AMOUNTS,
-    "distinct_order_customers": SQL_DISTINCT_ORDER_CUSTOMERS,
+    "orders_per_customer": SQL_ORDERS_PER_CUSTOMER,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "regex_validate_strip": SQL_REGEX_VALIDATE_STRIP,
     # score-only against the full-corpus cached model == lm_perplexity
