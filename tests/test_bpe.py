@@ -256,6 +256,7 @@ def test_cli_bpe_train(spark, tmp_path, capsys):
     assert [r["bpe_tokens"] for r in a] == [r["bpe_tokens"] for r in b]
 
 
+@pytest.mark.slow
 def test_bpe_encode_property_random_corpora(spark):
     """Property: for random word corpora, the distributed greedy-by-rank
     encoder equals the replay-the-merges reference for every word, and

@@ -411,6 +411,7 @@ def test_redact_pii_kind_subset(spark):
     assert out == "<EMAIL> and 10.1.1.1"
 
 
+@pytest.mark.slow
 def test_curate_corpus_end_to_end(spark):
     from datawarehouse_vehicule_insurance_spark.operators.curate import (
         curate_corpus,
@@ -1161,6 +1162,7 @@ def test_pq_and_ivfpq_string_ids_round_trip(spark, tmp_path):
     assert _raw(loaded.collect()) == base
 
 
+@pytest.mark.slow
 def test_pq_distributed_query_side_matches_collect(spark):
     """r13 verdict #1: the distributed query-side path (queries stay a
     DataFrame, cogrouped block-rectangle scan, per-block LUTs) returns
@@ -1508,6 +1510,7 @@ def test_semantic_dedup_idempotent_on_survivors(spark):
     assert n2 == n1
 
 
+@pytest.mark.slow
 def test_minhash_dedup_keep_by_quality(spark):
     """keep_by keeps the highest-scoring member of each near-dup group
     (NULL scores lose; ties fall back to min id) in both pairwise and
@@ -1659,6 +1662,7 @@ def test_minhash_dedup_keep_by_string_ids(spark):
     assert kept == ["doc-b", "doc-z"]
 
 
+@pytest.mark.slow
 def test_curate_corpus_source_cap(spark):
     """Stage 5.7: at most N survivors per source, budget spent on clean
     documents (a source's dropped duplicates don't count against it),
@@ -1698,6 +1702,7 @@ def test_curate_corpus_source_cap(spark):
     assert big == [8, 9]
 
 
+@pytest.mark.slow
 def test_cli_curate_source_cap(spark, tmp_path, capsys):
     """curate --source-cap caps survivors per source column value."""
     import json as _json
@@ -1907,6 +1912,7 @@ def test_curate_corpus_every_optional_stage(spark):
     }
 
 
+@pytest.mark.slow
 def test_funnel_rejection_invariants_random(spark):
     """Property over random small-vocab corpora: the diagnostic funnel
     and rejection audit are mutually consistent with the pipeline's

@@ -447,6 +447,7 @@ REAL_4 = (
 )
 
 
+@pytest.mark.slow
 def test_streaming_loop_degenerate_batch_with_gates(spark, tmp_path):
     """A crawl batch spiked with every degenerate shape arrives mid-
     stream with the CLI's quality-gate transform on: the loop must

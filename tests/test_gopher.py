@@ -166,6 +166,7 @@ def test_gopher_filter_on_real_documents(spark):
     assert all(r["doc_id"] in ids for r in kept.collect())
 
 
+@pytest.mark.slow
 def test_curate_corpus_gopher_stage(spark):
     """curate_corpus(gopher_rules=...) applies the full rule family
     between the basic gates and the near-dup stage."""
@@ -218,6 +219,7 @@ def test_cli_curate_gopher_flag(spark, tmp_path, capsys):
     assert spark.read.parquet(out_path).first()["doc_id"] == 1
 
 
+@pytest.mark.slow
 def test_repetition_property_random_texts(spark):
     """Property: BOTH impls' repetition ratios equal the python
     reference on random multi-line texts drawn from a small word pool

@@ -247,6 +247,7 @@ def _corpus_ids(spark, tmp_path):
     return sorted(r["doc_id"] for r in df.collect()) if df is not None else []
 
 
+@pytest.mark.slow
 def test_streaming_incremental_curation_grows_corpus(spark, tmp_path):
     """The recurring-crawl loop: three planted batches arrive across
     three availableNow runs sharing one checkpoint. Each batch is
@@ -301,6 +302,7 @@ def test_streaming_incremental_curation_grows_corpus(spark, tmp_path):
     assert oracle == [1, 2, 13, 22]
 
 
+@pytest.mark.slow
 def test_loop_per_batch_stage_funnel(spark, tmp_path, capsys):
     """on_batch_stats receives each batch's exact per-stage survivor
     funnel (the loop's existing stage cuts double as the boundaries):
@@ -1107,6 +1109,7 @@ def test_rebuild_corpus_indexes_restores_loop(spark, tmp_path):
 # review fixes: replay/crash semantics, embedding index-loss contract
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_replay_after_partial_write_is_idempotent(spark, tmp_path):
     """A batch whose crash landed only SOME of its appends must replay
     to the correct final state: the loop excludes the in-flight batch
@@ -1301,6 +1304,7 @@ def test_curate_corpus_line_dedup_stage(spark):
         )
 
 
+@pytest.mark.slow
 def test_streaming_curation_line_index(spark, tmp_path):
     """The loop's fourth persisted index: batch partials of the CLEANED
     survivors sum to corpus totals, a line crosses the threshold from
@@ -1406,6 +1410,7 @@ def test_rebuild_includes_line_counts(spark, tmp_path):
 # document takedown (retract across corpus + all indexes)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_retract_documents_full_takedown(spark, tmp_path):
     """retract_documents removes a document from the corpus and every
     persisted index consistently: ids vanish from band/hash/shingle
@@ -1773,6 +1778,7 @@ def test_rebuild_includes_winnow(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_compact_loop_indexes_preserves_probes(spark, tmp_path):
     """Scheduled compaction folds every loop artifact's per-batch append
     partitions into one, collapses replay-duplicated rows, and changes
@@ -1922,6 +1928,7 @@ def test_embedding_loop_semantic_dedup_within_batch(spark, tmp_path):
     assert sorted(r["vec_id"] for r in asg.collect()) == [1, 2, 12, 14]
 
 
+@pytest.mark.slow
 def test_curate_corpus_all_stages_composed(spark):
     """Kitchen-sink integration: EVERY optional curate stage enabled at
     once — exact dedup, line dedup, basic gates, Gopher rules, LM
@@ -2173,6 +2180,7 @@ def test_cli_compact_every_ignores_missing_artifacts(spark, tmp_path,
     assert stats["compacted"][str(tmp_path / "bands")] is not None
 
 
+@pytest.mark.slow
 def test_streaming_curation_span_gram_index(spark, tmp_path):
     """The loop's sixth persisted index (exact-substring trim): with
     span_grams_path a later batch quoting a stored passage is trimmed
@@ -2834,6 +2842,7 @@ def test_embedding_loop_zip_mismatch_retry(spark, tmp_path, monkeypatch):
     assert spark.conf.get("spark.sql.exchange.reuse", None) == prev
 
 
+@pytest.mark.slow
 def test_trim_min_keep_drops_all_quote_husks(spark, tmp_path):
     """A batch doc assembled ENTIRELY from quotes of two different
     stored documents sits below the near-dup threshold against each of
@@ -3000,6 +3009,7 @@ def test_loop_source_quota_vs_growing_corpus(spark, tmp_path):
         q.awaitTermination()
 
 
+@pytest.mark.slow
 def test_loop_source_quota_null_source_charged(spark, tmp_path):
     """The NULL-source slice is one quota group like any other: stored
     NULL-source docs charge the budget across batches (NULL-safe join —
@@ -3117,6 +3127,7 @@ def test_source_count_table_contract(spark):
     assert as_map(after2) == {"hot": 2, "cold": 1, None: 2}
 
 
+@pytest.mark.slow
 def test_compact_loop_indexes_when_signal(spark, tmp_path):
     """Signal-driven compaction: compact_loop_indexes_when is a no-op
     below the partition threshold, fires once the band index's append
@@ -3302,6 +3313,7 @@ def test_quota_index_only_plan_and_equivalence(spark, tmp_path):
     assert sorted(r["doc_id"] for r in out_fb.collect()) == want
 
 
+@pytest.mark.slow
 def test_loop_source_quota_index_fed(spark, tmp_path):
     """The loop with source_counts_path: admissions identical to the
     corpus-groupBy form across batches, the persisted partials merge to
@@ -3378,6 +3390,7 @@ def test_loop_source_quota_index_fed(spark, tmp_path):
     assert stored_counts() == {"hot": 2, "cold": 2}
 
 
+@pytest.mark.slow
 def test_loop_source_counts_bootstrap_pre_existing_corpus(spark, tmp_path):
     """Enabling source_counts_path on a corpus curated WITHOUT the
     index must auto-bootstrap the stored corpus's counts (review fix):

@@ -75,6 +75,7 @@ def _check_wheel(whl: Path, expect_member: str):
             assert int(size) == len(data), name
 
 
+@pytest.mark.slow
 def test_build_editable_wheel(backend, tmp_path):
     name = backend.build_editable(str(tmp_path))
     whl = tmp_path / name
@@ -86,6 +87,7 @@ def test_build_editable_wheel(backend, tmp_path):
         assert zf.read(pth).decode().strip() == str(REPO)
 
 
+@pytest.mark.slow
 def test_build_regular_wheel(backend, tmp_path):
     name = backend.build_wheel(str(tmp_path))
     whl = tmp_path / name
@@ -100,6 +102,7 @@ def test_build_regular_wheel(backend, tmp_path):
         assert "dwvi-spark" in zf.read(ep).decode()
 
 
+@pytest.mark.slow
 def test_sdist_round_trip(backend, tmp_path):
     """r12 advice (medium): the sdist must be buildable in ISOLATION —
     pure stdlib, carrying the backend itself and everything the wheel
@@ -172,6 +175,7 @@ def test_sdist_round_trip(backend, tmp_path):
     assert backend.get_requires_for_build_wheel() == []
 
 
+@pytest.mark.slow
 def test_sdist_excludes_stray_working_tree_files(backend, tmp_path):
     """r13 advice (low): sdist/wheel collection is an explicit suffix
     allowlist, not rglob('*') — a stray editor backup planted in the
@@ -202,6 +206,7 @@ def test_sdist_excludes_stray_working_tree_files(backend, tmp_path):
         stray.unlink(missing_ok=True)
 
 
+@pytest.mark.slow
 def test_wheel_from_sdist_imports_in_clean_process(backend, tmp_path):
     """r13 verdict #8 (CI-shape smoke, offline): sdist → extract →
     wheel from the extracted tree → unzip the wheel → import the
@@ -240,6 +245,7 @@ def test_wheel_from_sdist_imports_in_clean_process(backend, tmp_path):
     assert out.stdout.strip() == "ok"
 
 
+@pytest.mark.slow
 def test_editable_wheel_pip_installable(backend, tmp_path):
     """End-to-end: the editable wheel import-works via its .pth —
     simulate what site adds by reading the .pth and importing through

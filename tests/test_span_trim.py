@@ -241,6 +241,7 @@ def test_curate_corpus_span_trim_stage(spark):
     assert inc[1].startswith("alpha0") and inc[2].startswith("beta0")
 
 
+@pytest.mark.slow
 def test_streaming_loop_trim_min_span(spark, tmp_path):
     """The crawl loop with trim_min_span: a batch doc quoting a stored
     corpus passage arrives with the quote cut out (not rejected), and

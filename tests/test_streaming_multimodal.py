@@ -250,6 +250,7 @@ def test_hourly_partitioned_append_sink(spark, event_files, tmp_path):
     assert "PartitionFilters: [" in plan
 
 
+@pytest.mark.slow
 def test_upsert_rollup_foreachbatch(spark, tmp_path):
     """foreachBatch upsert: update-mode rollup merged into a parquet
     table via group-grain dynamic partition overwrite. Groups re-emitted
