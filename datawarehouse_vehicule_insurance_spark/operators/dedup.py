@@ -595,6 +595,7 @@ def ngram_jaccard(
     n: int = 3,
     threshold: float = 0.8,
     precomputed: DataFrame | None = None,
+    broadcast_max_ids: int = 4_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification over candidate pairs (the precise
     pass after LSH recall). Joins the candidate pair list back to the two
@@ -614,12 +615,29 @@ def ngram_jaccard(
     (parameter-validated); only ids NOT covered are computed from
     ``docs``. A pair whose ids are fully covered never touches text;
     an id covered by neither source drops its pairs (the standard
-    inner-join contract — keep the index in sync with the corpus)."""
-    cand_ids = (
+    inner-join contract — keep the index in sync with the corpus).
+
+    ``broadcast_max_ids`` (r15): the candidate-id universe is cut,
+    counted, and BROADCAST into the corpus semi-join when it holds at
+    most this many ids — without the hint the planner sees unknown
+    stats on the checkpointed frame and sort-merges, shuffling the
+    whole corpus by id (AQE does convert the join to broadcast at
+    runtime, but only after the corpus-side exchange already ran —
+    plan-verified r15); forcing it at PLANNING time removes that
+    exchange outright. Rows-based cap because the id type varies;
+    4M 8-byte ids ≈ tens of MB framed, far under the broadcast
+    limits. Larger universes keep the shuffled join (the safe
+    default for a verify pass someone feeds a corpus-sized pair
+    list)."""
+    cand_ids = checkpoint_cut(
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # the cut just materialized (bounded by the candidate universe), so
+    # this count is a metadata-cheap job, not a recompute
+    if cand_ids.count() <= broadcast_max_ids:
+        cand_ids = F.broadcast(cand_ids)
     if precomputed is not None:
         if SHINGLE_PARAMS_COL in precomputed.columns:
             row = precomputed.select(SHINGLE_PARAMS_COL).first()

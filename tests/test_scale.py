@@ -834,6 +834,14 @@ def test_round2_rewrite_plan_shapes(spark, sf_dir, monkeypatch):
     assert "Window" not in nocut_plan
     assert "InPandas" not in nocut_plan
     assert "LeftSemi" in nocut_plan
+    # r15: a small candidate universe must be broadcast into the
+    # corpus semi-join at PLANNING time (counted via its cut) — the
+    # planner would otherwise sort-merge on unknown stats and shuffle
+    # the whole corpus by id before AQE's too-late runtime conversion
+    semi_lines = [l for l in nocut_plan.splitlines() if "LeftSemi" in l]
+    assert semi_lines and all(
+        "BroadcastHashJoin" in l for l in semi_lines
+    ), semi_lines
 
 
 def test_cli_curate(spark, tmp_path, capsys):
